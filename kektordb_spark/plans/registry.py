@@ -1,0 +1,375 @@
+"""Query registry: every implemented operator exposed as a
+(spark_fn, oracle_sql) pair for the driver's correctness gate.
+
+Conventions (driver contract, __spark_entry__.py):
+  * spark_fn(spark, sf_dir) -> DataFrame;
+  * oracle SQL is self-contained DuckDB SQL over the pre-registered
+    base views (derived views inlined as CTEs via with_oracle_ctes);
+  * column names and float rounding are identical on both sides;
+  * every ORDER BY ... LIMIT uses a rounded score + id tie-break so the
+    k-boundary is stable across engines.
+
+All timestamps/thresholds are fixed constants (never wall clock).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kektordb_spark import filters as FL
+from kektordb_spark.functions import text as TX
+from kektordb_spark.functions.decay import decay_sql
+from kektordb_spark.operators import fusion as FU
+from kektordb_spark.operators import graph as G
+from kektordb_spark.operators import knn as KNN
+from kektordb_spark.tables import dot_sql, load_tables, with_oracle_ctes
+
+# --------------------------------------------------------------------------
+# Fixed deterministic constants (FIXTURES.md: operators take query_time as a
+# parameter, never wall clock).
+# --------------------------------------------------------------------------
+QUERY_TIME = 1705276800  # 2024-01-15 UTC — mid-events for decay coverage
+T_EARLY = 833587200      # 1996-06-01 UTC — graph time travel "early"
+T_MID = 896659200        # 1998-06-01 UTC — graph time travel "mid"
+BM25_QUERY = ["merge", "sort", "window"]
+BFS_ROOTS = ["p_1", "p_7"]
+
+_SHIP_CUTOFF = "TIMESTAMP '1998-09-02 00:00:00'"
+
+_registry: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        _registry[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Relational layer (filters/aggregations/windows/top-k used inside every
+# composite operator — SURVEY.md §2.2, §2.7, §2.8)
+# --------------------------------------------------------------------------
+
+_PRICING_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 6)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= {_SHIP_CUTOFF}
+GROUP BY l_returnflag, l_linestatus
+""".strip()
+
+
+@register("rel_pricing_summary", _PRICING_SQL)
+def rel_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan→filter→hash-agg (the A16-style computed-fields shape). Full
+    map-side partial aggregation; the shuffle carries 4 groups."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_PRICING_SQL)
+
+
+_TOPK_ORDERS_SQL = """
+SELECT o.o_orderkey, c.c_name, round(o.o_totalprice, 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+""".strip()
+
+
+@register("rel_topk_orders", _TOPK_ORDERS_SQL)
+def rel_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + TakeOrderedAndProject (H5 top-k shape)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"].alias("o")
+        .join(F.broadcast(t["customer"].alias("c")),
+              F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .select("o.o_orderkey", "c.c_name", F.round("o.o_totalprice", 2).alias("total"))
+        .orderBy(F.col("o.o_totalprice").desc(), F.col("o.o_orderkey"))
+        .limit(20)
+    )
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+FROM orders
+""".strip()
+
+
+@register("rel_window_running", _RUNNING_SQL)
+def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum window (adaptive-retrieval token-budget shape,
+    SURVEY.md §3.3). One shuffle on the partition key."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_RUNNING_SQL)
+
+
+# --------------------------------------------------------------------------
+# Filter DSL (F1-F7)
+# --------------------------------------------------------------------------
+
+_PART_SCHEMA = {
+    "p_partkey": "bigint", "p_name": "string", "p_brand": "string",
+    "p_type": "string", "p_size": "int", "p_retailprice": "double",
+}
+_MEM_SCHEMA = {
+    "id": "string", "event_type": "string", "user_id": "bigint",
+    "value": "double", "created_at": "bigint", "last_accessed": "bigint",
+    "access_count": "int", "pinned": "boolean", "memory_layer": "string",
+    "decay_model": "string", "deleted": "boolean", "price": "double",
+}
+
+_DSL_PART = "p_size >= 30 AND p_brand = 'Brand#3' OR p_size < 5 AND p_retailprice > 1500"
+_DSL_MEM = "price != 500 AND access_count >= 10 OR pinned = true"
+
+
+def _filter_dsl_oracle(dsl: str, schema: dict, table: str, id_col: str, views: list[str]) -> str:
+    pred = FL.filter_to_sql(dsl, schema, "duckdb")
+    return with_oracle_ctes(f"SELECT {id_col} FROM {table} WHERE {pred}", views)
+
+
+@register("filter_dsl_or_and",
+          _filter_dsl_oracle(_DSL_PART, _PART_SCHEMA, "part", "p_partkey", []))
+def filter_dsl_or_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: OR-of-ANDs precedence, mixed numeric/string leaves."""
+    t = load_tables(spark, sf_dir)
+    return t["part"].where(FL.filter_to_column(_DSL_PART, _PART_SCHEMA)).select("p_partkey")
+
+
+@register("filter_dsl_neq_missing",
+          _filter_dsl_oracle(_DSL_MEM, _MEM_SCHEMA, "mem", "id", ["mem"]))
+def filter_dsl_neq_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: ``!=`` includes rows where the field is NULL (core.go:1886-1917),
+    plus bool equality (F2)."""
+    load_tables(spark, sf_dir)
+    return spark.table("mem").where(FL.filter_to_column(_DSL_MEM, _MEM_SCHEMA)).select("id")
+
+
+# --------------------------------------------------------------------------
+# Vector search (V1-V7)
+# --------------------------------------------------------------------------
+
+def _emb_queries(spark: SparkSession):
+    emb = spark.table("emb")
+    queries = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    cands = emb.where(F.col("vec_id") >= 10)
+    return queries, cands
+
+
+def _knn_query(metric: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_tables(spark, sf_dir)
+        queries, cands = _emb_queries(spark)
+        res = KNN.knn_exact(
+            cands, queries, k=10, metric=metric,
+            id_col="vec_id", vec_col="v", norm_col="norm",
+        )
+        return res.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.round("dist", 6).alias("dist"),
+        )
+    return fn
+
+
+for _metric in ("cosine", "euclidean", "dot"):
+    register(
+        f"knn_{_metric}_top10",
+        with_oracle_ctes(
+            KNN.knn_exact_oracle_sql("duckdb", _metric, 10, "vec_id < 10", "vec_id >= 10"),
+            ["emb"],
+        ),
+    )(_knn_query(_metric))
+
+
+# --------------------------------------------------------------------------
+# Text search (T1-T7)
+# --------------------------------------------------------------------------
+
+@register("bm25_top10",
+          with_oracle_ctes(TX.bm25_oracle_sql("duckdb", BM25_QUERY, 10), ["docs_tok"]))
+def bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 BM25 ranked retrieval (core.go:1965-2068 semantics)."""
+    load_tables(spark, sf_dir)
+    scored = TX.bm25_scores(spark.table("docs_tok"), BM25_QUERY)
+    return (
+        scored.select("doc", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc"))
+        .limit(10)
+    )
+
+
+def _text_stats_sql(dialect: str) -> str:
+    size = "size" if dialect == "spark" else "len"
+    dist = "array_distinct" if dialect == "spark" else "list_distinct"
+    filt = "filter" if dialect == "spark" else "list_filter"
+    cont = "array_contains" if dialect == "spark" else "list_contains"
+    pos = ("array(" if dialect == "spark" else "[") + \
+        ", ".join(f"'{w}'" for w in TX.POSITIVE_WORDS) + (")" if dialect == "spark" else "]")
+    neg = ("array(" if dialect == "spark" else "[") + \
+        ", ".join(f"'{w}'" for w in TX.NEGATIVE_WORDS) + (")" if dialect == "spark" else "]")
+    return f"""
+SELECT doc_id,
+       CAST({size}(toks) AS INT) AS n_toks,
+       CAST({size}({dist}(toks)) AS INT) AS n_uniq,
+       round(CASE WHEN {size}(toks) = 0 THEN 0.0
+             ELSE CAST({size}({dist}(toks)) AS DOUBLE) / CAST({size}(toks) AS DOUBLE) END, 6) AS density,
+       CAST({size}({filt}(toks, t -> {cont}({pos}, t)))
+          - {size}({filt}(toks, t -> {cont}({neg}, t))) AS INT) AS sentiment
+FROM docs_tok
+""".strip()
+
+
+@register("text_stats", with_oracle_ctes(_text_stats_sql("duckdb"), ["docs_tok"]))
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 information density + T7 sentiment lexicon score per doc."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_text_stats_sql("spark"))
+
+
+# --------------------------------------------------------------------------
+# Memory decay (H4)
+# --------------------------------------------------------------------------
+
+_DECAY_BODY = (
+    "SELECT id, memory_layer, round({expr}, 8) AS decay "
+    "FROM mem WHERE NOT deleted"
+)
+
+
+@register("decay_scores",
+          with_oracle_ctes(_DECAY_BODY.format(expr=decay_sql(QUERY_TIME)), ["mem"]))
+def decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four decay models + per-layer half-life + pinned skip +
+    per-row model override at a fixed query_time."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_DECAY_BODY.format(expr=decay_sql(QUERY_TIME)))
+
+
+# --------------------------------------------------------------------------
+# Hybrid fusion (H1-H5): flagship query
+# --------------------------------------------------------------------------
+
+def _hybrid_oracle(dialect: str) -> str:
+    knn_part = f"""
+  SELECT c.vec_id AS id,
+         1.0 / (1.0 + (1.0 - ({dot_sql(dialect, 'q.v', 'c.v')}) / (q.norm * c.norm))) AS vec_score
+  FROM emb q CROSS JOIN emb c
+  WHERE q.vec_id = 0 AND c.vec_id <> 0
+""".rstrip()
+    bm25_inner = TX.bm25_oracle_sql(dialect, BM25_QUERY, 500)
+    # strip trailing ORDER/LIMIT from the bm25 oracle; we need raw scores
+    bm25_scored = bm25_inner[: bm25_inner.rindex("SELECT doc")] + "SELECT doc, score FROM scored"
+    return f"""
+WITH vecs AS (
+{knn_part}
+),
+txt_raw AS (
+{bm25_scored}
+),
+txt AS (
+  SELECT doc AS id, score / nullif(max(score) OVER (), 0.0) AS text_score FROM txt_raw
+),
+fused AS (
+  SELECT coalesce(v.id, t.id) AS id,
+         coalesce(v.vec_score, 0.0) AS vec_score,
+         coalesce(t.text_score, 0.0) AS text_score
+  FROM vecs v FULL OUTER JOIN txt t ON v.id = t.id
+)
+SELECT id, round(0.5 * vec_score + 0.5 * text_score, 6) AS score
+FROM fused
+ORDER BY round(0.5 * vec_score + 0.5 * text_score, 6) DESC, id
+LIMIT 15
+""".strip()
+
+
+@register("hybrid_fusion_top15",
+          with_oracle_ctes(_hybrid_oracle("duckdb"), ["emb", "docs_tok"]))
+def hybrid_fusion_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: vector k-NN branch + BM25 branch → H1 normalize →
+    H2 weighted fusion (alpha=0.5) → H5 top-k. Mirrors
+    POST /vector/actions/search (SURVEY.md §3.1) as one Catalyst plan."""
+    load_tables(spark, sf_dir)
+    emb = spark.table("emb")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qnorm")
+    )
+    cands = emb.where(F.col("vec_id") != 0)
+    knn = KNN.knn_exact(cands, q, k=10**9, metric="cosine",
+                        id_col="vec_id", vec_col="v", norm_col="norm")
+    vecs = FU.normalize_vector_scores(knn).select(F.col("vec_id").alias("id"), "vec_score")
+    bm = TX.bm25_scores(spark.table("docs_tok"), BM25_QUERY)
+    txt = FU.normalize_text_scores(bm).select(F.col("doc").alias("id"), "text_score")
+    fused = FU.fuse(vecs, txt, alpha=0.5)
+    return (
+        fused.select("id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# Graph (G1-G15)
+# --------------------------------------------------------------------------
+
+@register("graph_bfs_depth3",
+          with_oracle_ctes(G.bfs_oracle_sql(BFS_ROOTS, 3, T_MID), ["edges"]))
+def graph_bfs_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 bounded BFS with time travel: min-depth reachability from two
+    part nodes through the FK DAG at t=1998-06-01."""
+    load_tables(spark, sf_dir)
+    roots = spark.createDataFrame([(r,) for r in BFS_ROOTS], "node string")
+    return G.bfs(spark.table("edges"), roots, max_depth=3, at_time=T_MID).select(
+        "node", F.col("depth").cast("int").alias("depth")
+    )
+
+
+_DEGREE_TT_SQL = f"""
+SELECT src AS node,
+       count(*) FILTER (WHERE {G.time_travel_pred_sql(T_EARLY)}) AS deg_early,
+       count(*) FILTER (WHERE {G.time_travel_pred_sql(T_MID)})   AS deg_mid,
+       count(*) FILTER (WHERE deleted_at = 0)                    AS deg_now
+FROM edges
+GROUP BY src
+""".strip()
+
+
+@register("graph_degree_timetravel", with_oracle_ctes(_DEGREE_TT_SQL, ["edges"]))
+def graph_degree_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 time-travel edge reads as degree aggregations at three
+    timestamps (A9 centrality-shift building block)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(_DEGREE_TT_SQL)
+
+
+# --------------------------------------------------------------------------
+# Public accessors (wired into __spark_entry__)
+# --------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _registry.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _registry.items() if sql is not None}

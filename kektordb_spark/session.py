@@ -1,0 +1,39 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the same config block is what we would ship
+to a 1000-executor cluster (AQE, skew-join handling, broadcast thresholds),
+so plans exercised in tests are the plans we'd run at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "kektordb-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # Deterministic timestamps: all epoch math is done in UTC so the
+        # DuckDB oracle (naive timestamps) agrees with Spark.
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE re-plans shuffles at runtime: coalesces small partitions,
+        # converts sort-merge to broadcast joins, splits skewed partitions.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 32)))
+        # Arrow for every pandas UDF / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata events.ts is TIMESTAMP(NANOS) parquet; read as long and
+        # convert (tables.load_tables) — Spark has no native nanos type.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

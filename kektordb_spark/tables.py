@@ -1,0 +1,279 @@
+"""Table loading + derived logical views over the driver testdata.
+
+The driver testdata (TESTDATA.md) is a TPC-H-ish star schema plus
+``events``, ``documents``, ``embeddings``. kektordb's data model
+(SURVEY.md §1) is a vectors table + temporal edges + memory metadata;
+we derive those deterministically from the testdata so that every
+operator has BOTH a Spark implementation and a DuckDB oracle over the
+exact same inputs.
+
+Each derived view exists in two dialects (Spark SQL / DuckDB SQL) that
+compute bit-identical results:
+  * epoch seconds:  Spark ``unix_timestamp(ts)`` (UTC session) ==
+    DuckDB ``floor(epoch(ts))`` for naive timestamps.
+  * float math: element-wise left folds over doubles (``aggregate`` /
+    ``list_reduce``) so sums associate in the same order.
+
+Views:
+  * ``mem``   — memory rows (kektordb vectors-table system metadata:
+    created/last_accessed/access_count/pinned/layer/decay model/deleted;
+    reference pkg/engine/ops.go:283-317, hnsw/config.go:146-229),
+    derived from ``events``.
+  * ``edges`` — temporal property graph (src,dst,rel,weight,
+    created_at,deleted_at; reference pkg/core/graph.go:17-59), derived
+    from lineitem/orders/customer/nation FKs. Soft-deletes derived from
+    ``l_returnflag='R'`` give time-travel variation.
+  * ``docs_tok`` — documents with analyzer tokens (lowercase,
+    ``[a-z0-9_]+``, English stopwords; reference
+    pkg/textanalyzer/analyzer.go:17-44).
+  * ``emb`` — embeddings cast to double + L2 norm column (cosine
+    normalization hoisting; reference hnsw_index.go:390-398).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# English stopword list — mirrors reference pkg/textanalyzer/analyzer.go:27-31.
+ENGLISH_STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "by", "for", "from",
+    "has", "he", "in", "is", "it", "its", "of", "on", "that", "the",
+    "to", "was", "were", "will", "with",
+]
+
+
+def _stop_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# Dialect snippets
+# ---------------------------------------------------------------------------
+
+def _epoch(dialect: str, col: str) -> str:
+    if dialect == "spark":
+        return f"CAST(unix_timestamp({col}) AS BIGINT)"
+    return f"CAST(floor(epoch({col})) AS BIGINT)"
+
+
+def _s(dialect: str, expr: str) -> str:
+    """CAST to string."""
+    ty = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"CAST({expr} AS {ty})"
+
+
+def _array_contains(dialect: str, arr: str, item: str) -> str:
+    fn = "array_contains" if dialect == "spark" else "list_contains"
+    return f"{fn}({arr}, {item})"
+
+
+def _transform(dialect: str, arr: str, lam: str) -> str:
+    fn = "transform" if dialect == "spark" else "list_transform"
+    return f"{fn}({arr}, {lam})"
+
+
+def _filter_arr(dialect: str, arr: str, lam: str) -> str:
+    fn = "filter" if dialect == "spark" else "list_filter"
+    return f"{fn}({arr}, {lam})"
+
+
+def fold_sum(dialect: str, arr: str) -> str:
+    """Left-fold sum of a double array — identical association order in
+    both engines (Spark aggregate starts at 0.0; DuckDB list_reduce
+    starts at the first element; 0.0+x == x bitwise for finite x)."""
+    if dialect == "spark":
+        return f"aggregate({arr}, CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+    return f"list_reduce({arr}, (s, x) -> s + x)"
+
+
+def dot_sql(dialect: str, a: str, b: str) -> str:
+    """Dot product of two double arrays, identical fold order."""
+    if dialect == "spark":
+        return fold_sum(dialect, f"zip_with({a}, {b}, (x, y) -> x * y)")
+    return fold_sum(
+        dialect,
+        f"list_transform(list_zip({a}, {b}), p -> p[1] * p[2])",
+    )
+
+
+def l2sq_sql(dialect: str, a: str, b: str) -> str:
+    """Squared euclidean distance (reference distance_go.go:56-68)."""
+    if dialect == "spark":
+        return fold_sum(dialect, f"zip_with({a}, {b}, (x, y) -> (x - y) * (x - y))")
+    return fold_sum(
+        dialect,
+        f"list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Derived views (dialect-parameterized SQL)
+# ---------------------------------------------------------------------------
+
+def mem_view_sql(dialect: str) -> str:
+    """Memory table (kektordb system metadata) derived from events."""
+    ep = _epoch(dialect, "ts")
+    return f"""
+SELECT
+  concat('ev_', {_s(dialect, 'event_id')})                        AS id,
+  event_type,
+  user_id,
+  value,
+  {ep}                                                            AS created_at,
+  CASE WHEN event_id % 3 = 0
+       THEN {ep} + 3600 * CAST(event_id % 50 AS BIGINT)
+       ELSE NULL END                                              AS last_accessed,
+  CAST(event_id % 41 AS INT)                                      AS access_count,
+  event_id % 20 = 0                                               AS pinned,
+  CASE CAST(event_id % 4 AS INT)
+       WHEN 0 THEN 'episodic'
+       WHEN 1 THEN 'semantic'
+       WHEN 2 THEN 'procedural'
+       ELSE 'episodic' END                                        AS memory_layer,
+  CASE WHEN event_id % 13 = 0 THEN 'linear'
+       WHEN event_id % 17 = 0 THEN 'step'
+       WHEN event_id % 19 = 0 THEN 'ebbinghaus'
+       ELSE NULL END                                              AS decay_model,
+  event_id % 37 = 0                                               AS deleted,
+  CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END            AS price
+FROM events
+""".strip()
+
+
+def edges_view_sql(dialect: str) -> str:
+    """Temporal edge table derived from TPC-H FKs.
+
+    Topology is a DAG: part -> order -> customer -> nation -> region,
+    plus part -> supplier. 'R'-returnflag lineitems get a soft-delete
+    30 days after ship (deleted_at semantics: pkg/core/graph.go:350-362).
+    """
+    epship = _epoch(dialect, "l_shipdate")
+    eporder = _epoch(dialect, "o_orderdate")
+    return f"""
+SELECT concat('p_', {_s(dialect, 'l_partkey')})  AS src,
+       concat('o_', {_s(dialect, 'l_orderkey')}) AS dst,
+       'in_order'                                AS rel,
+       CAST(l_quantity AS DOUBLE)                AS weight,
+       {epship}                                  AS created_at,
+       CASE WHEN l_returnflag = 'R'
+            THEN {epship} + 2592000
+            ELSE CAST(0 AS BIGINT) END           AS deleted_at
+FROM lineitem
+UNION ALL
+SELECT concat('p_', {_s(dialect, 'l_partkey')}),
+       concat('s_', {_s(dialect, 'l_suppkey')}),
+       'supplied_by',
+       CAST(1.0 AS DOUBLE),
+       {epship},
+       CAST(0 AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT concat('o_', {_s(dialect, 'o_orderkey')}),
+       concat('c_', {_s(dialect, 'o_custkey')}),
+       'placed_by',
+       CAST(1.0 AS DOUBLE),
+       {eporder},
+       CAST(0 AS BIGINT)
+FROM orders
+UNION ALL
+SELECT concat('c_', {_s(dialect, 'c_custkey')}),
+       concat('n_', {_s(dialect, 'c_nationkey')}),
+       'from_nation',
+       CAST(1.0 AS DOUBLE),
+       CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM customer
+UNION ALL
+SELECT concat('n_', {_s(dialect, 'n_nationkey')}),
+       concat('r_', {_s(dialect, 'n_regionkey')}),
+       'in_region',
+       CAST(1.0 AS DOUBLE),
+       CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM nation
+""".strip()
+
+
+def docs_tok_view_sql(dialect: str) -> str:
+    """Documents + analyzer tokens (reference analyzer.go:17-44: lowercase,
+    [\\p{L}0-9_]+ token regex, stopword removal; corpus is ASCII so
+    [a-z0-9_]+ is equivalent)."""
+    if dialect == "spark":
+        raw = "regexp_extract_all(lower(text), '[a-z0-9_]+', 0)"
+    else:
+        raw = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
+    stops = f"array({_stop_list_sql()})" if dialect == "spark" else f"[{_stop_list_sql()}]"
+    toks = _filter_arr(dialect, raw, f"t -> NOT {_array_contains(dialect, stops, 't')}")
+    return f"""
+SELECT doc_id, text, lang, source, n_chars,
+       {toks} AS toks
+FROM documents
+""".strip()
+
+
+def emb_view_sql(dialect: str) -> str:
+    """Embeddings as double arrays + hoisted L2 norm column."""
+    v = _transform(dialect, "embedding", "x -> CAST(x AS DOUBLE)")
+    return f"""
+SELECT vec_id, label,
+       {v} AS v,
+       sqrt({fold_sum(dialect, _transform(dialect, v, 'x -> x * x'))}) AS norm
+FROM embeddings
+""".strip()
+
+
+DERIVED_VIEWS = {
+    "mem": mem_view_sql,
+    "edges": edges_view_sql,
+    "docs_tok": docs_tok_view_sql,
+    "emb": emb_view_sql,
+}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read base parquet tables and register them + derived views as temp
+    views. Returns dict of base DataFrames."""
+    out: dict[str, DataFrame] = {}
+    for name in BASE_TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
+            # TIMESTAMP(NANOS) read as long (session nanosAsLong config);
+            # integer-divide to micros (exact) and rebuild the timestamp.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    for name, sql_fn in DERIVED_VIEWS.items():
+        spark.sql(sql_fn("spark")).createOrReplaceTempView(name)
+    return out
+
+
+def with_oracle_ctes(query_sql: str, views: list[str]) -> str:
+    """Wrap a DuckDB oracle query with CTE definitions of the derived
+    views it uses, so each oracle_sql() entry is self-contained over the
+    driver's pre-registered base views."""
+    if not views:
+        return query_sql
+    ctes = ",\n".join(f"{v} AS (\n{DERIVED_VIEWS[v]('duckdb')}\n)" for v in views)
+    stripped = query_sql.lstrip()
+    # Merge with an existing WITH [RECURSIVE] clause instead of nesting.
+    for prefix in ("WITH RECURSIVE", "WITH"):
+        if stripped.upper().startswith(prefix):
+            rest = stripped[len(prefix):]
+            return f"{prefix} {ctes},\n{rest}"
+    return f"WITH {ctes}\n{query_sql}"
