@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is collected to the driver (forcing full execution). A
+trivial warm-up query absorbs JVM/session startup so per-query numbers
+measure plan execution, not bootstrap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kektordb_spark.plans import registry
+from kektordb_spark.session import get_spark
+
+# Headline set: one per operator family (kept in sync with SURVEY.md §2).
+HEADLINE = [
+    "rel_pricing_summary",
+    "rel_topk_orders",
+    "rel_window_running",
+    "filter_dsl_or_and",
+    "filter_dsl_neq_missing",
+    "knn_cosine_top10",
+    "knn_euclidean_top10",
+    "bm25_top10",
+    "text_stats",
+    "decay_scores",
+    "hybrid_fusion_top15",
+    "graph_bfs_depth3",
+    "graph_degree_timetravel",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("kektordb-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the session (JVM, parquet footers, codegen) outside timing.
+    from kektordb_spark.tables import load_tables
+
+    load_tables(spark, sf_dir)
+    spark.sql("SELECT count(*) FROM lineitem").collect()
+
+    queries = registry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()  # no cross-query cache interference
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -91,13 +91,16 @@ def bm25_scores(
     total, all keyed on the doc id.
     """
     spark = docs.sparkSession
-    lengths = docs.select(
-        F.col(id_col).alias("doc"), F.size(F.col(toks_col)).alias("dl")
-    )
+    # Materialize the analyzed tokens once: without this, Catalyst
+    # collapses the tokenizer projection into the explode, re-running
+    # the regexp + stopword filter once per OUTPUT token (~100x the
+    # work). One cached narrow projection feeds every downstream branch.
+    base = docs.select(F.col(id_col).alias("doc"), F.col(toks_col).alias("toks")).persist()
+    lengths = base.select("doc", F.size("toks").alias("dl"))
     stats = lengths.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    postings = build_postings(docs, id_col, toks_col)
+    postings = build_postings(base, "doc", "toks")
     qt = spark.createDataFrame([(t,) for t in query_tokens], "token string").distinct()
     # df per query token (document frequency over the whole corpus)
     dfreq = (

@@ -1,0 +1,178 @@
+"""Training-data text-analysis functions: language ID, quality
+scoring, token counting, document fingerprinting.
+
+The reference's text layer stops at tokenize/stem/BM25/sentiment
+(pkg/textanalyzer/analyzer.go, core.go:1957-2068); a 100 TB pipeline
+additionally needs per-document quality/language/size signals. All four
+are dialect-parameterized SQL (Spark SQL / DuckDB produce identical
+results) — pure projection-time column expressions, no shuffle, no UDF:
+at scale these run inside the parquet scan's whole-stage-codegen span.
+"""
+
+from __future__ import annotations
+
+from kektordb_spark.tables import ENGLISH_STOPWORDS
+
+# Tiny per-language stopword profiles (n-gram/stopword-hit heuristic —
+# the classic langid trick, deterministic and SQL-only). Alphabetical
+# order of language codes doubles as the tie-break.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "of", "and", "to", "in", "is", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans"],
+}
+
+_WS_SPLIT_RE = r"\s+"
+# BPE-ish pre-tokenizer: word pieces, digit runs, single punctuation —
+# the GPT-2 pre-tokenizer shape without unicode categories.
+BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _len(dialect: str, arr: str) -> str:
+    return f"{'size' if dialect == 'spark' else 'len'}({arr})"
+
+
+def _filter_arr(dialect: str, arr: str, lam: str) -> str:
+    fn = "filter" if dialect == "spark" else "list_filter"
+    return f"{fn}({arr}, {lam})"
+
+
+def _contains(dialect: str, arr: str, x: str) -> str:
+    fn = "array_contains" if dialect == "spark" else "list_contains"
+    return f"{fn}({arr}, {x})"
+
+
+def _arr_lit(dialect: str, words: list[str]) -> str:
+    inner = ", ".join(f"'{w}'" for w in words)
+    return f"array({inner})" if dialect == "spark" else f"[{inner}]"
+
+
+def _regex_all(dialect: str, col: str, pattern: str) -> str:
+    # Spark SQL string literals process backslash escapes (default
+    # spark.sql.parser.escapedStringLiterals=false); DuckDB's are raw.
+    # Double the backslashes for Spark so both engines see the same regex.
+    if dialect == "spark":
+        return f"regexp_extract_all({col}, '{pattern.replace(chr(92), chr(92) * 2)}', 0)"
+    return f"regexp_extract_all({col}, '{pattern}')"
+
+
+def _raw_tokens(dialect: str, col: str) -> str:
+    return _regex_all(dialect, f"lower({col})", "[a-z0-9_]+")
+
+
+def lang_id_sql(dialect: str) -> str:
+    """Language ID by stopword-profile hits; argmax with alphabetical
+    tie-break; 'und' (undetermined) when no profile hits."""
+    toks = _raw_tokens(dialect, "text")
+    langs = sorted(LANG_PROFILES)
+    score_cols = ",\n       ".join(
+        "{n} AS s_{l}".format(
+            n=_len(
+                dialect,
+                _filter_arr(
+                    dialect, "toks",
+                    f"t -> {_contains(dialect, _arr_lit(dialect, LANG_PROFILES[l]), 't')}",
+                ),
+            ),
+            l=l,
+        )
+        for l in langs
+    )
+    # alphabetical CASE chain: >= gives ties to the earliest language
+    whens = "\n         ".join(
+        "WHEN {conds} THEN '{l}'".format(
+            conds=" AND ".join(f"s_{l} >= s_{o}" for o in langs if o != l) or "true",
+            l=l,
+        )
+        for l in langs
+    )
+    zero = " AND ".join(f"s_{l} = 0" for l in langs)
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+       {score_cols}
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN {zero} THEN 'und'
+         {whens}
+         ELSE 'und' END AS lang_pred
+FROM s
+""".strip()
+
+
+def quality_score_sql(dialect: str) -> str:
+    """Per-doc quality signals + composite score in [0,1]:
+    token count band, stopword ratio band, mean token length band,
+    punctuation density. The weights are fixed, documented constants —
+    the point is the *shape* (pure columnar scoring at scan time)."""
+    toks = _raw_tokens(dialect, "text")
+    stops = _arr_lit(dialect, ENGLISH_STOPWORDS)
+    n_toks = _len(dialect, "toks")
+    n_stop = _len(dialect, _filter_arr(dialect, "toks", f"t -> {_contains(dialect, stops, 't')}"))
+    n_punct = _len(dialect, _regex_all(dialect, "text", "[^a-zA-Z0-9\\s]"))
+    joined = "array_join(toks, '')" if dialect == "spark" else "array_to_string(toks, '')"
+    mean_len = f"CASE WHEN {n_toks} = 0 THEN 0.0 ELSE CAST(length({joined}) AS DOUBLE) / {n_toks} END"
+    return f"""
+WITH t AS (SELECT doc_id, text, n_chars, {toks} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST({n_toks} AS INT)                                   AS n_toks,
+         round(CASE WHEN {n_toks} = 0 THEN 0.0
+               ELSE CAST({n_stop} AS DOUBLE) / {n_toks} END, 6)  AS stopword_ratio,
+         round(CAST({n_punct} AS DOUBLE)
+               / greatest(CAST(n_chars AS DOUBLE), 1.0), 6)      AS punct_ratio,
+         round({mean_len}, 6)                                    AS mean_tok_len
+  FROM t
+)
+SELECT doc_id, n_toks, stopword_ratio, punct_ratio, mean_tok_len,
+       round(
+         0.25 * (CASE WHEN n_toks BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.0 END)
+       + 0.25 * (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)
+       + 0.25 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+       + 0.25 * (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       , 6) AS quality
+FROM m
+""".strip()
+
+
+def token_count_sql(dialect: str) -> str:
+    """Whitespace token count + BPE-ish piece count + chars-per-token
+    estimate (the CharsPerToken budgeting idea from the reference's
+    adaptive retrieval, pkg/rag/adaptive_retriever.go:300-411)."""
+    ws = _len(dialect, _regex_all(dialect, "text", "\\S+"))
+    bpe = _len(dialect, _regex_all(dialect, "lower(text)", BPE_ISH_RE))
+    return f"""
+SELECT doc_id,
+       CAST({ws} AS INT)  AS ws_tokens,
+       CAST({bpe} AS INT) AS bpe_tokens,
+       round(CASE WHEN {bpe} = 0 THEN 0.0
+             ELSE CAST(n_chars AS DOUBLE) / {bpe} END, 6) AS chars_per_token
+FROM documents
+""".strip()
+
+
+def fingerprint_sql(dialect: str) -> str:
+    """Deterministic document fingerprint: polynomial rolling hash over
+    the token hash sequence, mod 2^31-1 (order-sensitive, unlike the
+    SimHash set fingerprint in operators/dedup.py)."""
+    from kektordb_spark.operators.dedup import _hex_to_int
+
+    toks = _raw_tokens(dialect, "text")
+    h = _hex_to_int(dialect, "md5(t)")
+    if dialect == "spark":
+        hashes = f"transform(toks, t -> {h})"
+        fold = f"aggregate({hashes}, CAST(0 AS BIGINT), (s, x) -> (s * 31 + x) % 2147483647)"
+    else:
+        hashes = f"list_transform(toks, t -> {h})"
+        fold = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), {hashes}), "
+            f"(s, x) -> (s * 31 + x) % 2147483647)"
+        )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+SELECT doc_id, {fold} AS fingerprint
+FROM t
+""".strip()

@@ -1,0 +1,340 @@
+"""Large-scale training-data deduplication operators.
+
+The reference deduplicates memories semantically (redundant-cluster
+consolidation, gardener.go:781-937: k-NN + score>=0.90 greedy grouping);
+a 100 TB training-data pipeline additionally needs the classic
+document-dedup family. All five variants below are implemented as
+dialect-parameterized SQL (Spark SQL / DuckDB SQL produce bit-identical
+results) so every operator has a first-class oracle:
+
+  * exact           — hash-groupBy on the normalized text (one shuffle,
+                      map-side combined).
+  * minhash_lsh     — word-3-gram shingles → K minhashes → B bands →
+                      bucket equi-join → true-Jaccard verification.
+                      The cross product never materializes: candidate
+                      generation is an equi-join on (band, key), the
+                      scale path for 100 TB corpora.
+  * simhash         — 32-bit simhash fingerprint per doc; near-dup pairs
+                      via 4x8-bit chunk pigeonhole blocking (hamming<=T
+                      implies some chunk equal when T<4) + popcount.
+  * ngram_jaccard   — char-4-gram Jaccard within cheap blocks
+                      (length bucket); the blocked-pairwise pattern.
+  * embedding_topk  — most-similar embedding pairs by exact cosine
+                      (brute force here; the LSH path in operators/knn.py
+                      is the scale variant of the same candidate step).
+
+Portable hash primitive: md5 (identical lowercase hex in Spark and
+DuckDB) with the first 8 hex chars parsed to BIGINT — Spark
+``conv(x,16,10)``, DuckDB ``CAST('0x'||x AS BIGINT)``.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Dialect helpers
+# ---------------------------------------------------------------------------
+
+
+def _hex_to_int(dialect: str, hexpr: str) -> str:
+    """First 8 hex chars of a hex string -> BIGINT in [0, 2^32)."""
+    if dialect == "spark":
+        return f"CAST(conv(substr({hexpr}, 1, 8), 16, 10) AS BIGINT)"
+    return f"CAST(concat('0x', substr({hexpr}, 1, 8)) AS BIGINT)"
+
+
+def _unnest(dialect: str, arr: str, alias: str) -> str:
+    if dialect == "spark":
+        return f"LATERAL VIEW explode({arr}) _t AS {alias}"
+    return f", unnest({arr}) AS _t({alias})"
+
+
+def _distinct_arr(dialect: str, arr: str) -> str:
+    fn = "array_distinct" if dialect == "spark" else "list_distinct"
+    return f"{fn}({arr})"
+
+
+def _len(dialect: str, arr: str) -> str:
+    fn = "size" if dialect == "spark" else "len"
+    return f"{fn}({arr})"
+
+
+def _intersect(dialect: str, a: str, b: str) -> str:
+    fn = "array_intersect" if dialect == "spark" else "list_intersect"
+    return f"{fn}({a}, {b})"
+
+
+def _concat_arr(dialect: str, a: str, b: str) -> str:
+    fn = "concat" if dialect == "spark" else "list_concat"
+    return f"{fn}({a}, {b})"
+
+
+def _xor(dialect: str, a: str, b: str) -> str:
+    if dialect == "spark":
+        return f"CAST(({a}) ^ ({b}) AS BIGINT)"
+    return f"xor({a}, {b})"
+
+
+def _seq1(dialect: str, n: str) -> str:
+    """[1..n] as an array; n clamped to >= 1 (Spark sequence would count
+    DOWN for n<1, DuckDB range would be empty — clamp keeps them equal)."""
+    if dialect == "spark":
+        return f"sequence(1, greatest({n}, 1))"
+    return f"range(1, greatest({n}, 1) + 1)"
+
+
+def _elem(dialect: str, arr: str, i: str) -> str:
+    """1-based array element access."""
+    if dialect == "spark":
+        return f"element_at({arr}, {i})"
+    return f"{arr}[{i}]"
+
+
+def _transform(dialect: str, arr: str, lam: str) -> str:
+    fn = "transform" if dialect == "spark" else "list_transform"
+    return f"{fn}({arr}, {lam})"
+
+
+def word_shingles(dialect: str, toks: str, n: int = 3) -> str:
+    """Distinct word n-gram shingles of a token-array column."""
+    parts = ", ".join(_elem(dialect, toks, f"i + {j}") for j in range(n))
+    grams = _transform(
+        dialect,
+        _seq1(dialect, f"{_len(dialect, toks)} - {n - 1}"),
+        f"i -> concat_ws(' ', {parts})",
+    )
+    return _distinct_arr(dialect, grams)
+
+
+def char_ngrams(dialect: str, txt: str, n: int = 4) -> str:
+    """Distinct character n-grams of a string column."""
+    grams = _transform(
+        dialect,
+        _seq1(dialect, f"length({txt}) - {n - 1}"),
+        f"i -> substr({txt}, i, {n})",
+    )
+    return _distinct_arr(dialect, grams)
+
+
+def jaccard(dialect: str, a: str, b: str) -> str:
+    """Jaccard similarity of two set-like (pre-deduplicated) arrays."""
+    inter = _len(dialect, _intersect(dialect, a, b))
+    union = _len(dialect, _distinct_arr(dialect, _concat_arr(dialect, a, b)))
+    return f"CAST({inter} AS DOUBLE) / CAST({union} AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# D1: exact dedup (hash groupBy)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_sql(dialect: str) -> str:
+    """Exact dedup with keep-first semantics over a corpus that UNIONs in
+    shifted copies of every 10th doc (the driver corpus has no literal
+    byte-dups, so duplicates are injected deterministically — same rows
+    both engines). Output: one row per duplicated content hash with the
+    canonical (min) id and the sorted dropped ids.
+
+    At scale: a single hash-aggregate, map-side combined; the md5 is
+    computed in the scan projection. No row ever carries the full text
+    past the shuffle (hash + id only).
+    """
+    sort_ids = (
+        "array_join(transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')"
+        if dialect == "spark"
+        else "array_to_string(list_transform(list_sort(list(doc_id)), x -> CAST(x AS VARCHAR)), ',')"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+hashed AS (
+  SELECT doc_id, md5(lower(text)) AS text_hash FROM corpus
+)
+SELECT text_hash,
+       min(doc_id)               AS canonical_id,
+       CAST(count(*) AS INT)     AS n_copies,
+       {sort_ids}                AS member_ids
+FROM hashed
+GROUP BY text_hash
+HAVING count(*) > 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# D2: MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_sql(
+    dialect: str,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> str:
+    """MinHash signatures over word shingles, banded LSH candidate
+    generation, true-Jaccard verification.
+
+    Plan shape (scale story): shingle explode → groupBy(doc) computes all
+    K min-hashes in ONE aggregate pass; bands explode K/B keys per doc;
+    the candidate join is an equi-join on (band, key) — never a cross
+    product. Verification re-joins the (tiny) candidate set against the
+    shingle arrays.
+    """
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    hash_aggs = ",\n    ".join(
+        "min({h}) AS h{i}".format(
+            h=_hex_to_int(dialect, "md5(concat('{}:', s))".format(i)), i=i
+        )
+        for i in range(n_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS bkey FROM sig".format(
+            b=b, cols=", ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {word_shingles(dialect, 'toks', shingle_n)} AS shingles
+  FROM docs_tok
+),
+ex AS (
+  SELECT doc_id, s FROM sh {_unnest(dialect, 'shingles', 's')}
+),
+sig AS (
+  SELECT doc_id,
+    {hash_aggs}
+  FROM ex GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round({jaccard(dialect, 'sa.shingles', 'sb.shingles')}, 6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.id_a
+JOIN sh sb ON sb.doc_id = c.id_b
+WHERE {jaccard(dialect, 'sa.shingles', 'sb.shingles')} >= {threshold}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# D3: SimHash fingerprints + pigeonhole-blocked near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _simhash_fp_cte(dialect: str, n_bits: int = 32) -> str:
+    votes = ",\n    ".join(
+        f"sum(tf * (2.0 * (CAST(floor(h / {1 << i}) AS BIGINT) % 2) - 1.0)) AS v{i}"
+        for i in range(n_bits)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v{i} >= 0.0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(n_bits)
+    )
+    return f"""tok AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM docs_tok {_unnest(dialect, 'toks', 't')}
+  GROUP BY doc_id, t
+),
+hashed AS (
+  SELECT doc_id, tf, {_hex_to_int(dialect, 'md5(t)')} AS h FROM tok
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id, {fp} AS fingerprint FROM votes
+)"""
+
+
+def simhash_sql(dialect: str) -> str:
+    """Per-doc 32-bit SimHash fingerprint (tf-weighted bit votes).
+
+    One explode + two hash-aggregates; the 32 bit-votes are computed as
+    32 conditional sums in a single groupBy pass (no 32x row blowup)."""
+    return f"WITH {_simhash_fp_cte(dialect)}\nSELECT doc_id, fingerprint FROM fp".strip()
+
+
+def simhash_pairs_sql(dialect: str, max_hamming: int = 3, chunks: int = 4) -> str:
+    """Near-dup pairs with hamming(fp_a, fp_b) <= T via pigeonhole
+    blocking: with 4 chunks of 8 bits, hamming <= 3 implies at least one
+    chunk is identical, so candidates come from a chunk equi-join —
+    never a cross product (same pattern Google used for web dedup:
+    Manku et al., WWW'07)."""
+    chunk_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, fingerprint, {c} AS chunk_idx, "
+        f"CAST(floor(fingerprint / {1 << (8 * c)}) AS BIGINT) % 256 AS chunk_val FROM fp"
+        for c in range(chunks)
+    )
+    ham = f"bit_count({_xor(dialect, 'fp_a', 'fp_b')})"
+    return f"""
+WITH {_simhash_fp_cte(dialect)},
+chunks AS (
+{chunk_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.fingerprint AS fp_a,
+                  b.doc_id AS id_b, b.fingerprint AS fp_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST({ham} AS INT) AS hamming
+FROM cand
+WHERE {ham} <= {max_hamming}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# D4: blocked char-ngram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_sql(dialect: str, n: int = 4, threshold: float = 0.6) -> str:
+    """Char-4-gram Jaccard within length-bucket blocks (n_chars DIV 32).
+    Blocked-pairwise dedup: the quadratic comparison happens only inside
+    small blocks — block key is a pure projection so the join is an
+    equi-join. (MinHash D2 is the unblocked general path; blocking
+    trades recall for zero signature cost.)"""
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH g AS (
+  SELECT doc_id, n_chars {div} 32 AS blk, {char_ngrams(dialect, 'lower(text)', n)} AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round({jaccard(dialect, 'a.grams', 'b.grams')}, 6) AS jaccard
+FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE {jaccard(dialect, 'a.grams', 'b.grams')} >= {threshold}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# D5: embedding-cosine near-dup (exact top-k pairs)
+# ---------------------------------------------------------------------------
+
+def embedding_topk_pairs_sql(dialect: str, k: int = 20) -> str:
+    """Top-k most-cosine-similar embedding pairs, exact. The brute-force
+    candidate step is O(N^2) — correct baseline at fixture scale; at
+    100 TB the candidate step swaps to the LSH bucket join
+    (operators/knn.py lsh_bucketed_knn) with identical scoring/top-k.
+    TakeOrderedAndProject keeps the shuffle at k rows per partition."""
+    from kektordb_spark.tables import dot_sql
+
+    sim = f"({dot_sql(dialect, 'a.v', 'b.v')}) / (a.norm * b.norm)"
+    return f"""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {sim} AS sim
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 6) AS sim
+FROM p
+ORDER BY round(sim, 6) DESC, id_a, id_b
+LIMIT {k}
+""".strip()

@@ -82,24 +82,28 @@ def bfs(
         pairs = e.select(F.col("src").alias("from_n"), F.col("dst").alias("to_n")).unionAll(
             e.select(F.col("dst").alias("from_n"), F.col("src").alias("to_n"))
         )
-    visited = roots.select(F.col("node"), F.lit(0).alias("depth"))
-    frontier = visited
+    # Whole BFS as ONE declarative plan: level d = distinct successors
+    # of level d-1; min-depth = groupBy(node).min over the union of all
+    # levels. No driver-side actions (isEmpty/collect) between rounds —
+    # the bounded unroll (depth<=5) keeps lineage shallow, the per-level
+    # distinct bounds each frontier by |V| so there is no path explosion,
+    # and Catalyst/AQE schedules the whole traversal as one job. Each
+    # expansion joins edges on from_n — at scale, bucket/partition the
+    # edge table by src so these joins co-locate without re-shuffle.
+    levels = [roots.select(F.col("node"), F.lit(0).alias("depth"))]
+    frontier = levels[0]
     for d in range(1, max_depth + 1):
-        nxt = (
-            pairs.join(
-                F.broadcast(frontier.select(F.col("node").alias("from_n"))), "from_n"
-            )
+        frontier = (
+            pairs.join(frontier.select(F.col("node").alias("from_n")), "from_n")
             .select(F.col("to_n").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(d))
         )
-        nxt = nxt.localCheckpoint(eager=True)  # truncate lineage per round
-        if nxt.isEmpty():
-            break
-        visited = visited.unionAll(nxt)
-        frontier = nxt
-    return visited
+        levels.append(frontier)
+    visited = levels[0]
+    for lvl in levels[1:]:
+        visited = visited.unionAll(lvl)
+    return visited.groupBy("node").agg(F.min("depth").alias("depth"))
 
 
 def bfs_oracle_sql(

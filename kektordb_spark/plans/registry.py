@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 
 from kektordb_spark import filters as FL
 from kektordb_spark.functions import text as TX
+from kektordb_spark.functions import textquality as TQ
 from kektordb_spark.functions.decay import decay_sql
+from kektordb_spark.operators import dedup as DD
 from kektordb_spark.operators import fusion as FU
 from kektordb_spark.operators import graph as G
 from kektordb_spark.operators import knn as KNN
@@ -47,6 +49,20 @@ def register(name: str, oracle: str | None):
         _registry[name] = (fn, oracle)
         return fn
     return deco
+
+
+def register_sql(name: str, sql_fn, views: list[str], doc: str = "") -> None:
+    """Register a dialect-parameterized SQL operator: the Spark side runs
+    ``sql_fn('spark')`` verbatim, the oracle is ``sql_fn('duckdb')`` —
+    one source of truth for both engines."""
+
+    def q(spark: SparkSession, sf_dir: str, _fn=sql_fn) -> DataFrame:
+        load_tables(spark, sf_dir)
+        return spark.sql(_fn("spark"))
+
+    q.__doc__ = doc or sql_fn.__doc__
+    q.__name__ = name
+    register(name, with_oracle_ctes(sql_fn("duckdb"), views))(q)
 
 
 # --------------------------------------------------------------------------
@@ -361,6 +377,28 @@ def graph_degree_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps (A9 centrality-shift building block)."""
     load_tables(spark, sf_dir)
     return spark.sql(_DEGREE_TT_SQL)
+
+
+# --------------------------------------------------------------------------
+# Deduplication suite (training-data pipeline; gardener.go:781-937 is the
+# reference's semantic analog — redundant-cluster consolidation)
+# --------------------------------------------------------------------------
+
+register_sql("dedup_exact", DD.dedup_exact_sql, [])
+register_sql("dedup_minhash_lsh", DD.minhash_lsh_sql, ["docs_tok"])
+register_sql("dedup_simhash", DD.simhash_sql, ["docs_tok"])
+register_sql("dedup_simhash_pairs", DD.simhash_pairs_sql, ["docs_tok"])
+register_sql("dedup_ngram_jaccard", DD.ngram_jaccard_sql, [])
+register_sql("dedup_embedding_topk", DD.embedding_topk_pairs_sql, ["emb"])
+
+# --------------------------------------------------------------------------
+# Text analysis (training-data pipeline; extends §2.4 T6/T7)
+# --------------------------------------------------------------------------
+
+register_sql("text_lang_id", TQ.lang_id_sql, [])
+register_sql("text_quality_score", TQ.quality_score_sql, [])
+register_sql("text_token_count", TQ.token_count_sql, [])
+register_sql("text_fingerprint", TQ.fingerprint_sql, [])
 
 
 # --------------------------------------------------------------------------
