@@ -106,6 +106,224 @@ def bfs(
     return visited.groupBy("node").agg(F.min("depth").alias("depth"))
 
 
+def all_relations(
+    edges: DataFrame, node: str, at_time: int | None = None
+) -> DataFrame:
+    """G4 GetAllRelations (pkg/core/graph.go:303-347): all active
+    relations of a node grouped by type, both directions; neighbors
+    sorted for determinism. Two pruned scans (src=node / dst=node are
+    pushed-down point predicates) + one tiny groupBy."""
+    e = active_at(edges, at_time)
+    out = (
+        e.where(F.col("src") == node)
+        .groupBy(F.col("rel"))
+        .agg(F.array_join(F.array_sort(F.collect_list("dst")), ",").alias("neighbors"))
+        .withColumn("direction", F.lit("out"))
+    )
+    inn = (
+        e.where(F.col("dst") == node)
+        .groupBy(F.col("rel"))
+        .agg(F.array_join(F.array_sort(F.collect_list("src")), ",").alias("neighbors"))
+        .withColumn("direction", F.lit("in"))
+    )
+    return out.unionAll(inn).select("rel", "direction", "neighbors")
+
+
+def all_relations_oracle_sql(node: str, at_time: int | None) -> str:
+    tt = time_travel_pred_sql(at_time)
+    return f"""
+SELECT rel, 'out' AS direction,
+       array_to_string(list_sort(list(dst)), ',') AS neighbors
+FROM edges WHERE src = '{node}' AND {tt} GROUP BY rel
+UNION ALL
+SELECT rel, 'in' AS direction,
+       array_to_string(list_sort(list(src)), ',') AS neighbors
+FROM edges WHERE dst = '{node}' AND {tt} GROUP BY rel
+""".strip()
+
+
+def traverse(
+    edges: DataFrame,
+    roots: DataFrame,
+    path: list[str],
+    at_time: int | None = None,
+) -> DataFrame:
+    """G5 VTraverse (ops.go:594-692): dot-path N-hop traversal — e.g.
+    path ['in_order','placed_by'] returns every (root, n1, n2) chain
+    where root -in_order-> n1 -placed_by-> n2. Depth cap 10 like the
+    reference. One equi-join per path segment; the reference's nested
+    tree response is this relation grouped client-side.
+
+    Roots DataFrame must have a ``node`` column. Relation + time
+    predicates are pushed into each edge scan."""
+    path = path[:10]
+    cur = roots.select(F.col("node").alias("n0"))
+    for i, rel in enumerate(path, start=1):
+        hop = (
+            active_at(edges, at_time)
+            .where(F.col("rel") == rel)
+            .select(F.col("src").alias(f"n{i-1}"), F.col("dst").alias(f"n{i}"))
+        )
+        cur = cur.join(hop, f"n{i-1}")
+    return cur.select(*[f"n{i}" for i in range(len(path) + 1)])
+
+
+def traverse_oracle_sql(root_pred: str, path: list[str], at_time: int | None) -> str:
+    """Chain-of-joins oracle for traverse(); ``root_pred`` filters the
+    root nodes out of the edges' src domain (e.g. "src LIKE 'p\\_%'")."""
+    path = path[:10]
+    tt = time_travel_pred_sql(at_time)
+    joins = "\n".join(
+        f"JOIN edges e{i} ON e{i}.src = {'r.node' if i == 1 else f'e{i-1}.dst'} "
+        f"AND e{i}.rel = '{rel}' AND {tt.replace('created_at', f'e{i}.created_at').replace('deleted_at', f'e{i}.deleted_at')}"
+        for i, rel in enumerate(path, start=1)
+    )
+    cols = ", ".join(["r.node AS n0"] + [f"e{i}.dst AS n{i}" for i in range(1, len(path) + 1)])
+    return f"""
+WITH r AS (SELECT DISTINCT src AS node FROM edges WHERE {root_pred})
+SELECT {cols}
+FROM r
+{joins}
+""".strip()
+
+
+def find_path(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_depth: int = 4,
+    relations: list[str] | None = None,
+    at_time: int | None = None,
+) -> DataFrame:
+    """G9 FindPath (pkg/engine/pathfinding.go:16-148): bidirectional
+    BFS — forward from ``src``, backward from ``dst`` (over reversed
+    edges), meet in the middle. Returns every node on a shortest path:
+    (node, dist_from_src, dist_to_dst) where the sum equals the
+    shortest-path length. Empty result = no path within max_depth.
+
+    Two bounded BFS plans (each half the depth budget of a one-sided
+    search — the reference's reason for bidirectionality holds in the
+    join world too: frontier size grows with depth^branching, so two
+    half-depth expansions beat one full-depth one) + one broadcast-able
+    join on the meeting nodes."""
+    spark = edges.sparkSession
+    fwd = bfs(
+        edges, spark.createDataFrame([(src,)], "node string"),
+        max_depth=max_depth, relations=relations, direction="out", at_time=at_time,
+    ).withColumnRenamed("depth", "dist_from_src")
+    bwd = bfs(
+        edges, spark.createDataFrame([(dst,)], "node string"),
+        max_depth=max_depth, relations=relations, direction="in", at_time=at_time,
+    ).withColumnRenamed("depth", "dist_to_dst")
+    joined = fwd.join(bwd, "node").where(
+        F.col("dist_from_src") + F.col("dist_to_dst") <= max_depth
+    )
+    shortest = joined.agg(
+        F.min(F.col("dist_from_src") + F.col("dist_to_dst")).alias("plen")
+    )
+    return (
+        joined.crossJoin(F.broadcast(shortest))
+        .where(F.col("dist_from_src") + F.col("dist_to_dst") == F.col("plen"))
+        .select("node", "dist_from_src", "dist_to_dst")
+    )
+
+
+def find_path_oracle_sql(
+    src: str, dst: str, max_depth: int, at_time: int | None,
+    relations: list[str] | None = None,
+) -> str:
+    tt = time_travel_pred_sql(at_time)
+    rel_pred = (
+        "AND e.rel IN (" + ", ".join(f"'{r}'" for r in relations) + ")" if relations else ""
+    )
+    md = max(1, min(max_depth, 5))
+    return f"""
+WITH RECURSIVE fwd(node, d) AS (
+  SELECT '{src}' AS node, 0 AS d
+  UNION ALL
+  SELECT e.dst, f.d + 1 FROM fwd f JOIN edges e ON e.src = f.node
+  WHERE f.d < {md} AND {tt} {rel_pred}
+),
+bwd(node, d) AS (
+  SELECT '{dst}' AS node, 0 AS d
+  UNION ALL
+  SELECT e.src, b.d + 1 FROM bwd b JOIN edges e ON e.dst = b.node
+  WHERE b.d < {md} AND {tt} {rel_pred}
+),
+f2 AS (SELECT node, min(d) AS dist_from_src FROM fwd GROUP BY node),
+b2 AS (SELECT node, min(d) AS dist_to_dst FROM bwd GROUP BY node),
+j AS (
+  SELECT f2.node, f2.dist_from_src, b2.dist_to_dst
+  FROM f2 JOIN b2 USING (node)
+  WHERE f2.dist_from_src + b2.dist_to_dst <= {md}
+)
+SELECT node, dist_from_src, dist_to_dst
+FROM j
+WHERE dist_from_src + dist_to_dst = (SELECT min(dist_from_src + dist_to_dst) FROM j)
+""".strip()
+
+
+def extract_subgraph(
+    edges: DataFrame,
+    roots: DataFrame,
+    max_depth: int,
+    relations: list[str] | None = None,
+    at_time: int | None = None,
+) -> DataFrame:
+    """G8 VExtractSubgraph (pkg/engine/graph.go:296-386): BFS to depth
+    <=5 both directions over the given relations, then return the
+    induced edge set (active edges whose endpoints are both visited).
+    Semantic pruning (skip neighbors far from a guide vector) composes
+    as a pre-filter on the node set — see knn_graph_filtered in the
+    registry for the filter-then-search form.
+
+    The induced-edge step is two semi-joins against the (small) visited
+    set — broadcast-able; the edge table itself is scanned once."""
+    visited = bfs(
+        edges, roots, max_depth=max_depth,
+        relations=relations, direction="both", at_time=at_time,
+    ).select("node")
+    e = active_at(edges, at_time)
+    if relations:
+        e = e.where(F.col("rel").isin(relations))
+    return (
+        e.join(F.broadcast(visited.withColumnRenamed("node", "src")), "src", "left_semi")
+        .join(F.broadcast(visited.withColumnRenamed("node", "dst")), "dst", "left_semi")
+        .select("src", "dst", "rel", "weight")
+    )
+
+
+def extract_subgraph_oracle_sql(
+    roots: list[str], max_depth: int, at_time: int | None,
+    relations: list[str] | None = None,
+) -> str:
+    tt = time_travel_pred_sql(at_time)
+    rel_in = (
+        "AND e.rel IN (" + ", ".join(f"'{r}'" for r in relations) + ")" if relations else ""
+    )
+    rel_in_bare = rel_in.replace("e.rel", "rel")
+    md = max(1, min(max_depth, 5))
+    root_list = ", ".join(f"'{r}'" for r in roots)
+    return f"""
+WITH RECURSIVE reach(node, d) AS (
+  -- UNION (not UNION ALL): dedups (node, d) rows per level, which is
+  -- exactly per-level frontier dedup — without it an undirected
+  -- traversal explodes combinatorially.
+  SELECT unnest([{root_list}]) AS node, 0 AS d
+  UNION
+  SELECT CASE WHEN e.src = r.node THEN e.dst ELSE e.src END, r.d + 1
+  FROM reach r JOIN edges e ON (e.src = r.node OR e.dst = r.node)
+  WHERE r.d < {md} AND {tt} {rel_in}
+),
+visited AS (SELECT DISTINCT node FROM reach)
+SELECT src, dst, rel, weight
+FROM edges
+WHERE {tt} {rel_in_bare}
+  AND src IN (SELECT node FROM visited)
+  AND dst IN (SELECT node FROM visited)
+""".strip()
+
+
 def bfs_oracle_sql(
     roots: list[str],
     max_depth: int,

@@ -24,7 +24,9 @@ from kektordb_spark.functions import text as TX
 from kektordb_spark.functions import textquality as TQ
 from kektordb_spark.functions.decay import decay_sql
 from kektordb_spark.operators import dedup as DD
+from kektordb_spark.operators import epistemic as EP
 from kektordb_spark.operators import fusion as FU
+from kektordb_spark.operators import gardener as GD
 from kektordb_spark.operators import graph as G
 from kektordb_spark.operators import knn as KNN
 from kektordb_spark.tables import dot_sql, load_tables, with_oracle_ctes
@@ -34,6 +36,7 @@ from kektordb_spark.tables import dot_sql, load_tables, with_oracle_ctes
 # parameter, never wall clock).
 # --------------------------------------------------------------------------
 QUERY_TIME = 1705276800  # 2024-01-15 UTC — mid-events for decay coverage
+T_EVENTS_LATE = 1706486400  # 2024-01-29 UTC — near the end of the events span
 T_EARLY = 833587200      # 1996-06-01 UTC — graph time travel "early"
 T_MID = 896659200        # 1998-06-01 UTC — graph time travel "mid"
 BM25_QUERY = ["merge", "sort", "window"]
@@ -379,6 +382,60 @@ def graph_degree_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_DEGREE_TT_SQL)
 
 
+@register("graph_all_relations",
+          with_oracle_ctes(G.all_relations_oracle_sql("o_1", T_MID), ["edges"]))
+def graph_all_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 GetAllRelations: active rels of one node grouped by type and
+    direction at t=1998-06-01 (pkg/core/graph.go:303-347)."""
+    load_tables(spark, sf_dir)
+    return G.all_relations(spark.table("edges"), "o_1", at_time=T_MID)
+
+
+_TRAVERSE_ROOTS = ["p_1", "p_2", "p_3", "p_4", "p_5"]
+_TRAVERSE_PATH = ["in_order", "placed_by"]
+
+
+@register("graph_traverse_2hop",
+          with_oracle_ctes(
+              G.traverse_oracle_sql(
+                  "src IN (" + ", ".join(f"'{r}'" for r in _TRAVERSE_ROOTS) + ")",
+                  _TRAVERSE_PATH, T_MID),
+              ["edges"]))
+def graph_traverse_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 VTraverse dot-path: part -in_order-> order -placed_by->
+    customer chains (ops.go:594-692)."""
+    load_tables(spark, sf_dir)
+    roots = spark.createDataFrame([(r,) for r in _TRAVERSE_ROOTS], "node string")
+    return G.traverse(spark.table("edges"), roots, _TRAVERSE_PATH, at_time=T_MID)
+
+
+@register("graph_find_path",
+          with_oracle_ctes(G.find_path_oracle_sql("p_1", "r_1", 4, T_MID), ["edges"]))
+def graph_find_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 FindPath: bidirectional BFS part->...->region, maxDepth 4
+    (pkg/engine/pathfinding.go:16-148); rows = nodes on shortest paths."""
+    load_tables(spark, sf_dir)
+    return G.find_path(spark.table("edges"), "p_1", "r_1", max_depth=4, at_time=T_MID)
+
+
+_SUBGRAPH_RELS = ["placed_by", "from_nation"]
+
+
+@register("graph_subgraph",
+          with_oracle_ctes(
+              G.extract_subgraph_oracle_sql(["c_1"], 2, T_MID, _SUBGRAPH_RELS),
+              ["edges"]))
+def graph_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 VExtractSubgraph: undirected BFS depth 2 from one customer
+    over two relations, induced active edge set (graph.go:296-386)."""
+    load_tables(spark, sf_dir)
+    roots = spark.createDataFrame([("c_1",)], "node string")
+    return G.extract_subgraph(
+        spark.table("edges"), roots, max_depth=2,
+        relations=_SUBGRAPH_RELS, at_time=T_MID,
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication suite (training-data pipeline; gardener.go:781-937 is the
 # reference's semantic analog — redundant-cluster consolidation)
@@ -390,6 +447,51 @@ register_sql("dedup_simhash", DD.simhash_sql, ["docs_tok"])
 register_sql("dedup_simhash_pairs", DD.simhash_pairs_sql, ["docs_tok"])
 register_sql("dedup_ngram_jaccard", DD.ngram_jaccard_sql, [])
 register_sql("dedup_embedding_topk", DD.embedding_topk_pairs_sql, ["emb"])
+
+# --------------------------------------------------------------------------
+# Epistemic pillars A1-A4 (pkg/engine/epistemic_types.go, epistemic.go)
+# --------------------------------------------------------------------------
+
+register_sql("epistemic_consensus", EP.consensus_sql, ["emb"])
+register_sql("epistemic_stability", EP.stability_sql, ["mem"])
+register_sql(
+    "epistemic_friction",
+    lambda d: EP.friction_sql(d, at_time=T_MID),
+    ["edges"],
+    doc=EP.friction_sql.__doc__,
+)
+register_sql("epistemic_belief_state", EP.belief_state_sql, ["emb", "mem", "edges"])
+
+# --------------------------------------------------------------------------
+# Gardener detectors A7-A11 + compiler A16 (gardener.go, pkg/compiler)
+# --------------------------------------------------------------------------
+
+register_sql(
+    "gardener_importance_shifts",
+    lambda d: GD.importance_shifts_sql(d, now=T_MID),
+    ["edges"],
+    doc=GD.importance_shifts_sql.__doc__,
+)
+register_sql(
+    "gardener_sentiment_shifts",
+    lambda d: GD.sentiment_shifts_sql(d, now=T_EVENTS_LATE),
+    ["docs_tok"],
+    doc=GD.sentiment_shifts_sql.__doc__,
+)
+register_sql(
+    "gardener_centrality_shifts",
+    lambda d: GD.centrality_shifts_sql(d, now=T_MID, past=T_EARLY),
+    ["edges"],
+    doc=GD.centrality_shifts_sql.__doc__,
+)
+register_sql(
+    "gardener_forgetting",
+    lambda d: GD.forgetting_sql(d, now=T_MID),
+    ["edges"],
+    doc=GD.forgetting_sql.__doc__,
+)
+register_sql("gardener_repeated_failures", GD.repeated_failures_sql, [])
+register_sql("compiler_computed_fields", GD.computed_fields_sql, [])
 
 # --------------------------------------------------------------------------
 # Text analysis (training-data pipeline; extends §2.4 T6/T7)
