@@ -1,0 +1,353 @@
+"""Engine facade: the reference's mutation/API surface as DataFrame
+transforms (SURVEY.md §2.1 S1-S9/S12, §2.5 H7-H8, §2.6 G1-G2/G13).
+
+The reference mutates in-RAM structs under sharded locks; the Spark
+shape is MERGE-semantics expressed as pure DataFrame functions
+(old ⟕ changes → coalesce), so the same code runs against Delta MERGE
+at scale — every function here is the read-side of exactly one MERGE
+statement and touches each table once.
+
+State model: an :class:`Index` holds the ``vectors`` and ``edges``
+DataFrames plus per-index config (metric, precision, decay settings —
+reference VCreate, ops.go:131-209). Mutations return NEW Index objects
+(immutable-snapshot semantics, which is also what a Delta commit is).
+All timestamps are caller-supplied (``now``) — never wall clock — so
+tests are deterministic (FIXTURES.md rule).
+
+Vectors schema: id string, v array<double>, norm double,
+  created_at bigint, last_accessed bigint, access_count int,
+  pinned boolean, historical boolean, memory_layer string,
+  decay_model string, deleted boolean, meta map<string,string>.
+Edges schema: src, dst, rel string, weight double,
+  created_at bigint, deleted_at bigint (0 = active).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VECTOR_SCHEMA = T.StructType([
+    T.StructField("id", T.StringType()),
+    T.StructField("v", T.ArrayType(T.DoubleType())),
+    T.StructField("norm", T.DoubleType()),
+    T.StructField("created_at", T.LongType()),
+    T.StructField("last_accessed", T.LongType()),
+    T.StructField("access_count", T.IntegerType()),
+    T.StructField("pinned", T.BooleanType()),
+    T.StructField("historical", T.BooleanType()),
+    T.StructField("memory_layer", T.StringType()),
+    T.StructField("decay_model", T.StringType()),
+    T.StructField("deleted", T.BooleanType()),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+])
+
+EDGE_SCHEMA = T.StructType([
+    T.StructField("src", T.StringType()),
+    T.StructField("dst", T.StringType()),
+    T.StructField("rel", T.StringType()),
+    T.StructField("weight", T.DoubleType()),
+    T.StructField("created_at", T.LongType()),
+    T.StructField("deleted_at", T.LongType()),
+])
+
+KV_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("value", T.BinaryType()),
+])
+
+_NORM = "sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (s, p) -> s + p))"
+
+
+@dataclass(frozen=True)
+class Index:
+    """One vector index (reference hnsw.Index + config,
+    hnsw_index.go:42-120) as immutable DataFrame snapshots."""
+
+    spark: SparkSession
+    name: str
+    metric: str = "cosine"
+    precision: str = "float32"
+    vectors: DataFrame = None
+    edges: DataFrame = None
+    auto_links: tuple = ()  # (metadata_field, relation_type) pairs
+
+    def __post_init__(self):
+        if self.vectors is None:
+            object.__setattr__(
+                self, "vectors", self.spark.createDataFrame([], VECTOR_SCHEMA)
+            )
+        if self.edges is None:
+            object.__setattr__(
+                self, "edges", self.spark.createDataFrame([], EDGE_SCHEMA)
+            )
+
+
+def vcreate(
+    spark: SparkSession, name: str, metric: str = "cosine",
+    precision: str = "float32", auto_links: tuple = (),
+) -> Index:
+    """S1 VCreate (ops.go:131-209): catalog entry + empty tables."""
+    if metric not in ("cosine", "euclidean", "dot"):
+        raise ValueError(f"unknown metric {metric}")
+    return Index(spark=spark, name=name, metric=metric,
+                 precision=precision, auto_links=tuple(auto_links))
+
+
+def _rows_to_df(spark: SparkSession, items: list[dict], now: int) -> DataFrame:
+    rows = []
+    for it in items:
+        meta = {str(k): str(v) for k, v in (it.get("meta") or {}).items()}
+        v = [float(x) for x in it["vector"]] if it.get("vector") else None
+        rows.append((
+            it["id"], v, None,
+            int(it.get("created_at", now)), it.get("last_accessed"),
+            int(it.get("access_count", 0)), bool(it.get("pinned", False)),
+            bool(it.get("historical", False)),
+            it.get("memory_layer", "episodic"), it.get("decay_model"),
+            False, meta,
+        ))
+    df = spark.createDataFrame(rows, VECTOR_SCHEMA)
+    return df.withColumn(
+        "norm", F.when(F.col("v").isNotNull(), F.expr(_NORM)).otherwise(F.lit(None))
+    )
+
+
+def upsert(base: DataFrame, updates: DataFrame, key: str = "id") -> DataFrame:
+    """MERGE-shaped upsert: latest row wins per key. One full-outer
+    join; at scale this is Delta ``MERGE INTO`` on the same condition."""
+    cols = base.columns
+    u = updates.select(*cols)
+    joined = base.alias("b").join(u.alias("u"), key, "full_outer")
+    picked = [
+        F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c) if c != key
+        else F.col(key)
+        for c in cols
+    ]
+    return joined.select(*picked)
+
+
+def vadd_batch(index: Index, items: list[dict], now: int) -> Index:
+    """S2/S3 VAdd/VAddBatch (ops.go:268-395, 1384-1501): upsert rows,
+    inject system metadata defaults, derive auto-link edges (G7,
+    ops.go:1699-1735)."""
+    new = _rows_to_df(index.spark, items, now)
+    vectors = upsert(index.vectors, new)
+    edges = index.edges
+    for fld, rel in index.auto_links:
+        derived = (
+            new.where(F.col("meta").getItem(fld).isNotNull())
+            .select(
+                F.col("id").alias("src"),
+                F.col("meta").getItem(fld).alias("dst"),
+                F.lit(rel).alias("rel"),
+                F.lit(1.0).alias("weight"),
+                F.lit(now).cast("long").alias("created_at"),
+                F.lit(0).cast("long").alias("deleted_at"),
+            )
+        )
+        edges = edges.unionByName(derived)
+    return replace(index, vectors=vectors, edges=edges)
+
+
+def vget(index: Index, ids: list[str]) -> DataFrame:
+    """S6 VGet/VGetMany: point lookups (pushed-down IN filter)."""
+    return index.vectors.where(
+        F.col("id").isin(ids) & ~F.col("deleted")
+    )
+
+
+def vdelete(index: Index, ids: list[str], now: int) -> Index:
+    """S5 VDelete + G11 cascade (ops.go:401-489): soft-delete rows and
+    every touching edge, one pass over each table."""
+    vectors = index.vectors.withColumn(
+        "deleted",
+        F.when(F.col("id").isin(ids), F.lit(True)).otherwise(F.col("deleted")),
+    )
+    touch = F.col("src").isin(ids) | F.col("dst").isin(ids)
+    edges = index.edges.withColumn(
+        "deleted_at",
+        F.when(touch & (F.col("deleted_at") == 0), F.lit(now).cast("long"))
+        .otherwise(F.col("deleted_at")),
+    )
+    return replace(index, vectors=vectors, edges=edges)
+
+
+def vreinforce(index: Index, ids: list[str], now: int) -> Index:
+    """H7 VReinforce (ops.go:697-781): last_accessed=now,
+    access_count+=1 for the given ids."""
+    hit = F.col("id").isin(ids)
+    vectors = (
+        index.vectors
+        .withColumn("last_accessed",
+                    F.when(hit, F.lit(now).cast("long")).otherwise(F.col("last_accessed")))
+        .withColumn("access_count",
+                    F.when(hit, F.col("access_count") + 1).otherwise(F.col("access_count")))
+    )
+    return replace(index, vectors=vectors)
+
+
+def _merge_meta(col, props: dict):
+    """meta-map merge, new props win (read side of an UPDATE SET
+    meta=...)."""
+    if not props:
+        return col
+    lit_map = F.create_map(
+        *[F.lit(x) for kv in props.items() for x in (str(kv[0]), str(kv[1]))]
+    )
+    keys = [str(k) for k in props]
+    return F.map_concat(F.map_filter(col, lambda k, _: ~k.isin(*keys)), lit_map)
+
+
+def vset_metadata(index: Index, id_: str, props: dict, now: int) -> Index:
+    """H8 VSetMetadata (ops.go:785-836): read-modify-write merge of the
+    meta map (map_concat right-biased — new props win)."""
+    vectors = index.vectors.withColumn(
+        "meta",
+        F.when(F.col("id") == id_, _merge_meta(F.col("meta"), props))
+        .otherwise(F.col("meta")),
+    )
+    return replace(index, vectors=vectors)
+
+
+def vlink(
+    index: Index, src: str, dst: str, rel: str, now: int,
+    weight: float = 1.0, inverse: str | None = None,
+) -> Index:
+    """G1 VLink (core/graph.go:112-182) with edge VERSIONING: identical
+    active edge → no-op; changed weight → soft-close old row + append
+    new; absent → append. Optional inverse edge same rules.
+
+    The whole rule is one anti-join + one conditional update — the
+    read-side of a MERGE WHEN MATCHED AND <changed> THEN UPDATE+INSERT."""
+    def one(edges: DataFrame, s: str, d: str, r: str) -> DataFrame:
+        active = (F.col("src") == s) & (F.col("dst") == d) & \
+                 (F.col("rel") == r) & (F.col("deleted_at") == 0)
+        existing = edges.where(active).select("weight").collect()
+        if existing and abs(existing[0]["weight"] - weight) < 1e-12:
+            return edges  # idempotent (graph.go:140-155)
+        if existing:
+            edges = edges.withColumn(
+                "deleted_at",
+                F.when(active, F.lit(now).cast("long")).otherwise(F.col("deleted_at")),
+            )
+        new = index.spark.createDataFrame(
+            [(s, d, r, float(weight), now, 0)], EDGE_SCHEMA
+        )
+        return edges.unionByName(new)
+
+    edges = one(index.edges, src, dst, rel)
+    if inverse:
+        edges = one(edges, dst, src, inverse)
+    return replace(index, edges=edges)
+
+
+def vunlink(
+    index: Index, src: str, dst: str, rel: str, now: int, hard: bool = False,
+) -> Index:
+    """G2 VUnlink (core/graph.go:187-240): soft (default) or hard."""
+    match = (F.col("src") == src) & (F.col("dst") == dst) & (F.col("rel") == rel)
+    if hard:
+        edges = index.edges.where(~match)
+    else:
+        edges = index.edges.withColumn(
+            "deleted_at",
+            F.when(match & (F.col("deleted_at") == 0), F.lit(now).cast("long"))
+            .otherwise(F.col("deleted_at")),
+        )
+    return replace(index, edges=edges)
+
+
+def graph_vacuum(index: Index, now: int, retention: int) -> Index:
+    """G12 (core/graph.go:367-416): purge edges soft-deleted longer
+    than ``retention`` seconds ago — one pushed-down filter (Delta:
+    DELETE WHERE + VACUUM)."""
+    edges = index.edges.where(
+        (F.col("deleted_at") == 0) | (F.col("deleted_at") >= now - retention)
+    )
+    return replace(index, edges=edges)
+
+
+def vevolve(
+    index: Index, old_id: str, new_id: str, new_props: dict, now: int,
+    reason: str = "",
+) -> Index:
+    """G13 VEvolve "semantic git" (ops.go:842-893): new node with merged
+    metadata; incoming edges copied to the new node; superseded_by /
+    evolves_from links; old node marked historical."""
+    old = index.vectors.where(F.col("id") == old_id)
+    new_row = (
+        old.withColumn("id", F.lit(new_id))
+        .withColumn("meta", _merge_meta(F.col("meta"), new_props))
+        .withColumn("created_at", F.lit(now).cast("long"))
+        .withColumn("historical", F.lit(False))
+    )
+    vectors = upsert(
+        index.vectors.withColumn(
+            "historical",
+            F.when(F.col("id") == old_id, F.lit(True)).otherwise(F.col("historical")),
+        ),
+        new_row,
+    )
+    # copy incoming edges onto the new node + add the evolution links
+    copied = (
+        index.edges.where((F.col("dst") == old_id) & (F.col("deleted_at") == 0))
+        .withColumn("dst", F.lit(new_id))
+    )
+    links = index.spark.createDataFrame(
+        [
+            (old_id, new_id, "superseded_by", 1.0, now, 0),
+            (new_id, old_id, "evolves_from", 1.0, now, 0),
+        ],
+        EDGE_SCHEMA,
+    )
+    edges = index.edges.unionByName(copied).unionByName(links)
+    return replace(index, vectors=vectors, edges=edges)
+
+
+def vcompress_int8(index: Index, sample_limit: int = 25000) -> DataFrame:
+    """S12 VCompress to int8 (core.go:1095-1228; quantizer.go:49-120):
+    absmax learned via approximate quantile over a bounded sample
+    (percentile_approx ≈ the reference's stride-sampled quantile),
+    then symmetric scalar quantization. Returns (id, q array<tinyint>,
+    scale) — a column rewrite, single scan + tiny agg."""
+    flat = index.vectors.where(~F.col("deleted")).select(
+        F.explode("v").alias("x")
+    ).limit(sample_limit * 64)
+    absmax = flat.agg(
+        F.percentile_approx(F.abs(F.col("x")), 0.999).alias("am")
+    ).collect()[0]["am"]
+    absmax = float(absmax) if absmax else 1.0
+    q = F.expr(
+        f"transform(v, x -> CAST(greatest(-127.0, least(127.0, "
+        f"round(x * 127.0 / {absmax}, 0))) AS TINYINT))"
+    )
+    return index.vectors.where(~F.col("deleted")).select(
+        "id", q.alias("q"), F.lit(absmax / 127.0).alias("scale")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KV store (S8)
+# ---------------------------------------------------------------------------
+
+def kv_set(spark: SparkSession, kv: DataFrame, key: str, value: bytes) -> DataFrame:
+    new = spark.createDataFrame([(key, bytearray(value))], KV_SCHEMA)
+    return kv.where(F.col("key") != key).unionByName(new)
+
+
+def kv_get(kv: DataFrame, key: str) -> bytes | None:
+    rows = kv.where(F.col("key") == key).collect()
+    return bytes(rows[0]["value"]) if rows else None
+
+
+def kv_delete(kv: DataFrame, key: str) -> DataFrame:
+    return kv.where(F.col("key") != key)
+
+
+def export_parquet(index: Index, path: str) -> None:
+    """S9 Export: stream the index out (df.write — the natural sink)."""
+    index.vectors.where(~F.col("deleted")).write.mode("overwrite").parquet(path)

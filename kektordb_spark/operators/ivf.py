@@ -1,0 +1,125 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The scale path for similarity search the reference serves with HNSW
+(hnsw_index.go:327-452): online graph search doesn't distribute, but
+IVF does — a coarse quantizer (k-means centroids) partitions the
+corpus into nlist cells; a query probes only its nprobe nearest cells,
+cutting the scan by ~nlist/nprobe while keeping recall high.
+
+Spark-native design:
+  * TRAIN: Lloyd's k-means, each iteration = one broadcast-joined
+    assignment (argmin over nlist centroids — nlist rows, always
+    broadcast-able) + one elementwise-mean recompute (posexplode +
+    groupBy(cluster, pos)). Deterministic: seeded by md5-ranked initial
+    centroids, fixed iteration count — so the WHOLE pipeline (train +
+    assign + probe + score) is expressible as one SQL text and has a
+    bit-exact DuckDB oracle (the unrolled CTE chain below).
+  * SEARCH: query → nprobe nearest centroids → candidates = vectors in
+    those cells (equi-join on cell id — the inverted file) → exact
+    cosine top-k on the pruned set.
+
+At 100 TB: the corpus is written partitioned/bucketed BY cell id, so
+probing nprobe cells is partition pruning, not a shuffle; assignment is
+a map-only stage (centroids broadcast); recall tested against the
+exact-kNN oracle in tests/test_ann_recall.py (the reference checks
+recall the same way — clients/python/stress_test_recall.py).
+"""
+
+from __future__ import annotations
+
+from kektordb_spark.tables import dot_sql, l2sq_sql
+
+
+def _mean_cte(dialect: str, src: str, out: str, cid: str = "cid") -> str:
+    """Elementwise mean of vector column v in ``src`` grouped by
+    ``cid`` -> CTEs producing ``out(cid, v)``."""
+    if dialect == "spark":
+        ex = (f"SELECT {cid}, pos, x FROM {src} "
+              "LATERAL VIEW posexplode(v) t AS pos, x")
+        collect = "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+    else:
+        ex = (f"SELECT {cid}, unnest(range(0, len(v))) AS pos, unnest(v) AS x "
+              f"FROM {src}")
+        collect = "list(m ORDER BY pos)"
+    # round(avg, 12): avg() reduction order is engine/partitioning
+    # dependent at the last ulp; 12-dp rounding re-synchronizes the
+    # centroids so assignments stay deterministic everywhere.
+    return f"""{out}_ex AS ({ex}),
+{out}_m AS (SELECT {cid}, pos, round(avg(x), 12) AS m FROM {out}_ex GROUP BY {cid}, pos),
+{out} AS (SELECT {cid}, {collect} AS v FROM {out}_m GROUP BY {cid})"""
+
+
+def _assign_cte(dialect: str, cents: str, out: str) -> str:
+    """Assign every emb vector to its nearest centroid (squared L2,
+    ties broken by centroid id) -> ``out(vec_id, v, norm, cid)``."""
+    d = l2sq_sql(dialect, "e.v", "c.v")
+    return f"""{out}_d AS (
+  SELECT e.vec_id, e.v, e.norm, c.cid, {d} AS d2
+  FROM emb e CROSS JOIN {cents} c
+),
+{out} AS (
+  SELECT vec_id, v, norm, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+    FROM {out}_d
+  ) t WHERE rk = 1
+)"""
+
+
+def ivf_knn_sql(
+    dialect: str,
+    nlist: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    n_queries: int = 5,
+    k: int = 10,
+) -> str:
+    """Full IVF pipeline as one SQL text: train (md5-seeded init +
+    ``iters`` unrolled Lloyd iterations) → invert → probe → exact
+    cosine top-k on the probed cells. Queries are emb vec_id <
+    n_queries (searched against the whole corpus including themselves,
+    rank 1 = self — mirrors stress_test_recall.py's setup)."""
+    md5key = (
+        "md5(CAST(vec_id AS STRING))" if dialect == "spark"
+        else "md5(CAST(vec_id AS VARCHAR))"
+    )
+    parts = [f"""init AS (
+  SELECT row_number() OVER (ORDER BY {md5key}) - 1 AS cid, v
+  FROM emb ORDER BY {md5key} LIMIT {nlist}
+)"""]
+    cents = "init"
+    for i in range(iters):
+        parts.append(_assign_cte(dialect, cents, f"a{i}"))
+        parts.append(_mean_cte(dialect, f"a{i}", f"c{i}"))
+        cents = f"c{i}"
+    # final inverted file + probe
+    parts.append(_assign_cte(dialect, cents, "inv"))
+    qd = l2sq_sql(dialect, "q.v", "c.v")
+    dot = dot_sql(dialect, "q.v", "e.v")
+    parts.append(f"""probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid, {qd} AS d2,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {qd} ASC, c.cid ASC) AS rk
+    FROM emb q CROSS JOIN {cents} c
+    WHERE q.vec_id < {n_queries}
+  ) t WHERE rk <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, i.vec_id, i.v, i.norm
+  FROM probe p JOIN inv i ON i.cid = p.cid
+),
+scored AS (
+  SELECT e.query_id, e.vec_id AS neighbor_id,
+         1.0 - ({dot}) / (q.norm * e.norm) AS dist
+  FROM cand e
+  JOIN emb q ON q.vec_id = e.query_id
+)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       round(dist, 6) + 0.0 AS dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM scored
+) t WHERE rank <= {k}
+""".strip()

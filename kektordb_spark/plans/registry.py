@@ -28,6 +28,7 @@ from kektordb_spark.operators import epistemic as EP
 from kektordb_spark.operators import fusion as FU
 from kektordb_spark.operators import gardener as GD
 from kektordb_spark.operators import graph as G
+from kektordb_spark.operators import ivf as IVF
 from kektordb_spark.operators import knn as KNN
 from kektordb_spark.tables import dot_sql, load_tables, with_oracle_ctes
 
@@ -220,6 +221,42 @@ for _metric in ("cosine", "euclidean", "dot"):
             ["emb"],
         ),
     )(_knn_query(_metric))
+
+
+register_sql("ivf_knn", IVF.ivf_knn_sql, ["emb"])
+
+
+def _knn_decay_sql(dialect: str, k: int = 10, n_queries: int = 5) -> str:
+    """H6 VSearchWithScores (ops.go:1276-1379): plain k-NN → score =
+    1/(1+dist) → multiply by the decay factor of the matching memory row
+    ('ev_<id>') → re-rank. The decay join is a broadcast (k*Q rows)."""
+    dot = dot_sql(dialect, "q.v", "c.v")
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    decay = decay_sql(QUERY_TIME, created="m.created_at",
+                      last_accessed="m.last_accessed",
+                      access_count="m.access_count", layer="m.memory_layer",
+                      model="m.decay_model", pinned="m.pinned")
+    return f"""
+WITH d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         1.0 - ({dot}) / (q.norm * c.norm) AS dist
+  FROM emb q CROSS JOIN emb c
+  WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rk
+    FROM d
+  ) t WHERE rk <= {k}
+)
+SELECT t.query_id, t.neighbor_id,
+       round((1.0 / (1.0 + t.dist)) * coalesce({decay}, 1.0), 6) AS score
+FROM topk t
+LEFT JOIN mem m ON m.id = concat('ev_', CAST(t.neighbor_id AS {cast}))
+""".strip()
+
+
+register_sql("knn_with_decay", _knn_decay_sql, ["emb", "mem"])
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,89 @@
+"""Recall@k of the approximate ANN paths vs the exact-kNN oracle —
+the reference's quality-gate pattern (clients/python/
+stress_test_recall.py: approximate recall measured against numpy brute
+force, asserted above a floor)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kektordb_spark.operators import knn as KNN
+from kektordb_spark.tables import load_tables
+from tests.conftest import SF_SMALL
+
+K = 10
+N_QUERIES = 20
+
+
+def _exact_topk(spark):
+    emb = spark.table("emb")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    return KNN.knn_exact(
+        emb, q, k=K, metric="cosine", id_col="vec_id", vec_col="v",
+        norm_col="norm",
+    )
+
+
+def _recall(approx_rows, exact_rows):
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in approx_rows:
+        qid = r["query_id"]
+        nid = r["vec_id"] if "vec_id" in r.__fields__ else r["neighbor_id"]
+        approx.setdefault(qid, set()).add(nid)
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    return hits / (len(exact) * K)
+
+
+@pytest.fixture(scope="module")
+def exact(spark):
+    load_tables(spark, SF_SMALL)
+    return _exact_topk(spark).collect()
+
+
+def test_lsh_recall(spark, exact):
+    emb = spark.table("emb")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    # This synthetic corpus has weak neighbor structure (max pairwise
+    # cosine ~0.5), so the bucket-match probability per plane is only
+    # ~cos-angle/pi ~ 2/3 — few planes + more tables is the right
+    # operating point (real corpora with sim>0.9 near-dups tolerate
+    # many more planes).
+    approx = KNN.lsh_bucketed_knn(
+        emb, q, k=K, n_planes=4, n_tables=8, dim=64,
+        id_col="vec_id", vec_col="v", norm_col="norm",
+    ).collect()
+    r = _recall(approx, exact)
+    assert r >= 0.5, f"LSH recall@{K} too low: {r:.3f}"
+
+
+def test_ivf_recall(spark, exact):
+    from kektordb_spark.operators.ivf import ivf_knn_sql
+
+    approx = spark.sql(
+        ivf_knn_sql("spark", nlist=8, iters=2, nprobe=3, n_queries=N_QUERIES, k=K)
+    ).collect()
+    r = _recall(approx, exact)
+    assert r >= 0.5, f"IVF recall@{K} too low: {r:.3f}"
+
+
+def test_ivf_candidate_pruning(spark):
+    """The probe step must scan fewer candidates than the corpus —
+    the whole point of the inverted file."""
+    from kektordb_spark.operators.ivf import ivf_knn_sql
+
+    sql = ivf_knn_sql("spark", nlist=8, iters=2, nprobe=2, n_queries=5, k=K)
+    # count candidate rows by reusing the pipeline up to `cand`
+    body = sql[sql.index("WITH") : sql.rindex("SELECT query_id, neighbor_id")]
+    n_cand = spark.sql(body + "SELECT count(*) AS n FROM cand").collect()[0]["n"]
+    n_total = spark.table("emb").count() * 5
+    assert n_cand < 0.7 * n_total, f"probe scanned {n_cand}/{n_total} — no pruning"

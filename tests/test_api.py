@@ -1,0 +1,127 @@
+"""Engine-facade mutation semantics (SURVEY.md §2.1/§2.5/§2.6) —
+modeled on the reference's Go unit tests (engine_test.go, graph
+tests): deterministic timestamps, soft-delete visibility, edge
+versioning, evolution chains."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kektordb_spark import api
+
+T0, T1, T2 = 1_000, 2_000, 3_000
+
+
+@pytest.fixture()
+def idx(spark):
+    ix = api.vcreate(spark, "test", metric="cosine",
+                     auto_links=(("category", "belongs_to"),))
+    items = [
+        {"id": "a", "vector": [1.0, 0.0], "meta": {"category": "x", "s": "1"}},
+        {"id": "b", "vector": [0.0, 1.0], "meta": {"category": "x"}},
+        {"id": "c", "vector": [1.0, 1.0], "meta": {}},
+    ]
+    return api.vadd_batch(ix, items, now=T0)
+
+
+def test_vadd_upsert_and_autolink(idx):
+    assert idx.vectors.count() == 3
+    row = idx.vectors.where(F.col("id") == "a").collect()[0]
+    assert row["created_at"] == T0 and row["access_count"] == 0
+    assert abs(row["norm"] - 1.0) < 1e-12
+    # G7 auto-link edges derived from metadata
+    links = idx.edges.where(F.col("rel") == "belongs_to").collect()
+    assert {(r["src"], r["dst"]) for r in links} == {("a", "x"), ("b", "x")}
+    # upsert overwrites (S2 is an upsert, not append)
+    idx2 = api.vadd_batch(idx, [{"id": "a", "vector": [0.5, 0.5]}], now=T1)
+    assert idx2.vectors.count() == 3
+    assert idx2.vectors.where(F.col("id") == "a").collect()[0]["created_at"] == T1
+
+
+def test_vdelete_cascade(idx):
+    idx = api.vlink(idx, "a", "b", "rel1", now=T0)
+    idx2 = api.vdelete(idx, ["a"], now=T1)
+    assert api.vget(idx2, ["a"]).count() == 0  # F7 valid-rows predicate
+    assert api.vget(idx2, ["b"]).count() == 1
+    # cascade: every edge touching 'a' soft-deleted at T1 (G11)
+    dead = idx2.edges.where(
+        ((F.col("src") == "a") | (F.col("dst") == "a")) & (F.col("deleted_at") == 0)
+    )
+    assert dead.count() == 0
+
+
+def test_vreinforce(idx):
+    idx2 = api.vreinforce(api.vreinforce(idx, ["b"], now=T1), ["b"], now=T2)
+    row = idx2.vectors.where(F.col("id") == "b").collect()[0]
+    assert row["access_count"] == 2 and row["last_accessed"] == T2
+    other = idx2.vectors.where(F.col("id") == "a").collect()[0]
+    assert other["access_count"] == 0
+
+
+def test_vset_metadata_merge(idx):
+    idx2 = api.vset_metadata(idx, "a", {"s": "9", "t": "new"}, now=T1)
+    meta = idx2.vectors.where(F.col("id") == "a").collect()[0]["meta"]
+    assert meta["s"] == "9" and meta["t"] == "new" and meta["category"] == "x"
+
+
+def test_vlink_versioning(idx):
+    idx = api.vlink(idx, "a", "b", "knows", now=T0, weight=1.0)
+    # identical -> idempotent no-op (graph.go:140-155)
+    idx = api.vlink(idx, "a", "b", "knows", now=T1, weight=1.0)
+    rows = idx.edges.where(F.col("rel") == "knows").collect()
+    assert len(rows) == 1
+    # changed weight -> old row closed at T2, new row appended
+    idx = api.vlink(idx, "a", "b", "knows", now=T2, weight=2.0)
+    rows = sorted(
+        idx.edges.where(F.col("rel") == "knows").collect(),
+        key=lambda r: r["created_at"],
+    )
+    assert len(rows) == 2
+    assert rows[0]["deleted_at"] == T2 and rows[1]["weight"] == 2.0
+    # time travel sees the OLD weight at T1 (G3 semantics)
+    from kektordb_spark.operators.graph import active_at
+    at_t1 = active_at(idx.edges.where(F.col("rel") == "knows"), T1).collect()
+    assert len(at_t1) == 1 and at_t1[0]["weight"] == 1.0
+
+
+def test_vunlink_and_vacuum(idx):
+    idx = api.vlink(idx, "a", "c", "r", now=T0)
+    idx = api.vunlink(idx, "a", "c", "r", now=T1)
+    assert idx.edges.where((F.col("rel") == "r") & (F.col("deleted_at") == 0)).count() == 0
+    # vacuum purges edges dead longer than retention (G12)
+    idx2 = api.graph_vacuum(idx, now=T1 + 100, retention=50)
+    assert idx2.edges.where(F.col("rel") == "r").count() == 0
+
+
+def test_vevolve_chain(idx):
+    idx = api.vlink(idx, "b", "a", "cites", now=T0)
+    idx2 = api.vevolve(idx, "a", "a2", {"s": "2"}, now=T1)
+    old = idx2.vectors.where(F.col("id") == "a").collect()[0]
+    new = idx2.vectors.where(F.col("id") == "a2").collect()[0]
+    assert old["historical"] and not new["historical"]
+    assert new["meta"]["s"] == "2" and new["meta"]["category"] == "x"
+    rels = {(r["src"], r["dst"], r["rel"]) for r in idx2.edges.collect()}
+    assert ("a", "a2", "superseded_by") in rels
+    assert ("a2", "a", "evolves_from") in rels
+    assert ("b", "a2", "cites") in rels  # incoming edges copied
+
+
+def test_vcompress_int8(idx):
+    q = api.vcompress_int8(idx).collect()
+    assert len(q) == 3
+    by_id = {r["id"]: r for r in q}
+    # absmax ~= 1.0 -> a=[1,0] quantizes to [127, 0]
+    assert by_id["a"]["q"][0] == 127 and by_id["a"]["q"][1] == 0
+    scale = by_id["a"]["scale"]
+    assert abs(127 * scale - 1.0) < 0.02  # dequantized ~ original
+
+
+def test_kv_roundtrip(spark):
+    kv = spark.createDataFrame([], api.KV_SCHEMA)
+    kv = api.kv_set(spark, kv, "k1", b"hello")
+    kv = api.kv_set(spark, kv, "k1", b"world")  # overwrite
+    assert api.kv_get(kv, "k1") == b"world"
+    assert api.kv_get(kv, "nope") is None
+    kv = api.kv_delete(kv, "k1")
+    assert api.kv_get(kv, "k1") is None
