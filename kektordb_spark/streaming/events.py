@@ -1,0 +1,131 @@
+"""Structured-Streaming surface (SURVEY.md §2.9 ST1-ST5).
+
+The reference's streaming is an in-process EventBus (engine.go:141-143)
+feeding SSE + the Gardener's adaptive scheduler (gardener.go:485-634) —
+no windows, no watermarks, drop-on-slow-consumer. The Spark-native
+re-expression:
+
+  * ST1 event bus  → a change-log *table* consumed with readStream
+    (file source here; Kafka/Delta-CDF in production). Back-pressure
+    replaces drop-on-slow-consumer (maxFilesPerTrigger).
+  * ST2 gardener adaptive trigger → foreachBatch with the reference's
+    rule: think when >= N writes accumulated since the last cycle.
+  * ST3 vectorizer rescan → the file streaming source itself (new files
+    are discovered incrementally — exactly the mtime-rescan semantics).
+  * ST4/ST5 maintenance loops → scheduled batch jobs (api.graph_vacuum,
+    Delta OPTIMIZE); nothing streaming-shaped to port.
+
+Beyond parity, the engine exposes real event-time windowing (tumbling /
+sliding / session windows + watermarks) because an idiomatic Spark
+engine should: these run identically as batch expressions (tested
+against DuckDB-style groupings) and as streaming queries with
+``availableNow`` (tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """ST1/ST3: incremental file-source stream over a DIRECTORY of
+    event parquet files (the change-log landing zone; new files are
+    discovered per micro-batch — the reference's mtime rescan). The
+    TIMESTAMP(NANOS) column arrives as long (nanosAsLong) and is
+    rebuilt exactly like the batch path (tables.load_tables)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # bounded micro-batches
+        .parquet(events_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark.
+    Works on both a stream (incremental state) and a batch DataFrame
+    (plain groupBy) — the batch run is the oracle for the stream run."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("event_type"), F.col("n"), F.col("total_value"),
+        )
+    )
+
+
+def sliding_event_rate(
+    events: DataFrame, window: str = "12 hours", slide: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window event rate per type."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user session windows (gap-based) — the reference's session
+    summary input (A14, gardener.go:1563-1680) computed properly with
+    event-time sessionization instead of metadata convention."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id", "n_events", "total_value",
+        )
+    )
+
+
+class GardenerTrigger:
+    """ST2 adaptive scheduling (gardener.go:485-634): the Gardener
+    'thinks early' when >= ``min_writes`` events accumulated since the
+    last think cycle. foreachBatch-compatible: pass ``.process`` to
+    ``writeStream.foreachBatch``. Counting is a metadata-only agg per
+    micro-batch; the think callback runs driver-side like the
+    reference's cycle goroutine."""
+
+    def __init__(self, min_writes: int = 50, on_think=None):
+        self.min_writes = min_writes
+        self.on_think = on_think or (lambda n: None)
+        self.pending = 0
+        self.cycles: list[int] = []
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.pending += batch_df.count()
+        if self.pending >= self.min_writes:
+            self.cycles.append(self.pending)
+            self.on_think(self.pending)
+            self.pending = 0

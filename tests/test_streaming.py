@@ -1,0 +1,75 @@
+"""Streaming semantics (ST1-ST3) verified by running the SAME
+windowed aggregation as a stream (availableNow micro-batches into a
+memory sink) and as a batch query — the batch result is the oracle.
+Also covers the Gardener adaptive trigger and session windows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kektordb_spark.streaming import events as ST
+from kektordb_spark.tables import load_tables
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_tables(spark, SF_SMALL)["events"]
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File streaming sources read directories: stage the events
+    parquet into a landing-zone dir (what a change-log sink produces)."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_SMALL}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _run_stream(spark, df, name):
+    q = (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_counts_stream_equals_batch(spark, batch_events, events_dir):
+    stream = ST.read_event_stream(spark, events_dir)
+    got = _run_stream(spark, ST.windowed_event_counts(stream), "win_counts")
+    want = ST.windowed_event_counts(batch_events)
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 10
+
+
+def test_session_windows_stream_equals_batch(spark, batch_events, events_dir):
+    stream = ST.read_event_stream(spark, events_dir)
+    got = _run_stream(spark, ST.session_windows(stream, gap="30 minutes"), "sessions")
+    want = ST.session_windows(batch_events, gap="30 minutes")
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 50
+
+
+def test_sliding_rate_batch_shape(spark, batch_events):
+    out = ST.sliding_event_rate(batch_events).collect()
+    # every event lands in window_len/slide = 2 windows
+    assert sum(r["n"] for r in out) == 2 * batch_events.count()
+
+
+def test_gardener_trigger(spark, batch_events, events_dir):
+    trig = ST.GardenerTrigger(min_writes=50)
+    stream = ST.read_event_stream(spark, events_dir)
+    q = (
+        stream.writeStream.foreachBatch(trig.process)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # 1000 events at sf0.001 -> every accumulation >= 50 fired a cycle
+    assert trig.cycles and all(c >= 50 for c in trig.cycles)
+    assert sum(trig.cycles) + trig.pending == batch_events.count()
