@@ -29,12 +29,31 @@ HEADLINE = [
     "filter_dsl_neq_missing",
     "knn_cosine_top10",
     "knn_euclidean_top10",
+    "ivf_knn",
+    "knn_with_decay",
     "bm25_top10",
     "text_stats",
+    "text_lang_id",
+    "text_quality_score",
+    "text_fingerprint",
     "decay_scores",
     "hybrid_fusion_top15",
+    "hybrid_contains_filter",
+    "adaptive_retrieval",
     "graph_bfs_depth3",
     "graph_degree_timetravel",
+    "graph_find_path",
+    "graph_subgraph",
+    "graph_traverse_2hop",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_topk",
+    "epistemic_belief_state",
+    "gardener_consolidation_clusters",
+    "gardener_knowledge_gaps",
+    "compiler_computed_fields",
 ]
 
 

@@ -153,3 +153,24 @@ def filter_to_column(filter_str: str, schema: dict[str, str]) -> Column:
 def schema_of(df) -> dict[str, str]:
     """Extract a name->typeName schema dict from a DataFrame."""
     return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+_CONTAINS_RE = re.compile(
+    r"\s*(?:AND\s+)?CONTAINS\s*\(\s*([A-Za-z0-9_]+)\s*,\s*'([^']*)'\s*\)\s*(?:AND\s+)?",
+    re.IGNORECASE,
+)
+
+
+def parse_hybrid_filter(filter_str: str) -> tuple[str, str | None, str | None]:
+    """F5 (pkg/engine/search_utils.go:18-43): extract the
+    ``CONTAINS(field,'text')`` clause from a filter string; the text part
+    routes to the BM25 scorer, the remainder stays a boolean filter.
+    Returns (remaining_dsl, field, text) — field/text None when no
+    CONTAINS clause is present. Like the reference, only one CONTAINS
+    clause is supported and it must be AND-joined."""
+    m = _CONTAINS_RE.search(filter_str)
+    if not m:
+        return filter_str.strip(), None, None
+    rest = (filter_str[: m.start()] + " " + filter_str[m.end():]).strip()
+    rest = re.sub(r"^\s*AND\s+|\s+AND\s*$", "", rest, flags=re.IGNORECASE).strip()
+    return rest, m.group(1), m.group(2)

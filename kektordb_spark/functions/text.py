@@ -127,9 +127,17 @@ def bm25_scores(
     return matched.groupBy("doc").agg(F.sum(term_score).alias("score"))
 
 
-def bm25_oracle_sql(dialect: str, query_tokens: list[str], k: int) -> str:
+def bm25_oracle_sql(
+    dialect: str, query_tokens: list[str], k: int,
+    allow_pred: str | None = None,
+) -> str:
     """Self-contained BM25 SQL over the ``docs_tok`` view — identical
-    formula in Spark SQL and DuckDB SQL (used by the correctness gate)."""
+    formula in Spark SQL and DuckDB SQL (used by the correctness gate).
+
+    ``allow_pred`` (a predicate over docs_tok columns) post-filters the
+    scored set — the reference's hybrid text branch applies the boolean
+    allowlist AFTER corpus-wide scoring (ops.go:997-1026), so idf/avgdl
+    stay corpus-wide."""
     uniq = list(dict.fromkeys(query_tokens))
     if dialect == "spark":
         qt = "SELECT explode(array(" + ", ".join(f"'{t}'" for t in uniq) + ")) AS token"
@@ -169,6 +177,7 @@ scored AS (
 )
 SELECT doc, round(score, 6) AS score
 FROM scored
+{f"WHERE doc IN (SELECT doc_id FROM docs_tok WHERE {allow_pred})" if allow_pred else ""}
 ORDER BY round(score, 6) DESC, doc
 LIMIT {k}
 """.strip()

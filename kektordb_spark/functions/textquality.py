@@ -154,6 +154,39 @@ FROM documents
 """.strip()
 
 
+PRESERVE_WORDS = ["not", "no", "nor", "and", "or", "if", "then", "but"]
+SAFE_STOPWORDS = [w for w in ENGLISH_STOPWORDS if w not in PRESERVE_WORDS]
+
+
+def compress_context_sql(dialect: str) -> str:
+    """T4 context compression ("caveman mode",
+    pkg/textanalyzer/compressor.go:73-222): drop SAFE stopwords from
+    the response text while preserving negations/logical operators and
+    original word forms; report the token reduction ratio (the
+    reference documents 20-35%). Pure projection — split/filter/join
+    runs inside the scan's codegen span."""
+    safe = _arr_lit(dialect, SAFE_STOPWORDS)
+    if dialect == "spark":
+        words = "split(text, ' ')"
+        joined = "array_join(kept, ' ')"
+    else:
+        words = "string_split(text, ' ')"
+        joined = "array_to_string(kept, ' ')"
+    kept = _filter_arr(dialect, words, f"w -> NOT {_contains(dialect, safe, 'lower(w)')}")
+    return f"""
+WITH c AS (
+  SELECT doc_id, text, {kept} AS kept, {_len(dialect, words)} AS n_orig
+  FROM documents
+)
+SELECT doc_id,
+       {joined} AS compressed,
+       CAST(n_orig AS INT) AS n_orig,
+       CAST({_len(dialect, 'kept')} AS INT) AS n_kept,
+       round(1.0 - CAST({_len(dialect, 'kept')} AS DOUBLE) / n_orig, 6) AS reduction
+FROM c
+""".strip()
+
+
 def fingerprint_sql(dialect: str) -> str:
     """Deterministic document fingerprint: polynomial rolling hash over
     the token hash sequence, mod 2^31-1 (order-sensitive, unlike the

@@ -214,13 +214,26 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+-- verification via the posting join (never re-touches the shingle
+-- ARRAYS): shared-count c per candidate pair from the exploded
+-- shingles, |A∪B| = na + nb - c
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+),
+ver AS (
+  SELECT c.id_a, c.id_b, count(*) AS shared
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.id_a
+  JOIN ex b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY c.id_a, c.id_b
 )
-SELECT c.id_a, c.id_b,
-       round({jaccard(dialect, 'sa.shingles', 'sb.shingles')}, 6) AS jaccard
-FROM cand c
-JOIN sh sa ON sa.doc_id = c.id_a
-JOIN sh sb ON sb.doc_id = c.id_b
-WHERE {jaccard(dialect, 'sa.shingles', 'sb.shingles')} >= {threshold}
+SELECT v.id_a, v.id_b,
+       round(CAST(v.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - v.shared), 6) AS jaccard
+FROM ver v
+JOIN sizes sa ON sa.doc_id = v.id_a
+JOIN sizes sb ON sb.doc_id = v.id_b
+WHERE CAST(v.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - v.shared) >= {threshold}
 """.strip()
 
 
@@ -297,21 +310,39 @@ WHERE {ham} <= {max_hamming}
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_sql(dialect: str, n: int = 4, threshold: float = 0.6) -> str:
-    """Char-4-gram Jaccard within length-bucket blocks (n_chars DIV 32).
-    Blocked-pairwise dedup: the quadratic comparison happens only inside
-    small blocks — block key is a pure projection so the join is an
-    equi-join. (MinHash D2 is the unblocked general path; blocking
-    trades recall for zero signature cost.)"""
+    """Char-4-gram Jaccard within length-bucket blocks (n_chars DIV 32)
+    in POSTING form: explode distinct grams once, equi-join postings on
+    (block, gram), count shared grams per pair, |A∪B| = na + nb - c.
+
+    Never joins or intersects gram ARRAYS pairwise — per-pair work is a
+    counter, so the plan is two shuffles (explode+join on the gram,
+    groupBy the pair) regardless of block size; at 100 TB the (blk,
+    gram) join key also keeps skew bounded because blocks cap the
+    posting-list fanout. (MinHash D2 is the unblocked general path;
+    blocking trades recall for zero signature cost.)"""
     div = "DIV" if dialect == "spark" else "//"
     return f"""
 WITH g AS (
   SELECT doc_id, n_chars {div} 32 AS blk, {char_ngrams(dialect, 'lower(text)', n)} AS grams
   FROM documents
+),
+ex AS (
+  SELECT doc_id, blk, gram FROM g {_unnest(dialect, 'grams', 'gram')}
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_g FROM ex GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM ex a JOIN ex b ON a.blk = b.blk AND a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round({jaccard(dialect, 'a.grams', 'b.grams')}, 6) AS jaccard
-FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
-WHERE {jaccard(dialect, 'a.grams', 'b.grams')} >= {threshold}
+SELECT s.id_a, s.id_b,
+       round(CAST(s.c AS DOUBLE) / (sa.n_g + sb.n_g - s.c), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.id_a
+JOIN sizes sb ON sb.doc_id = s.id_b
+WHERE CAST(s.c AS DOUBLE) / (sa.n_g + sb.n_g - s.c) >= {threshold}
 """.strip()
 
 

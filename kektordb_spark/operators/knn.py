@@ -54,12 +54,15 @@ def knn_exact(
     query_vec_col: str = "qv",
     query_norm_col: str = "qnorm",
     pre_filter: Column | None = None,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact brute-force k-NN: broadcast queries × vectors scan → ranked
     window → top-k. Returns (query_id, id, dist, rank).
 
     Deterministic tie-break on id so results are reproducible across
     partitionings (and match the DuckDB oracle row-for-row).
+    ``exclude_self`` drops id == query_id rows BEFORE ranking (the
+    corpus-contains-the-query case).
     """
     if pre_filter is not None:
         vectors = vectors.where(pre_filter)  # V2: filter BEFORE search
@@ -67,6 +70,8 @@ def knn_exact(
     if metric == "cosine":
         qcols.append(F.col(query_norm_col))
     joined = vectors.crossJoin(F.broadcast(queries.select(*qcols)))
+    if exclude_self:
+        joined = joined.where(F.col(id_col) != F.col(query_id_col))
     dist = _dist_expr(
         metric,
         query_vec_col,

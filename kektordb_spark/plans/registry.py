@@ -225,6 +225,117 @@ for _metric in ("cosine", "euclidean", "dot"):
 
 register_sql("ivf_knn", IVF.ivf_knn_sql, ["emb"])
 
+_INT8_ABSMAX = 0.5  # fixed training absmax (fixture range ±0.5); the
+                    # learned path is api.vcompress_int8 (percentile_approx)
+
+
+def _knn_int8_sql(dialect: str, k: int = 10, n_queries: int = 5) -> str:
+    """V5 int8 quantized k-NN (hnsw_index.go:301-320, 2395-2443):
+    symmetric scalar quantization (scale=127/absmax, round, clamp),
+    integer dot product, cosine via stored quantized norms — the
+    compressed-index search path, 4x less scan bandwidth at 100 TB."""
+    tr = "transform" if dialect == "spark" else "list_transform"
+    q = (f"{tr}(v, x -> CAST(greatest(-127.0, least(127.0, "
+         f"round(x * 127.0 / {_INT8_ABSMAX}, 0))) AS INT))")
+    if dialect == "spark":
+        dot_i = ("aggregate(zip_with(a.q, b.q, (x, y) -> x * y), 0L, (s, p) -> s + CAST(p AS BIGINT))")
+        nsq = "aggregate(transform(q, x -> x * x), 0L, (s, p) -> s + CAST(p AS BIGINT))"
+    else:
+        dot_i = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+                 "list_transform(list_zip(a.q, b.q), p -> CAST(p[1] * p[2] AS BIGINT))), (s, p) -> s + p)")
+        nsq = ("list_reduce(list_prepend(CAST(0 AS BIGINT), "
+               "list_transform(q, x -> CAST(x * x AS BIGINT))), (s, p) -> s + p)")
+    return f"""
+WITH qt AS (
+  SELECT vec_id, {q} AS q FROM emb
+),
+qn AS (
+  SELECT vec_id, q, sqrt(CAST({nsq} AS DOUBLE)) AS qnorm FROM qt
+),
+d AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         1.0 - CAST({dot_i} AS DOUBLE) / (a.qnorm * b.qnorm) AS dist
+  FROM qn a CROSS JOIN qn b
+  WHERE a.vec_id < {n_queries} AND b.vec_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       round(dist, 6) + 0.0 AS dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM d
+) t WHERE rank <= {k}
+""".strip()
+
+
+register_sql("knn_int8_top10", _knn_int8_sql, ["emb"])
+
+
+_GRAPH_KNN_ROOT = "n_1"
+
+
+def _graph_filtered_knn_oracle(dialect: str = "duckdb", k: int = 10) -> str:
+    """F8/V2: allowlist = parts reachable INTO nation n_1 within 3 hops
+    (customers of the nation <- their orders <- parts), then exact
+    cosine k-NN restricted to the allowlist — filter BEFORE search,
+    the reference's pre-filter semantics (ops.go:926-962)."""
+    dot = dot_sql(dialect, "q.v", "c.v")
+    return f"""
+WITH RECURSIVE reach(node, d) AS (
+  SELECT '{_GRAPH_KNN_ROOT}' AS node, 0 AS d
+  UNION
+  SELECT e.src, r.d + 1
+  FROM reach r JOIN edges e ON e.dst = r.node
+  WHERE r.d < 3 AND deleted_at = 0
+),
+allow AS (
+  SELECT DISTINCT CAST(substr(node, 3) AS BIGINT) AS vec_id
+  FROM reach WHERE substr(node, 1, 2) = 'p_'
+),
+cand AS (
+  SELECT e.* FROM emb e JOIN allow a ON a.vec_id = e.vec_id
+),
+d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         1.0 - ({dot}) / (q.norm * c.norm) AS dist
+  FROM emb q CROSS JOIN cand c
+  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(dist, 6) AS dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM d
+) t WHERE rank <= {k}
+""".strip()
+
+
+@register("knn_graph_filtered",
+          with_oracle_ctes(_graph_filtered_knn_oracle(), ["edges", "emb"]))
+def knn_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 graph-topology pre-filter + V2 filtered k-NN, composed from
+    the bfs and knn_exact operators (allowlist semi-join between)."""
+    load_tables(spark, sf_dir)
+    roots = spark.createDataFrame([(_GRAPH_KNN_ROOT,)], "node string")
+    reach = G.bfs(spark.table("edges"), roots, max_depth=3, direction="in")
+    allow = (
+        reach.where(F.expr("substr(node, 1, 2) = 'p_'"))
+        .select(F.expr("CAST(substr(node, 3) AS BIGINT)").alias("vec_id"))
+        .distinct()
+    )
+    emb = spark.table("emb")
+    cand = emb.join(F.broadcast(allow), "vec_id", "left_semi")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    res = KNN.knn_exact(
+        cand, queries, k=10, metric="cosine",
+        id_col="vec_id", vec_col="v", norm_col="norm", exclude_self=True,
+    )
+    return res.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"), F.round("dist", 6).alias("dist"),
+    )
+
 
 def _knn_decay_sql(dialect: str, k: int = 10, n_queries: int = 5) -> str:
     """H6 VSearchWithScores (ops.go:1276-1379): plain k-NN → score =
@@ -385,6 +496,52 @@ def hybrid_fusion_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HYBRID_FILTER = "lang = 'en' AND CONTAINS(text,'merge sort window')"
+_DOCS_SCHEMA = {"doc_id": "bigint", "text": "string", "lang": "string",
+                "source": "string", "n_chars": "bigint"}
+
+
+@register("hybrid_contains_filter", None)  # oracle attached below
+def hybrid_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 CONTAINS routing (search_utils.go:18-43): the filter string's
+    CONTAINS clause goes to the BM25 scorer; the boolean remainder
+    becomes the allowlist, applied AFTER corpus-wide scoring (the
+    reference's hybrid text branch, ops.go:997-1026)."""
+    load_tables(spark, sf_dir)
+    rest, field, text = FL.parse_hybrid_filter(_HYBRID_FILTER)
+    assert field == "text"
+    toks = [t for t in text.lower().split() if t]
+    scored = TX.bm25_scores(spark.table("docs_tok"), toks)
+    allow = (
+        spark.table("docs_tok")
+        .where(FL.filter_to_column(rest, _DOCS_SCHEMA))
+        .select(F.col("doc_id").alias("doc"))
+    )
+    return (
+        scored.join(F.broadcast(allow), "doc", "left_semi")
+        .select("doc", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc"))
+        .limit(10)
+    )
+
+
+_registry["hybrid_contains_filter"] = (
+    hybrid_contains_filter,
+    with_oracle_ctes(
+        TX.bm25_oracle_sql(
+            "duckdb", ["merge", "sort", "window"], 10,
+            allow_pred=FL.filter_to_sql("lang = 'en'", _DOCS_SCHEMA, "duckdb"),
+        ),
+        ["docs_tok"],
+    ),
+)
+
+
+from kektordb_spark.operators import adaptive as AD  # noqa: E402
+
+register_sql("adaptive_retrieval", AD.adaptive_retrieve_sql, ["emb", "docs_tok"])
+
+
 # --------------------------------------------------------------------------
 # Graph (G1-G15)
 # --------------------------------------------------------------------------
@@ -499,6 +656,17 @@ register_sql(
 )
 register_sql("epistemic_belief_state", EP.belief_state_sql, ["emb", "mem", "edges"])
 
+from kektordb_spark.operators import consolidation as CS  # noqa: E402
+
+@register("gardener_consolidation_clusters",
+          with_oracle_ctes(CS.consolidation_sql("duckdb"), ["emb"]))
+def gardener_consolidation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 via bounded min-label propagation; Spark side materializes the
+    similarity edge list once (see consolidation_df)."""
+    load_tables(spark, sf_dir)
+    return CS.consolidation_df(spark)
+register_sql("gardener_knowledge_gaps", CS.knowledge_gaps_sql, ["emb"])
+
 # --------------------------------------------------------------------------
 # Gardener detectors A7-A11 + compiler A16 (gardener.go, pkg/compiler)
 # --------------------------------------------------------------------------
@@ -534,6 +702,7 @@ register_sql("compiler_computed_fields", GD.computed_fields_sql, [])
 # Text analysis (training-data pipeline; extends §2.4 T6/T7)
 # --------------------------------------------------------------------------
 
+register_sql("text_compress_context", TQ.compress_context_sql, [])
 register_sql("text_lang_id", TQ.lang_id_sql, [])
 register_sql("text_quality_score", TQ.quality_score_sql, [])
 register_sql("text_token_count", TQ.token_count_sql, [])

@@ -1,0 +1,178 @@
+"""RAG ingestion: chunk splitters + document pipeline with prev/next
+links (SURVEY.md §2.1 S10, §2.4 T5).
+
+Reference: pkg/rag/splitter.go:22-240 (recursive / markdown / code /
+fixed splitters with chunk_size+overlap) and pipeline.go:125-494 (scan
+→ parse → chunk → embed → VAdd with prev/next chunk edges).
+
+Spark shape:
+  * splitting is a per-document pure function → a UDF returning
+    array<struct<chunk_index,text>> + posexplode. The UDF sees one
+    document string at a time (documents are small relative to
+    partitions); everything downstream is columnar.
+  * prev/next linking needs NO self-join: one window (lag over
+    partitionBy(doc) orderBy(chunk_index)) derives the edges — the
+    reference creates these edges imperatively per insert
+    (pipeline.go:388-427).
+  * embedding is a pluggable scalar UDF (§2.10) — stubbed here with a
+    deterministic hash-projection (the container has no model), same
+    plumbing as a real encoder.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_SEPARATORS = ["\n\n", "\n", " ", ""]
+
+
+def split_recursive(
+    text: str,
+    chunk_size: int = 200,
+    overlap: int = 20,
+    separators: list[str] | None = None,
+) -> list[str]:
+    """Recursive character splitting (the public LangChain-style
+    algorithm, same family as splitter.go's recursive mode): try the
+    coarsest separator first; pieces still over chunk_size recurse to
+    the next separator; adjacent pieces merge greedily up to
+    chunk_size with ``overlap`` carried between chunks."""
+    seps = separators if separators is not None else DEFAULT_SEPARATORS
+
+    def _split(t: str, seps_left: list[str]) -> list[str]:
+        if len(t) <= chunk_size or not seps_left:
+            return [t] if t else []
+        sep, rest = seps_left[0], seps_left[1:]
+        parts = list(t) if sep == "" else t.split(sep)
+        out: list[str] = []
+        buf = ""
+        for part in parts:
+            cand = buf + (sep if buf else "") + part if sep != "" else buf + part
+            if len(cand) <= chunk_size:
+                buf = cand
+                continue
+            if buf:
+                out.append(buf)
+                tail = buf[-overlap:] if overlap else ""
+                buf = tail + (sep if tail else "") + part if sep != "" else tail + part
+            else:
+                buf = part
+            if len(buf) > chunk_size:
+                out.extend(_split(buf, rest))
+                buf = ""
+        if buf:
+            out.append(buf)
+        return out
+
+    return [c for c in _split(text, seps) if c.strip()]
+
+
+def split_fixed(text: str, chunk_size: int = 200, overlap: int = 20) -> list[str]:
+    """Fixed-size splitter with overlap (splitter.go fixed mode)."""
+    if not text:
+        return []
+    step = max(1, chunk_size - overlap)
+    return [text[i : i + chunk_size] for i in range(0, len(text), step)]
+
+
+_CHUNK_SCHEMA = T.ArrayType(
+    T.StructType([
+        T.StructField("chunk_index", T.IntegerType()),
+        T.StructField("chunk_text", T.StringType()),
+    ])
+)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    mode: str = "recursive",
+    chunk_size: int = 60,
+    overlap: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5: explode documents into chunk rows
+    (doc_id, chunk_index, chunk_text, chunk_id)."""
+    fn = split_recursive if mode == "recursive" else split_fixed
+
+    @F.udf(_CHUNK_SCHEMA)
+    def _chunks(text: str):
+        if text is None:
+            return []
+        return [(i, c) for i, c in enumerate(fn(text, chunk_size, overlap))]
+
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), _chunks(F.col(text_col)).alias("cs"))
+        .select("doc_id", F.explode("cs").alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_index").alias("chunk_index"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+        .withColumn(
+            "chunk_id",
+            F.concat_ws("#", F.col("doc_id").cast("string"), F.col("chunk_index").cast("string")),
+        )
+    )
+
+
+def chunk_link_edges(chunks: DataFrame, now: int = 0) -> DataFrame:
+    """S10 prev/next edges via ONE window pass (lag) — no self-join:
+    next_chunk edges (i -> i+1) and their prev_chunk inverses."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("chunk_index")
+    with_prev = chunks.withColumn("prev_id", F.lag("chunk_id").over(w)).where(
+        F.col("prev_id").isNotNull()
+    )
+    nxt = with_prev.select(
+        F.col("prev_id").alias("src"), F.col("chunk_id").alias("dst"),
+        F.lit("next_chunk").alias("rel"), F.lit(1.0).alias("weight"),
+        F.lit(now).cast("long").alias("created_at"),
+        F.lit(0).cast("long").alias("deleted_at"),
+    )
+    prv = with_prev.select(
+        F.col("chunk_id").alias("src"), F.col("prev_id").alias("dst"),
+        F.lit("prev_chunk").alias("rel"), F.lit(1.0).alias("weight"),
+        F.lit(now).cast("long").alias("created_at"),
+        F.lit(0).cast("long").alias("deleted_at"),
+    )
+    return nxt.unionByName(prv)
+
+
+EMBED_DIM = 16
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def embed_stub(texts):
+    """§2.10 pluggable embedder UDF — deterministic hash projection
+    standing in for an ONNX/API encoder (reference SelectEmbedder
+    factory, pkg/embeddings/). Arrow-batched; swapping in a real model
+    changes only this function body."""
+    import pandas as pd
+
+    def one(t: str):
+        if t is None:
+            return None
+        digest = hashlib.sha256(t.encode()).digest()
+        return [digest[i] / 255.0 - 0.5 for i in range(EMBED_DIM)]
+
+    return pd.Series([one(t) for t in texts])
+
+
+def ingest(docs: DataFrame, now: int = 0, chunk_size: int = 60, overlap: int = 10):
+    """Full S10 pipeline: chunk → embed → vector rows + prev/next
+    edges. Returns (vector_rows, edge_rows) ready for api.vadd_batch /
+    MERGE. One scan of docs; the only shuffle is the lag window keyed
+    on doc_id."""
+    chunks = chunk_documents(docs, chunk_size=chunk_size, overlap=overlap)
+    vectors = chunks.select(
+        F.col("chunk_id").alias("id"),
+        embed_stub(F.col("chunk_text")).alias("v"),
+        F.col("doc_id"), F.col("chunk_index"), F.col("chunk_text"),
+    )
+    return vectors, chunk_link_edges(chunks, now=now)
