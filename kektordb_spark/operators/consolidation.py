@@ -73,63 +73,56 @@ HAVING count(*) >= {min_size}
 def consolidation_df(
     spark, threshold: float = 0.40, iters: int = 4, min_size: int = 3,
 ):
-    """Spark-side A5 with the similarity pairs MATERIALIZED once
-    (persist): plain CTE references re-evaluate the O(N^2) pair join
-    per label-propagation round (Spark inlines CTEs; ReuseExchange only
-    partially dedups), so the engine computes the edge list once and
-    iterates over the (tiny) cached edge set. Semantics identical to
-    consolidation_sql — the DuckDB oracle runs that SQL."""
+    """Spark-side A5: the similarity edge list comes from the blocked
+    float64 GEMM kernel (operators/blockgemm.py — each tile one numpy
+    matmul, threshold applied in-kernel so only surviving pairs shuffle)
+    and is MATERIALIZED once (persist) because the label-propagation
+    rounds re-reference it. Semantics identical to consolidation_sql —
+    the DuckDB oracle runs that SQL."""
     from pyspark.sql import functions as F
 
-    from kektordb_spark.functions import vector as V
+    from kektordb_spark.operators import blockgemm as BG
 
-    emb = spark.table("emb")
-    a = emb.select(F.col("vec_id").alias("u"), F.col("v").alias("va"),
-                   F.col("norm").alias("na"))
-    b = emb.select(F.col("vec_id").alias("w"), F.col("v").alias("vb"),
-                   F.col("norm").alias("nb"))
-    sim = 1.0 - V.cosine_dist("va", "vb", "na", "nb")
+    # Eager localCheckpoint (not persist): materializes AND truncates
+    # lineage, so no later stage re-enters the Python mapInPandas kernel
+    # and every round's job starts from the (tiny) checkpointed edge set.
     pairs = (
-        a.join(b, F.col("u") < F.col("w"))
-        .where(sim >= threshold)
+        BG.cosine_pairs(spark, threshold=threshold)
         .select("u", "w")
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    und = pairs.unionAll(pairs.select(F.col("w").alias("u"), F.col("u").alias("w"))).persist()
-    labels = und.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).persist()
-    try:
-        for _ in range(iters):
-            nxt = (
-                labels.alias("n")
-                .join(und.alias("e"), F.col("n.node") == F.col("e.u"), "left")
-                .join(labels.alias("p"), F.col("p.node") == F.col("e.w"), "left")
-                .groupBy(F.col("n.node").alias("node"), F.col("n.label").alias("l0"))
-                .agg(F.min(F.col("p.label")).alias("lmin"))
-                .select("node", F.least(F.col("l0"), F.coalesce("lmin", "l0")).alias("label"))
-                .persist()
-            )
-            nxt.count()  # materialize before unpersisting the parent
-            labels.unpersist()
-            labels = nxt
-        out = (
-            labels.groupBy("label")
-            .agg(
-                F.count(F.lit(1)).cast("int").alias("size"),
-                F.array_join(
-                    F.transform(F.array_sort(F.collect_list("node")),
-                                lambda x: x.cast("string")), ",",
-                ).alias("members"),
-            )
-            .where(F.col("size") >= min_size)
-            .select(F.col("label").alias("cluster_master"), "size", "members")
+    und = (
+        pairs.unionAll(pairs.select(F.col("w").alias("u"), F.col("u").alias("w")))
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        labels = (
+            labels.alias("n")
+            .join(und.alias("e"), F.col("n.node") == F.col("e.u"), "left")
+            .join(labels.alias("p"), F.col("p.node") == F.col("e.w"), "left")
+            .groupBy(F.col("n.node").alias("node"), F.col("n.label").alias("l0"))
+            .agg(F.min(F.col("p.label")).alias("lmin"))
+            .select("node", F.least(F.col("l0"), F.coalesce("lmin", "l0")).alias("label"))
+            .localCheckpoint(eager=True)
         )
-        return out.localCheckpoint(eager=True)
-    finally:
-        pairs.unpersist()
-        und.unpersist()
-        labels.unpersist()
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("size"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("node")),
+                            lambda x: x.cast("string")), ",",
+            ).alias("members"),
+        )
+        .where(F.col("size") >= min_size)
+        .select(F.col("label").alias("cluster_master"), "size", "members")
+    )
 
 
 def knowledge_gaps_sql(dialect: str, threshold: float = 0.42) -> str:

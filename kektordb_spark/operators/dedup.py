@@ -165,29 +165,60 @@ HAVING count(*) > 1
 # D2: MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
+# Universal-hash family over one md5 base hash: h_i = (a_i*h + b_i) mod P.
+# One md5 per shingle instead of K — the md5 is the dominant per-row cost
+# at corpus scale; the affine derivations are codegen'd integer math.
+# a_i < 2^30 keeps a_i*h < 2^62 (no BIGINT overflow); P = largest 32-bit
+# prime. Fixed seed => identical constants in both dialects.
+_MINHASH_P = 4294967291
+import random as _random  # noqa: E402
+
+_rng = _random.Random(0x5EED)
+_MINHASH_AB = [
+    (_rng.randrange(1, 1 << 30), _rng.randrange(_MINHASH_P)) for _ in range(16)
+]
+
+
+def minhash_ex_sql(dialect: str, shingle_n: int = 3, source: str = "docs_tok") -> str:
+    """The shingle-posting relation (doc_id, s): distinct word n-grams
+    exploded. This is the one expensive subplan every downstream CTE
+    re-reads — the Spark runner materializes it once (registry) because
+    Spark inlines multiply-referenced CTEs while DuckDB materializes
+    them."""
+    return f"""
+SELECT doc_id, s FROM (
+  SELECT doc_id, {word_shingles(dialect, 'toks', shingle_n)} AS shingles
+  FROM {source}
+) sh {_unnest(dialect, 'shingles', 's')}
+""".strip()
+
+
 def minhash_lsh_sql(
     dialect: str,
     n_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.8,
     shingle_n: int = 3,
+    ex_source: str | None = None,
 ) -> str:
     """MinHash signatures over word shingles, banded LSH candidate
     generation, true-Jaccard verification.
 
-    Plan shape (scale story): shingle explode → groupBy(doc) computes all
-    K min-hashes in ONE aggregate pass; bands explode K/B keys per doc;
-    the candidate join is an equi-join on (band, key) — never a cross
-    product. Verification re-joins the (tiny) candidate set against the
-    shingle arrays.
+    Plan shape (scale story): shingle explode → one md5 per shingle →
+    groupBy(doc) computes all K affine-derived min-hashes in ONE
+    aggregate pass; bands explode K/B keys per doc; the candidate join
+    is an equi-join on (band, key) — never a cross product.
+    Verification re-joins the (tiny) candidate set against the exploded
+    shingle postings.
+
+    ``ex_source``: name of a pre-materialized (doc_id, s) posting
+    relation (see minhash_ex_sql); defaults to an inline CTE.
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
     hash_aggs = ",\n    ".join(
-        "min({h}) AS h{i}".format(
-            h=_hex_to_int(dialect, "md5(concat('{}:', s))".format(i)), i=i
-        )
-        for i in range(n_hashes)
+        f"min(({a} * h + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB[:n_hashes])
     )
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS bkey FROM sig".format(
@@ -195,18 +226,20 @@ def minhash_lsh_sql(
         )
         for b in range(bands)
     )
+    ex_cte = (
+        f"ex AS (\n{minhash_ex_sql(dialect, shingle_n)}\n)"
+        if ex_source is None
+        else f"ex AS (SELECT doc_id, s FROM {ex_source})"
+    )
     return f"""
-WITH sh AS (
-  SELECT doc_id, {word_shingles(dialect, 'toks', shingle_n)} AS shingles
-  FROM docs_tok
-),
-ex AS (
-  SELECT doc_id, s FROM sh {_unnest(dialect, 'shingles', 's')}
+WITH {ex_cte},
+hx AS (
+  SELECT doc_id, {_hex_to_int(dialect, 'md5(s)')} AS h FROM ex
 ),
 sig AS (
   SELECT doc_id,
     {hash_aggs}
-  FROM ex GROUP BY doc_id
+  FROM hx GROUP BY doc_id
 ),
 bands AS (
 {band_selects}
@@ -309,33 +342,74 @@ WHERE {ham} <= {max_hamming}
 # D4: blocked char-ngram Jaccard
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_sql(dialect: str, n: int = 4, threshold: float = 0.6) -> str:
-    """Char-4-gram Jaccard within length-bucket blocks (n_chars DIV 32)
-    in POSTING form: explode distinct grams once, equi-join postings on
-    (block, gram), count shared grams per pair, |A∪B| = na + nb - c.
-
-    Never joins or intersects gram ARRAYS pairwise — per-pair work is a
-    counter, so the plan is two shuffles (explode+join on the gram,
-    groupBy the pair) regardless of block size; at 100 TB the (blk,
-    gram) join key also keeps skew bounded because blocks cap the
-    posting-list fanout. (MinHash D2 is the unblocked general path;
-    blocking trades recall for zero signature cost.)"""
+def ngram_ex_sql(dialect: str, n: int = 4, source: str = "documents") -> str:
+    """The gram-posting relation (doc_id, blk, gram): distinct char
+    n-grams exploded, with the length-bucket block. Materialized once by
+    the Spark runner (registry) — Spark inlines multiply-referenced
+    CTEs, so without materialization this subplan runs 5x."""
     div = "DIV" if dialect == "spark" else "//"
     return f"""
-WITH g AS (
+SELECT doc_id, blk, gram FROM (
   SELECT doc_id, n_chars {div} 32 AS blk, {char_ngrams(dialect, 'lower(text)', n)} AS grams
-  FROM documents
-),
-ex AS (
-  SELECT doc_id, blk, gram FROM g {_unnest(dialect, 'grams', 'gram')}
-),
+  FROM {source}
+) g {_unnest(dialect, 'grams', 'gram')}
+""".strip()
+
+
+def ngram_jaccard_sql(
+    dialect: str, n: int = 4, threshold: float = 0.6, ex_source: str | None = None,
+) -> str:
+    """Char-4-gram Jaccard within length-bucket blocks (n_chars DIV 32)
+    with an EXACT prefix filter (AllPairs/PPJoin, Bayardo et al. WWW'07 /
+    Xiao et al. WWW'08): order each doc's grams by global document
+    frequency ascending (rarest first, gram tie-break), index only the
+    first |A| - ceil(t*|A|) + 1 grams — if J(A,B) >= t the two prefixes
+    must share a gram, so candidates come from an equi-join of the
+    (small, rare-gram) prefix postings instead of all postings. A size
+    filter (min/max >= t) prunes further; survivors are verified with a
+    shared-gram count join, |A∪B| = na + nb - c. No recall loss: the
+    prefix theorem is exact for a consistent global order.
+
+    Scale story: the candidate join touches only rare grams (bounded
+    posting lists — frequency-ascending order is also the skew fix),
+    per-pair work is a counter, never an array intersection; blocking by
+    length bucket caps fanout on top.
+    """
+    ex_cte = (
+        f"ex AS (\n{ngram_ex_sql(dialect, n)}\n)"
+        if ex_source is None
+        else f"ex AS (SELECT doc_id, blk, gram FROM {ex_source})"
+    )
+    return f"""
+WITH {ex_cte},
 sizes AS (
   SELECT doc_id, count(*) AS n_g FROM ex GROUP BY doc_id
 ),
+gf AS (
+  SELECT gram, count(*) AS df FROM ex GROUP BY gram
+),
+pref AS (
+  SELECT doc_id, blk, gram, n_g FROM (
+    SELECT e.doc_id, e.blk, e.gram, s.n_g,
+           row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.gram) AS rnk
+    FROM ex e
+    JOIN gf f ON f.gram = e.gram
+    JOIN sizes s ON s.doc_id = e.doc_id
+  ) t
+  WHERE rnk <= n_g - CAST(ceil({threshold} * n_g) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b
+    ON a.blk = b.blk AND a.gram = b.gram AND a.doc_id < b.doc_id
+  WHERE CAST(least(a.n_g, b.n_g) AS DOUBLE) >= {threshold} * greatest(a.n_g, b.n_g)
+),
 shared AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-  FROM ex a JOIN ex b ON a.blk = b.blk AND a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.id_a, c.id_b, count(*) AS c
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.id_a
+  JOIN ex b ON b.doc_id = c.id_b AND b.gram = a.gram
+  GROUP BY c.id_a, c.id_b
 )
 SELECT s.id_a, s.id_b,
        round(CAST(s.c AS DOUBLE) / (sa.n_g + sb.n_g - s.c), 6) AS jaccard

@@ -636,11 +636,58 @@ def graph_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 register_sql("dedup_exact", DD.dedup_exact_sql, [])
-register_sql("dedup_minhash_lsh", DD.minhash_lsh_sql, ["docs_tok"])
 register_sql("dedup_simhash", DD.simhash_sql, ["docs_tok"])
 register_sql("dedup_simhash_pairs", DD.simhash_pairs_sql, ["docs_tok"])
-register_sql("dedup_ngram_jaccard", DD.ngram_jaccard_sql, [])
-register_sql("dedup_embedding_topk", DD.embedding_topk_pairs_sql, ["emb"])
+
+
+@register("dedup_minhash_lsh",
+          with_oracle_ctes(DD.minhash_lsh_sql("duckdb"), ["docs_tok"]))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 MinHash+LSH. Spark materializes the shingle postings once
+    (localCheckpoint) — Spark inlines multiply-referenced CTEs, so the
+    expensive explode would otherwise run 4x; DuckDB materializes CTEs
+    natively, so the oracle is the single-statement form."""
+    load_tables(spark, sf_dir)
+    ex = spark.sql(
+        DD.minhash_ex_sql("spark", source="docs_tok_par")
+    ).localCheckpoint(eager=True)
+    ex.createOrReplaceTempView("_mh_ex")
+    return spark.sql(DD.minhash_lsh_sql("spark", ex_source="_mh_ex"))
+
+
+@register("dedup_ngram_jaccard",
+          with_oracle_ctes(DD.ngram_jaccard_sql("duckdb"), []))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 blocked char-ngram Jaccard with exact PPJoin prefix filter.
+    Spark materializes the gram postings once (localCheckpoint); the
+    oracle re-derives them per CTE reference (DuckDB materializes)."""
+    load_tables(spark, sf_dir)
+    ex = spark.sql(
+        DD.ngram_ex_sql("spark", source="documents_par")
+    ).localCheckpoint(eager=True)
+    ex.createOrReplaceTempView("_ng_ex")
+    return spark.sql(DD.ngram_jaccard_sql("spark", ex_source="_ng_ex"))
+
+from kektordb_spark.operators import blockgemm as BG  # noqa: E402
+
+
+@register("dedup_embedding_topk",
+          with_oracle_ctes(DD.embedding_topk_pairs_sql("duckdb"), ["emb"]))
+def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 top-k most-similar embedding pairs. Spark side runs the
+    blocked-GEMM kernel with in-tile top-k pre-truncation (a correct
+    global-top-k prefilter under the total order round(sim,6) DESC,
+    id_a, id_b); the oracle is the fold-left O(N^2) SQL."""
+    load_tables(spark, sf_dir)
+    pairs = BG.cosine_pairs(spark, topk_per_tile=20)
+    return (
+        pairs.select(
+            F.col("u").alias("id_a"), F.col("w").alias("id_b"),
+            F.round("sim", 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "id_a", "id_b")
+        .limit(20)
+    )
 
 # --------------------------------------------------------------------------
 # Epistemic pillars A1-A4 (pkg/engine/epistemic_types.go, epistemic.go)
@@ -665,7 +712,23 @@ def gardener_consolidation_clusters(spark: SparkSession, sf_dir: str) -> DataFra
     similarity edge list once (see consolidation_df)."""
     load_tables(spark, sf_dir)
     return CS.consolidation_df(spark)
-register_sql("gardener_knowledge_gaps", CS.knowledge_gaps_sql, ["emb"])
+@register("gardener_knowledge_gaps",
+          with_oracle_ctes(CS.knowledge_gaps_sql("duckdb"), ["emb"]))
+def gardener_knowledge_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 knowledge gaps (gardener.go:2295-2426): similar part pairs
+    (blocked-GEMM kernel, threshold in-kernel) anti-joined against
+    order co-occurrence evidence."""
+    load_tables(spark, sf_dir)
+    BG.cosine_pairs(spark, threshold=0.42).createOrReplaceTempView("_sim_pairs")
+    return spark.sql("""
+SELECT s.u AS part_a, s.w AS part_b, round(s.sim, 6) AS sim
+FROM _sim_pairs s
+LEFT ANTI JOIN (
+  SELECT DISTINCT la.l_partkey AS u, lb.l_partkey AS w
+  FROM lineitem la JOIN lineitem lb
+    ON la.l_orderkey = lb.l_orderkey AND la.l_partkey < lb.l_partkey
+) c ON c.u = s.u AND c.w = s.w
+""".strip())
 
 # --------------------------------------------------------------------------
 # Gardener detectors A7-A11 + compiler A16 (gardener.go, pkg/compiler)

@@ -15,6 +15,13 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "kektordb-spark", cpus: int | None = None) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    # One BLAS thread per Python worker: each task's numpy kernel runs on
+    # its own core already; letting OpenBLAS/OMP spawn nproc threads per
+    # worker process oversubscribes the box by ~32x and serializes the
+    # pandas-UDF stages. Set in the driver env (inherited by the JVM →
+    # python daemon → workers) plus executorEnv for cluster mode.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -34,6 +41,9 @@ def get_spark(app_name: str = "kektordb-spark", cpus: int | None = None) -> Spar
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

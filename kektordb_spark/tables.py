@@ -208,7 +208,7 @@ FROM nation
 """.strip()
 
 
-def docs_tok_view_sql(dialect: str) -> str:
+def docs_tok_view_sql(dialect: str, source: str = "documents") -> str:
     """Documents + analyzer tokens (reference analyzer.go:17-44: lowercase,
     [\\p{L}0-9_]+ token regex, stopword removal; corpus is ASCII so
     [a-z0-9_]+ is equivalent)."""
@@ -221,7 +221,7 @@ def docs_tok_view_sql(dialect: str) -> str:
     return f"""
 SELECT doc_id, text, lang, source, n_chars,
        {toks} AS toks
-FROM documents
+FROM {source}
 """.strip()
 
 
@@ -260,6 +260,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         out[name] = df
     for name, sql_fn in DERIVED_VIEWS.items():
         spark.sql(sql_fn("spark")).createOrReplaceTempView(name)
+    # Parallelized text views: the documents fixture is one parquet
+    # split, so the (interpreted, per-row-heavy) tokenize/shingle
+    # projections would otherwise run in a single task. At corpus scale
+    # the file count provides this parallelism for free; here an
+    # explicit round-robin repartition stands in for it. Semantically
+    # identical to documents/docs_tok.
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    out["documents"].repartition(par).createOrReplaceTempView("documents_par")
+    spark.sql(
+        docs_tok_view_sql("spark", source="documents_par")
+    ).createOrReplaceTempView("docs_tok_par")
     return out
 
 
