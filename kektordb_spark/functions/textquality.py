@@ -209,3 +209,18 @@ WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
 SELECT doc_id, {fold} AS fingerprint
 FROM t
 """.strip()
+
+
+def info_density_sql(dialect: str) -> str:
+    """T6 information density (pkg/rag/adaptive_retriever.go:478-499):
+    unique tokens / total tokens per document."""
+    if dialect == "spark":
+        uniq, tot = "size(array_distinct(toks))", "size(toks)"
+    else:
+        uniq, tot = "len(list_distinct(toks))", "len(toks)"
+    return f"""
+SELECT doc_id, CAST({tot} AS INT) AS n_toks,
+       round(CAST({uniq} AS DOUBLE) / {tot}, 6) AS density
+FROM docs_tok
+WHERE {tot} > 0
+""".strip()

@@ -30,6 +30,7 @@ from kektordb_spark.operators import gardener as GD
 from kektordb_spark.operators import graph as G
 from kektordb_spark.operators import ivf as IVF
 from kektordb_spark.operators import knn as KNN
+from kektordb_spark.operators import lifecycle as LC
 from kektordb_spark.tables import dot_sql, load_tables, with_oracle_ctes
 
 # --------------------------------------------------------------------------
@@ -762,10 +763,85 @@ register_sql("gardener_repeated_failures", GD.repeated_failures_sql, [])
 register_sql("compiler_computed_fields", GD.computed_fields_sql, [])
 
 # --------------------------------------------------------------------------
+# Memory lifecycle & meta analytics A12-A15, A17-A18 + G14
+# (gardener.go, pkg/compiler/store.go, http_handlers.go)
+# --------------------------------------------------------------------------
+
+T_1994 = 770428800  # 1994-06-01 UTC — earliest A12 snapshot
+
+register_sql(
+    "gardener_knowledge_evolution",
+    lambda d: LC.knowledge_evolution_sql(d, T_1994, T_EARLY, T_MID),
+    ["edges"],
+    doc=LC.knowledge_evolution_sql.__doc__,
+)
+register_sql(
+    "gardener_cross_validator",
+    lambda d: LC.cross_validator_sql(d, now=T_MID, past=T_EARLY),
+    ["edges"],
+    doc=LC.cross_validator_sql.__doc__,
+)
+register_sql("gardener_session_summary", LC.session_summary_sql, [])
+register_sql("gardener_user_profile", LC.user_profile_sql, [])
+register_sql("compiler_artifact_diff", LC.artifact_diff_sql, [])
+register_sql("transfer_memory", LC.transfer_memory_sql, ["mem"])
+
+
+@register("graph_evolution_chain", LC.evolution_chain_oracle_sql("duckdb"))
+def graph_evolution_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14 evolution chain (http_handlers.go:113, DOCUMENTATION.md:
+    1521-1566): walk 'evolves_from' backward from head nodes, depth <=
+    10. The evolves_from edges are lag-derived (each memory evolves from
+    the user's previous one); the walk is a bounded iterative frontier
+    join — frontier broadcast each round, edge table stays partitioned.
+    The oracle exploits chain linearity (reverse-rank arithmetic)."""
+    from pyspark.sql.window import Window
+
+    load_tables(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "event_id", "ts")
+    w_asc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("parent", F.lag("event_id").over(w_asc))
+        .where(F.col("parent").isNotNull())
+        .select("user_id", F.col("event_id").alias("child"), "parent")
+        .localCheckpoint(eager=True)  # referenced by all 10 rounds
+    )
+    w_desc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    seeds = (
+        ev.withColumn("rd", F.row_number().over(w_desc))
+        .where((F.col("rd") == 1) & (F.col("user_id") % 25 == 0))
+        .select("user_id", F.col("event_id").alias("seed"),
+                F.col("event_id").alias("cur"))
+    )
+    levels = []
+    frontier = seeds
+    for d in range(1, 11):
+        frontier = (
+            F.broadcast(frontier.alias("f"))
+            .join(edges.alias("e"),
+                  (F.col("f.user_id") == F.col("e.user_id"))
+                  & (F.col("f.cur") == F.col("e.child")))
+            .select(F.col("f.user_id").alias("user_id"), "f.seed",
+                    F.col("e.parent").alias("cur"))
+        )
+        levels.append(frontier.withColumn("depth", F.lit(d)))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionAll(lvl)
+    return out.select(
+        "user_id",
+        F.concat(F.lit("ev_"), F.col("seed").cast("string")).alias("seed"),
+        F.concat(F.lit("ev_"), F.col("cur").cast("string")).alias("ancestor"),
+        F.col("depth").cast("int").alias("depth"),
+    )
+
+# --------------------------------------------------------------------------
 # Text analysis (training-data pipeline; extends §2.4 T6/T7)
 # --------------------------------------------------------------------------
 
 register_sql("text_compress_context", TQ.compress_context_sql, [])
+register_sql("text_info_density", TQ.info_density_sql, ["docs_tok"])
 register_sql("text_lang_id", TQ.lang_id_sql, [])
 register_sql("text_quality_score", TQ.quality_score_sql, [])
 register_sql("text_token_count", TQ.token_count_sql, [])
