@@ -78,7 +78,14 @@ def main() -> None:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()  # no cross-query cache interference
+        # No cross-query interference: clear cached relations AND the
+        # localCheckpoint RDDs queries materialize (these pin block-
+        # manager memory and are never auto-released while the session
+        # lives, which skews later timings).
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jmap.values().toArray():
+            jrdd.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(

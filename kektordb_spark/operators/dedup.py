@@ -179,6 +179,26 @@ _MINHASH_AB = [
 ]
 
 
+def minhash_arr_sql(dialect: str, shingle_n: int = 3, source: str = "docs_tok") -> str:
+    """Per-doc shingle ARRAY relation (doc_id, sh). The Spark runner
+    materializes THIS first and explodes the concrete column afterwards:
+    Spark's GenerateExec evaluates the generator child interpreted (no
+    whole-stage codegen), so exploding an unevaluated higher-order
+    expression re-runs the whole analyzer pipeline per row ~10-20x
+    slower than computing the arrays in a codegen'd projection."""
+    return f"""
+SELECT doc_id, {word_shingles(dialect, 'toks', shingle_n)} AS sh
+FROM {source}
+""".strip()
+
+
+def minhash_ex_from_arr_sql(dialect: str, source: str = "_mh_arr") -> str:
+    """Shingle postings exploded from a pre-materialized array column."""
+    return f"""
+SELECT doc_id, s FROM {source} {_unnest(dialect, 'sh', 's')}
+""".strip()
+
+
 def minhash_ex_sql(dialect: str, shingle_n: int = 3, source: str = "docs_tok") -> str:
     """The shingle-posting relation (doc_id, s): distinct word n-grams
     exploded. This is the one expensive subplan every downstream CTE
@@ -193,6 +213,24 @@ SELECT doc_id, s FROM (
 """.strip()
 
 
+def minhash_sig_sql(
+    dialect: str, n_hashes: int = 12, ex_source: str = "ex",
+) -> str:
+    """The per-doc MinHash signature relation (doc_id, h0..hK-1): one
+    md5 per shingle, K affine-derived min-hashes in a single aggregate
+    pass over the postings."""
+    hash_aggs = ",\n    ".join(
+        f"min(({a} * h + {b}) % {_MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB[:n_hashes])
+    )
+    return f"""
+SELECT doc_id,
+    {hash_aggs}
+FROM (SELECT doc_id, {_hex_to_int(dialect, 'md5(s)')} AS h FROM {ex_source}) hx
+GROUP BY doc_id
+""".strip()
+
+
 def minhash_lsh_sql(
     dialect: str,
     n_hashes: int = 12,
@@ -200,6 +238,7 @@ def minhash_lsh_sql(
     threshold: float = 0.8,
     shingle_n: int = 3,
     ex_source: str | None = None,
+    sig_source: str | None = None,
 ) -> str:
     """MinHash signatures over word shingles, banded LSH candidate
     generation, true-Jaccard verification.
@@ -212,14 +251,14 @@ def minhash_lsh_sql(
     shingle postings.
 
     ``ex_source``: name of a pre-materialized (doc_id, s) posting
-    relation (see minhash_ex_sql); defaults to an inline CTE.
+    relation (see minhash_ex_sql); ``sig_source``: name of a
+    pre-materialized signature relation (see minhash_sig_sql). Both
+    default to inline CTEs. The Spark runner materializes both: sig is
+    referenced once per band plus the verification path, and Spark
+    re-evaluates inlined CTEs per reference.
     """
     assert n_hashes % bands == 0
     r = n_hashes // bands
-    hash_aggs = ",\n    ".join(
-        f"min(({a} * h + {b}) % {_MINHASH_P}) AS h{i}"
-        for i, (a, b) in enumerate(_MINHASH_AB[:n_hashes])
-    )
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS bkey FROM sig".format(
             b=b, cols=", ".join(f"h{b * r + j}" for j in range(r))
@@ -231,16 +270,14 @@ def minhash_lsh_sql(
         if ex_source is None
         else f"ex AS (SELECT doc_id, s FROM {ex_source})"
     )
+    sig_cte = (
+        f"sig AS (\n{minhash_sig_sql(dialect, n_hashes)}\n)"
+        if sig_source is None
+        else f"sig AS (SELECT * FROM {sig_source})"
+    )
     return f"""
 WITH {ex_cte},
-hx AS (
-  SELECT doc_id, {_hex_to_int(dialect, 'md5(s)')} AS h FROM ex
-),
-sig AS (
-  SELECT doc_id,
-    {hash_aggs}
-  FROM hx GROUP BY doc_id
-),
+{sig_cte},
 bands AS (
 {band_selects}
 ),
@@ -274,7 +311,7 @@ WHERE CAST(v.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - v.shared) >= {threshold}
 # D3: SimHash fingerprints + pigeonhole-blocked near-dup pairs
 # ---------------------------------------------------------------------------
 
-def _simhash_fp_cte(dialect: str, n_bits: int = 32) -> str:
+def _simhash_fp_cte(dialect: str, n_bits: int = 32, docs_source: str = "docs_tok") -> str:
     votes = ",\n    ".join(
         f"sum(tf * (2.0 * (CAST(floor(h / {1 << i}) AS BIGINT) % 2) - 1.0)) AS v{i}"
         for i in range(n_bits)
@@ -285,7 +322,7 @@ def _simhash_fp_cte(dialect: str, n_bits: int = 32) -> str:
     )
     return f"""tok AS (
   SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
-  FROM docs_tok {_unnest(dialect, 'toks', 't')}
+  FROM {docs_source} {_unnest(dialect, 'toks', 't')}
   GROUP BY doc_id, t
 ),
 hashed AS (
@@ -301,15 +338,19 @@ fp AS (
 )"""
 
 
-def simhash_sql(dialect: str) -> str:
+def simhash_sql(dialect: str, docs_source: str = "docs_tok") -> str:
     """Per-doc 32-bit SimHash fingerprint (tf-weighted bit votes).
 
     One explode + two hash-aggregates; the 32 bit-votes are computed as
     32 conditional sums in a single groupBy pass (no 32x row blowup)."""
-    return f"WITH {_simhash_fp_cte(dialect)}\nSELECT doc_id, fingerprint FROM fp".strip()
+    return (f"WITH {_simhash_fp_cte(dialect, docs_source=docs_source)}"
+            "\nSELECT doc_id, fingerprint FROM fp").strip()
 
 
-def simhash_pairs_sql(dialect: str, max_hamming: int = 3, chunks: int = 4) -> str:
+def simhash_pairs_sql(
+    dialect: str, max_hamming: int = 3, chunks: int = 4,
+    docs_source: str = "docs_tok", fp_source: str | None = None,
+) -> str:
     """Near-dup pairs with hamming(fp_a, fp_b) <= T via pigeonhole
     blocking: with 4 chunks of 8 bits, hamming <= 3 implies at least one
     chunk is identical, so candidates come from a chunk equi-join —
@@ -321,8 +362,13 @@ def simhash_pairs_sql(dialect: str, max_hamming: int = 3, chunks: int = 4) -> st
         for c in range(chunks)
     )
     ham = f"bit_count({_xor(dialect, 'fp_a', 'fp_b')})"
+    fp_cte = (
+        _simhash_fp_cte(dialect, docs_source=docs_source)
+        if fp_source is None
+        else f"fp AS (SELECT doc_id, fingerprint FROM {fp_source})"
+    )
     return f"""
-WITH {_simhash_fp_cte(dialect)},
+WITH {fp_cte},
 chunks AS (
 {chunk_selects}
 ),
@@ -356,32 +402,69 @@ SELECT doc_id, blk, gram FROM (
 """.strip()
 
 
+def ngram_arr_sql(dialect: str, n: int = 4, source: str = "documents") -> str:
+    """The gram-ARRAY relation (doc_id, blk, grams): each doc's distinct
+    char n-grams as one array row, plus the length-bucket block. Tiny
+    relative to the exploded postings (one row per doc), so at scale it
+    broadcasts. The Spark runner materializes this FIRST and derives the
+    postings by exploding the concrete column (see minhash_arr_sql for
+    why exploding unevaluated expressions is pathological)."""
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+SELECT doc_id, n_chars {div} 32 AS blk,
+       {char_ngrams(dialect, 'lower(text)', n)} AS grams
+FROM {source}
+""".strip()
+
+
+def ngram_ex_from_arr_sql(dialect: str, source: str = "_ng_arr") -> str:
+    """Gram postings exploded from a pre-materialized array column."""
+    return f"""
+SELECT doc_id, blk, gram FROM {source} {_unnest(dialect, 'grams', 'gram')}
+""".strip()
+
+
 def ngram_jaccard_sql(
-    dialect: str, n: int = 4, threshold: float = 0.6, ex_source: str | None = None,
+    dialect: str, n: int = 4, threshold: float = 0.6,
+    ex_source: str | None = None, arr_source: str | None = None,
 ) -> str:
     """Char-4-gram Jaccard within length-bucket blocks (n_chars DIV 32)
-    with an EXACT prefix filter (AllPairs/PPJoin, Bayardo et al. WWW'07 /
-    Xiao et al. WWW'08): order each doc's grams by global document
-    frequency ascending (rarest first, gram tie-break), index only the
-    first |A| - ceil(t*|A|) + 1 grams — if J(A,B) >= t the two prefixes
-    must share a gram, so candidates come from an equi-join of the
-    (small, rare-gram) prefix postings instead of all postings. A size
-    filter (min/max >= t) prunes further; survivors are verified with a
-    shared-gram count join, |A∪B| = na + nb - c. No recall loss: the
-    prefix theorem is exact for a consistent global order.
+    with an EXACT prefix + positional filter (AllPairs/PPJoin, Bayardo
+    et al. WWW'07 / Xiao et al. WWW'08): order each doc's grams by
+    global document frequency ascending (rarest first, gram tie-break),
+    index only the first |A| - ceil(t*|A|) + 1 grams — if J(A,B) >= t
+    the two prefixes must share a gram, so candidates come from an
+    equi-join of the (small, rare-gram) prefix postings instead of all
+    postings. Three exact pruning predicates on the prefix join: size
+    (min >= t*max), and the PPJoin positional bound — overlap <= 1 +
+    min(n_a - pos_a, n_b - pos_b) must reach the equivalent overlap
+    threshold ceil(t/(1+t)*(n_a+n_b)); for the first shared gram under
+    the global order the bound is tight, so no true pair is lost.
+    Survivors are verified per-pair with one array intersection against
+    the (broadcastable, one-row-per-doc) gram arrays — per-pair O(|A|+
+    |B|) with no posting re-explosion, so the verify stage shuffles
+    |cand| rows, not |cand| x grams.
 
     Scale story: the candidate join touches only rare grams (bounded
     posting lists — frequency-ascending order is also the skew fix),
-    per-pair work is a counter, never an array intersection; blocking by
-    length bucket caps fanout on top.
+    blocking by length bucket caps fanout on top, and verification is a
+    broadcast join against per-doc arrays.
     """
     ex_cte = (
         f"ex AS (\n{ngram_ex_sql(dialect, n)}\n)"
         if ex_source is None
         else f"ex AS (SELECT doc_id, blk, gram FROM {ex_source})"
     )
+    arr_cte = (
+        f"arr AS (\n{ngram_arr_sql(dialect, n)}\n)"
+        if arr_source is None
+        else f"arr AS (SELECT doc_id, grams FROM {arr_source})"
+    )
+    inter = _len(dialect, _intersect(dialect, "ga.grams", "gb.grams"))
+    alpha = f"ceil({threshold} / (1.0 + {threshold}) * (a.n_g + b.n_g))"
     return f"""
 WITH {ex_cte},
+{arr_cte},
 sizes AS (
   SELECT doc_id, count(*) AS n_g FROM ex GROUP BY doc_id
 ),
@@ -389,7 +472,7 @@ gf AS (
   SELECT gram, count(*) AS df FROM ex GROUP BY gram
 ),
 pref AS (
-  SELECT doc_id, blk, gram, n_g FROM (
+  SELECT doc_id, blk, gram, n_g, rnk FROM (
     SELECT e.doc_id, e.blk, e.gram, s.n_g,
            row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.gram) AS rnk
     FROM ex e
@@ -403,20 +486,20 @@ cand AS (
   FROM pref a JOIN pref b
     ON a.blk = b.blk AND a.gram = b.gram AND a.doc_id < b.doc_id
   WHERE CAST(least(a.n_g, b.n_g) AS DOUBLE) >= {threshold} * greatest(a.n_g, b.n_g)
+    AND 1 + least(a.n_g - a.rnk, b.n_g - b.rnk) >= {alpha}
 ),
-shared AS (
-  SELECT c.id_a, c.id_b, count(*) AS c
+ver AS (
+  SELECT c.id_a, c.id_b,
+         CAST({inter} AS DOUBLE) AS c,
+         {_len(dialect, 'ga.grams')} AS na,
+         {_len(dialect, 'gb.grams')} AS nb
   FROM cand c
-  JOIN ex a ON a.doc_id = c.id_a
-  JOIN ex b ON b.doc_id = c.id_b AND b.gram = a.gram
-  GROUP BY c.id_a, c.id_b
+  JOIN arr ga ON ga.doc_id = c.id_a
+  JOIN arr gb ON gb.doc_id = c.id_b
 )
-SELECT s.id_a, s.id_b,
-       round(CAST(s.c AS DOUBLE) / (sa.n_g + sb.n_g - s.c), 6) AS jaccard
-FROM shared s
-JOIN sizes sa ON sa.doc_id = s.id_a
-JOIN sizes sb ON sb.doc_id = s.id_b
-WHERE CAST(s.c AS DOUBLE) / (sa.n_g + sb.n_g - s.c) >= {threshold}
+SELECT id_a, id_b, round(c / (na + nb - c), 6) AS jaccard
+FROM ver
+WHERE c / (na + nb - c) >= {threshold}
 """.strip()
 
 

@@ -637,8 +637,37 @@ def graph_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 register_sql("dedup_exact", DD.dedup_exact_sql, [])
-register_sql("dedup_simhash", DD.simhash_sql, ["docs_tok"])
-register_sql("dedup_simhash_pairs", DD.simhash_pairs_sql, ["docs_tok"])
+
+
+def _simhash_fp_view(spark: SparkSession) -> None:
+    """Materialize concrete token arrays, then the 5k-row fingerprint
+    relation (referenced once per pigeonhole chunk — Spark re-evaluates
+    inlined CTEs per reference, and exploding an unevaluated
+    higher-order expression is pathological, see minhash_arr_sql)."""
+    toks = spark.sql("SELECT doc_id, toks FROM docs_tok_par").localCheckpoint(eager=True)
+    toks.createOrReplaceTempView("_sh_toks")
+    fp = spark.sql(
+        DD.simhash_sql("spark", docs_source="_sh_toks")
+    ).localCheckpoint(eager=True)
+    fp.createOrReplaceTempView("_sh_fp")
+
+
+@register("dedup_simhash", with_oracle_ctes(DD.simhash_sql("duckdb"), ["docs_tok"]))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 SimHash fingerprints (tf-weighted 32-bit bit votes)."""
+    load_tables(spark, sf_dir)
+    toks = spark.sql("SELECT doc_id, toks FROM docs_tok_par").localCheckpoint(eager=True)
+    toks.createOrReplaceTempView("_sh_toks")
+    return spark.sql(DD.simhash_sql("spark", docs_source="_sh_toks"))
+
+
+@register("dedup_simhash_pairs",
+          with_oracle_ctes(DD.simhash_pairs_sql("duckdb"), ["docs_tok"]))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 near-dup pairs via 4x8-bit pigeonhole chunk blocking."""
+    load_tables(spark, sf_dir)
+    _simhash_fp_view(spark)
+    return spark.sql(DD.simhash_pairs_sql("spark", fp_source="_sh_fp"))
 
 
 @register("dedup_minhash_lsh",
@@ -649,11 +678,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive explode would otherwise run 4x; DuckDB materializes CTEs
     natively, so the oracle is the single-statement form."""
     load_tables(spark, sf_dir)
+    arr = spark.sql(
+        DD.minhash_arr_sql("spark", source="docs_tok_par")
+    ).localCheckpoint(eager=True)
+    arr.createOrReplaceTempView("_mh_arr")
     ex = spark.sql(
-        DD.minhash_ex_sql("spark", source="docs_tok_par")
+        DD.minhash_ex_from_arr_sql("spark")
     ).localCheckpoint(eager=True)
     ex.createOrReplaceTempView("_mh_ex")
-    return spark.sql(DD.minhash_lsh_sql("spark", ex_source="_mh_ex"))
+    sig = spark.sql(
+        DD.minhash_sig_sql("spark", ex_source="_mh_ex")
+    ).localCheckpoint(eager=True)
+    sig.createOrReplaceTempView("_mh_sig")
+    return spark.sql(
+        DD.minhash_lsh_sql("spark", ex_source="_mh_ex", sig_source="_mh_sig"))
 
 
 @register("dedup_ngram_jaccard",
@@ -663,11 +701,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark materializes the gram postings once (localCheckpoint); the
     oracle re-derives them per CTE reference (DuckDB materializes)."""
     load_tables(spark, sf_dir)
+    arr = spark.sql(
+        DD.ngram_arr_sql("spark", source="documents_par")
+    ).localCheckpoint(eager=True)
+    arr.createOrReplaceTempView("_ng_arr")
     ex = spark.sql(
-        DD.ngram_ex_sql("spark", source="documents_par")
+        DD.ngram_ex_from_arr_sql("spark")
     ).localCheckpoint(eager=True)
     ex.createOrReplaceTempView("_ng_ex")
-    return spark.sql(DD.ngram_jaccard_sql("spark", ex_source="_ng_ex"))
+    return spark.sql(DD.ngram_jaccard_sql(
+        "spark", ex_source="_ng_ex", arr_source="_ng_arr"))
 
 from kektordb_spark.operators import blockgemm as BG  # noqa: E402
 
