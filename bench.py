@@ -20,41 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kektordb_spark.plans import registry
 from kektordb_spark.session import get_spark
 
-# Headline set: one per operator family (kept in sync with SURVEY.md §2).
-HEADLINE = [
-    "rel_pricing_summary",
-    "rel_topk_orders",
-    "rel_window_running",
-    "filter_dsl_or_and",
-    "filter_dsl_neq_missing",
-    "knn_cosine_top10",
-    "knn_euclidean_top10",
-    "ivf_knn",
-    "knn_with_decay",
-    "bm25_top10",
-    "text_stats",
-    "text_lang_id",
-    "text_quality_score",
-    "text_fingerprint",
-    "decay_scores",
-    "hybrid_fusion_top15",
-    "hybrid_contains_filter",
-    "adaptive_retrieval",
-    "graph_bfs_depth3",
-    "graph_degree_timetravel",
-    "graph_find_path",
-    "graph_subgraph",
-    "graph_traverse_2hop",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_topk",
-    "epistemic_belief_state",
-    "gardener_consolidation_clusters",
-    "gardener_knowledge_gaps",
-    "compiler_computed_fields",
-]
+# Headline set: every registered query (kept in sync automatically —
+# the registry is the SURVEY.md §2 inventory).
+HEADLINE = list(registry.queries())
 
 
 def main() -> None:
@@ -83,8 +51,7 @@ def main() -> None:
         # manager memory and are never auto-released while the session
         # lives, which skews later timings).
         spark.catalog.clearCache()
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for jrdd in jmap.values().toArray():
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             jrdd.unpersist()
 
     total = round(sum(timings.values()), 3)
