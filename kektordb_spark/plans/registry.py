@@ -885,6 +885,61 @@ def graph_evolution_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register_sql("text_compress_context", TQ.compress_context_sql, [])
 register_sql("text_info_density", TQ.info_density_sql, ["docs_tok"])
+
+# --------------------------------------------------------------------------
+# G10 connections, T5 chunk splitter, streaming surface (ST1 + windows)
+# --------------------------------------------------------------------------
+
+from kektordb_spark.sources.rag import chunk_fixed_sql  # noqa: E402
+from kektordb_spark.streaming import events as ST  # noqa: E402
+
+
+def _connections_sql(dialect: str) -> str:
+    """G10 VGetConnections (ops.go:1213-1267): 1-hop edge expansion of
+    given nodes + hydration of the target rows (here: order totals);
+    dangling links surface as NULL hydrations (the reference repairs
+    them in background — the anti-join is the same predicate)."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    tt = G.time_travel_pred_sql(T_MID)
+    return f"""
+SELECT e.src AS node, e.rel, e.dst, round(e.weight, 2) AS weight,
+       round(o.o_totalprice, 2) AS dst_totalprice
+FROM edges e
+LEFT JOIN orders o ON e.dst = concat('o_', CAST(o.o_orderkey AS {s}))
+WHERE e.src IN ('p_1', 'p_7', 'p_13') AND {tt}
+""".strip()
+
+
+register_sql("graph_connections", _connections_sql, ["edges"])
+register_sql("rag_chunks_fixed", chunk_fixed_sql, [])
+
+
+@register("streaming_windowed_counts", ST.windowed_counts_oracle_sql("duckdb"))
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1 + tumbling windows: file-source stream -> watermark ->
+    windowed stateful aggregation -> memory sink (availableNow trigger,
+    runs to completion). The stream answer equals the epoch-bucket SQL
+    oracle — same declarative window spec, batch or incremental."""
+    load_tables(spark, sf_dir)
+    stream = ST.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    res = ST.run_to_memory(spark, ST.windowed_event_counts(stream), "win_counts")
+    return res.select(
+        F.unix_timestamp("w_start").cast("bigint").alias("w_start_epoch"),
+        "event_type", "n", "total_value")
+
+
+@register("streaming_session_windows", ST.session_windows_oracle_sql("duckdb"))
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap 30 min) per user over the event stream; the
+    oracle is the classic gaps-and-islands SQL. Watermark + session
+    state in the stream run; one shuffle keyed on user in batch."""
+    load_tables(spark, sf_dir)
+    stream = ST.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    res = ST.run_to_memory(spark, ST.session_windows(stream), "sessions")
+    return res.select(
+        F.unix_micros("session_start").alias("s_us"),
+        F.unix_micros("session_end").alias("e_us"),
+        "user_id", "n_events", "total_value")
 register_sql("text_lang_id", TQ.lang_id_sql, [])
 register_sql("text_quality_score", TQ.quality_score_sql, [])
 register_sql("text_token_count", TQ.token_count_sql, [])

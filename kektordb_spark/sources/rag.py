@@ -176,3 +176,25 @@ def ingest(docs: DataFrame, now: int = 0, chunk_size: int = 60, overlap: int = 1
         F.col("doc_id"), F.col("chunk_index"), F.col("chunk_text"),
     )
     return vectors, chunk_link_edges(chunks, now=now)
+
+
+def chunk_fixed_sql(
+    dialect: str, chunk_size: int = 60, overlap: int = 10,
+    source: str = "documents",
+) -> str:
+    """T5 fixed-size chunk splitter (pkg/rag/splitter.go fixed mode) as
+    pure SQL — start offsets every (chunk_size - overlap) chars,
+    trailing chunk may be short. The SQL form is the 100 TB path (stays
+    in codegen, no Python), bit-identical to split_fixed()."""
+    step = max(1, chunk_size - overlap)
+    nchunks = f"CAST(ceil(length(text) / {step}.0) AS BIGINT)"
+    if dialect == "spark":
+        lat = f"LATERAL VIEW explode(sequence(1, {nchunks})) _t AS i"
+    else:
+        lat = f", unnest(range(1, {nchunks} + 1)) AS _t(i)"
+    return f"""
+SELECT doc_id, CAST(i - 1 AS INT) AS chunk_index,
+       substr(text, CAST((i - 1) * {step} + 1 AS INT), {chunk_size}) AS chunk_text
+FROM {source} {lat}
+WHERE length(text) > 0
+""".strip()

@@ -39,11 +39,18 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     discovered per micro-batch — the reference's mtime rescan). The
     TIMESTAMP(NANOS) column arrives as long (nanosAsLong) and is
     rebuilt exactly like the batch path (tables.load_tables)."""
-    raw = (
+    import os
+
+    reader = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)  # bounded micro-batches
-        .parquet(events_dir)
     )
+    if events_dir.endswith(".parquet") and os.path.isfile(events_dir):
+        # A single-file fixture: the file source wants a directory, so
+        # stream the parent filtered down to just this file.
+        reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
+        events_dir = os.path.dirname(events_dir)
+    raw = reader.parquet(events_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
@@ -129,3 +136,72 @@ class GardenerTrigger:
             self.cycles.append(self.pending)
             self.on_think(self.pending)
             self.pending = 0
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract surface: the streaming paths as oracle-checkable queries.
+# The STREAM run (file source -> watermark -> stateful agg -> memory sink,
+# availableNow trigger) must equal the batch/SQL answer — that equality is
+# the point: the same declarative window spec serves both modes.
+# ---------------------------------------------------------------------------
+
+_SINK_SEQ = [0]
+
+
+def run_to_memory(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the result table."""
+    _SINK_SEQ[0] += 1
+    name = f"{prefix}_{_SINK_SEQ[0]}"
+    q = (
+        df.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def windowed_counts_oracle_sql(dialect: str, window_s: int = 21600) -> str:
+    """Tumbling-window oracle: epoch-aligned bucket arithmetic."""
+    div = "DIV" if dialect == "spark" else "//"
+    ep = (
+        "CAST(unix_timestamp(ts) AS BIGINT)" if dialect == "spark"
+        else "CAST(floor(epoch(ts)) AS BIGINT)"
+    )
+    return f"""
+SELECT ({ep} {div} {window_s}) * {window_s} AS w_start_epoch,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY ({ep} {div} {window_s}) * {window_s}, event_type
+""".strip()
+
+
+def session_windows_oracle_sql(dialect: str, gap_us: int = 1800000000) -> str:
+    """Session-window oracle: gaps-and-islands (lag + cumulative sum of
+    session breaks) — the classic SQL equivalent of session_window()."""
+    if dialect == "spark":
+        us = "unix_micros(ts)"
+    else:
+        us = "epoch_us(ts)"
+    return f"""
+WITH e AS (SELECT user_id, event_id, ts, value, {us} AS us FROM events),
+m AS (
+  SELECT user_id, event_id, ts, value, us,
+         CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= {gap_us}
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+g AS (
+  SELECT user_id, value, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT min(us) AS s_us, max(us) + {gap_us} AS e_us, user_id,
+       CAST(count(*) AS INT) AS n_events, round(sum(value), 2) AS total_value
+FROM g GROUP BY user_id, sid
+""".strip()
