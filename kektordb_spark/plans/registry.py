@@ -914,6 +914,47 @@ register_sql("graph_connections", _connections_sql, ["edges"])
 register_sql("rag_chunks_fixed", chunk_fixed_sql, [])
 
 
+from kektordb_spark.sources import multimodal as MM  # noqa: E402
+
+
+@register("multimodal_features", MM.media_features_oracle_sql("duckdb"))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column path: documents-derived media table
+    (opaque binary payload + typed metadata) through the REAL
+    mapInPandas feature kernel (Arrow batches, stubbed decode with
+    deterministic features) — every output is re-derived from the
+    sha256 digest by the SQL oracle, so the plumbing is value-checked
+    end-to-end. Map-only: the binary column never crosses a shuffle."""
+    load_tables(spark, sf_dir)
+    feats = MM.extract_features(MM.media_from_documents(spark))
+    return feats.select(
+        "media_id", "kind", "n_bytes", "sha256",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("feat_0"),
+        F.round(F.element_at("feature", 16).cast("double"), 6).alias("feat_15"),
+        "frames_sampled")
+
+
+_FRAME_PLAN_ORACLE = """
+WITH v AS (
+  SELECT concat('m_', CAST(doc_id AS VARCHAR)) AS media_id,
+         CAST(n_chars AS DOUBLE) / 100.0 AS duration_s,
+         greatest(CAST(floor(CAST(n_chars AS DOUBLE) / 100.0 * 0.5) AS INT), 1) AS n_frames
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 = 2
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       round(i * (duration_s / n_frames), 3) AS sample_ts
+FROM v, unnest(range(0, n_frames)) AS _t(i)
+""".strip()
+
+
+@register("multimodal_frame_plan", _FRAME_PLAN_ORACLE)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (metadata-only posexplode; the heavy
+    decode joins back only for planned frames — bytes never explode)."""
+    load_tables(spark, sf_dir)
+    return MM.frame_sample_plan(MM.media_from_documents(spark), fps=0.5)
+
+
 @register("streaming_windowed_counts", ST.windowed_counts_oracle_sql("duckdb"))
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1 + tumbling windows: file-source stream -> watermark ->

@@ -137,3 +137,66 @@ def synthetic_media(spark: SparkSession, n: int = 24) -> DataFrame:
             {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
         ))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_from_documents(spark: SparkSession, mod: int = 5) -> DataFrame:
+    """Derive a deterministic media table from the documents fixture:
+    payload = utf-8 text bytes as the opaque binary column, kind cycling
+    image/audio/video, geometry/duration from n_chars. Stands in for a
+    blob-store scan so the multimodal path keys off the driver testdata."""
+    return spark.sql(f"""
+SELECT concat('m_', CAST(doc_id AS STRING)) AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(text AS BINARY) AS content,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(64 + n_chars % 512 AS INT) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(48 + n_chars % 384 AS INT) END AS height,
+       CASE WHEN doc_id % 3 <> 0
+            THEN CAST(n_chars AS DOUBLE) / 100.0 END AS duration_s,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime
+FROM documents
+WHERE doc_id % {mod} = 0
+""".strip())
+
+
+def media_features_oracle_sql(dialect: str, mod: int = 5) -> str:
+    """SQL oracle for the mapInPandas feature kernel: every output of
+    the stub decode is derivable from the sha256 hex digest, so the
+    whole binary->feature path is checkable without Python. feat_i =
+    digest_byte_i / 255."""
+    if dialect == "spark":
+        h = "sha2(CAST(text AS BINARY), 256)"
+
+        def byte(i: int) -> str:
+            return f"CAST(conv(substr(h, {2 * i + 1}, 2), 16, 10) AS DOUBLE)"
+    else:
+        h = "sha256(text)"
+
+        def byte(i: int) -> str:
+            return f"CAST(CAST(concat('0x', substr(h, {2 * i + 1}, 2)) AS INT) AS DOUBLE)"
+
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+
+    def feat(i: int) -> str:
+        # through float32 like the kernel's array<float> column, then
+        # back to double for the rounded comparison value
+        return f"round(CAST(CAST({byte(i)} / 255.0 AS FLOAT) AS DOUBLE), 6)"
+
+    return f"""
+WITH m AS (
+  SELECT doc_id, {h} AS h, length(text) AS n_bytes,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         CASE WHEN doc_id % 3 <> 0 THEN n_chars / 100.0 END AS duration_s
+  FROM documents WHERE doc_id % {mod} = 0
+)
+SELECT concat('m_', CAST(doc_id AS {s})) AS media_id, kind,
+       CAST(n_bytes AS INT) AS n_bytes, h AS sha256,
+       {feat(0)} AS feat_0,
+       {feat(15)} AS feat_15,
+       CAST(CASE WHEN kind = 'video' AND duration_s > 0
+                 THEN greatest(CAST(floor(duration_s) AS INT), 1)
+                 ELSE 1 END AS INT) AS frames_sampled
+FROM m
+""".strip()
