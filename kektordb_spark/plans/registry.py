@@ -824,6 +824,20 @@ register_sql(
     ["edges"],
     doc=LC.cross_validator_sql.__doc__,
 )
+def _reinforce_sql(dialect: str) -> str:
+    """H7 VReinforce (ops.go:697-781) as the MERGE post-image: touched
+    memories get last_accessed=now and access_count+1. The touched set
+    is a predicate (scales as a semi-join, never a driver-side id
+    list); at scale this is one MERGE keyed on id."""
+    return f"""
+SELECT id, {T_EVENTS_LATE} AS last_accessed,
+       CAST(access_count + 1 AS INT) AS access_count
+FROM mem
+WHERE NOT deleted AND event_type = 'view' AND user_id % 10 = 0
+""".strip()
+
+
+register_sql("memory_reinforce", _reinforce_sql, ["mem"])
 register_sql("gardener_session_summary", LC.session_summary_sql, [])
 register_sql("gardener_user_profile", LC.user_profile_sql, [])
 register_sql("compiler_artifact_diff", LC.artifact_diff_sql, [])
