@@ -195,3 +195,63 @@ def lsh_bucketed_knn(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def lsh_bucketed_knn_oracle_sql(
+    dialect: str,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    n_queries: int = 10,
+) -> str:
+    """Exact oracle for lsh_bucketed_knn: the hyperplanes are a seeded
+    deterministic lattice and every dot product is a fold with
+    identical association order on both engines, so the approximate
+    result is bit-reproducible — the oracle replays the same buckets,
+    candidate join, and ranking in pure SQL."""
+    import random
+
+    from kektordb_spark.tables import dot_sql
+
+    rng = random.Random(seed)
+    planes = [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+    def arr_lit(plane: list[float]) -> str:
+        inner = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane)
+        return f"array({inner})" if dialect == "spark" else f"[{inner}]"
+
+    def sig(t: int) -> str:
+        bits = []
+        for p_i, plane in enumerate(planes[t]):
+            d = dot_sql(dialect, "v", arr_lit(plane))
+            bits.append(f"CASE WHEN {d} >= 0.0 THEN {1 << p_i} ELSE 0 END")
+        return " + ".join(bits)
+
+    bucket_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, v, norm, {t} AS tbl, {sig(t)} AS sig FROM emb"
+        for t in range(n_tables)
+    )
+    dist = dot_sql(dialect, "q.v", "c.v")
+    return f"""
+WITH buckets AS (
+{bucket_selects}
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         1.0 - ({dist}) / (q.norm * c.norm) AS dist
+  FROM buckets q
+  JOIN buckets c ON c.tbl = q.tbl AND c.sig = q.sig
+  WHERE q.vec_id < {n_queries} AND c.vec_id >= {n_queries}
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       round(dist, 6) + 0.0 AS dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM cand
+) t WHERE rank <= {k}
+""".strip()

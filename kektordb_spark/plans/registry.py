@@ -271,6 +271,120 @@ FROM (
 register_sql("knn_int8_top10", _knn_int8_sql, ["emb"])
 
 
+@register("lsh_knn", with_oracle_ctes(KNN.lsh_bucketed_knn_oracle_sql("duckdb"), ["emb"]))
+def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1-approximate at scale: random-hyperplane LSH — candidates from
+    a (table, signature) bucket equi-join, never a cross product. The
+    seeded hyperplane lattice + identical fold order make even this
+    approximate path bit-reproducible against the SQL oracle."""
+    load_tables(spark, sf_dir)
+    queries, cands = _emb_queries(spark)
+    res = KNN.lsh_bucketed_knn(
+        cands, queries, k=10, id_col="vec_id", vec_col="v", norm_col="norm")
+    return res.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+        (F.round("dist", 6) + 0.0).alias("dist"),
+    )
+
+
+_CACHE_BASE = 1704067200  # 2024-01-01 UTC
+_CACHE_NOW = _CACHE_BASE + 120000
+_CACHE_TTL = 86400
+
+
+def _semantic_cache_sql(dialect: str, thr: float = 0.35, k_q: int = 5) -> str:
+    """ST5 semantic cache lookup (pkg/proxy/proxy.go:408-463): nearest
+    cached entry within the similarity threshold AND the TTL window —
+    V1 with k=1 plus two predicates. Misses produce no row (the proxy
+    then forwards). Cache timestamps are a deterministic function of
+    the id (fixture stand-in for insert time)."""
+    dot = dot_sql(dialect, "q.v", "c.v")
+    return f"""
+WITH cache AS (
+  SELECT vec_id, v, norm,
+         {_CACHE_BASE} + (vec_id % 1000) * 120 AS created_at
+  FROM emb WHERE vec_id >= 10
+),
+d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS hit_id,
+         1.0 - ({dot}) / (q.norm * c.norm) AS dist, c.created_at
+  FROM emb q CROSS JOIN cache c
+  WHERE q.vec_id < {k_q}
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, hit_id ASC) AS rn
+  FROM d
+  WHERE dist <= {thr} AND created_at >= {_CACHE_NOW - _CACHE_TTL}
+)
+SELECT query_id, hit_id, round(dist, 6) AS dist, created_at
+FROM r WHERE rn = 1
+""".strip()
+
+
+register_sql("semantic_cache_lookup", _semantic_cache_sql, ["emb"])
+
+
+def _search_graph_oracle(dialect: str = "duckdb", k: int = 5) -> str:
+    """G6 VSearchGraph (ops.go:541-589): k-NN seeds, then per-result
+    relation expansion + hydration of the connected rows."""
+    dot = dot_sql(dialect, "q.v", "c.v")
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    tt = G.time_travel_pred_sql(T_MID)
+    return f"""
+WITH d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         1.0 - ({dot}) / (q.norm * c.norm) AS dist
+  FROM emb q CROSS JOIN emb c
+  WHERE q.vec_id = 0 AND c.vec_id <> 0
+),
+seeds AS (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM d
+),
+topk AS (SELECT * FROM seeds WHERE rank <= {k})
+SELECT t.query_id, t.neighbor_id, CAST(t.rank AS INT) AS rank,
+       round(t.dist, 6) AS dist, e.rel, e.dst,
+       round(o.o_totalprice, 2) AS dst_totalprice
+FROM topk t
+LEFT JOIN edges e
+  ON e.src = concat('p_', CAST(t.neighbor_id AS {s})) AND {tt}
+LEFT JOIN orders o ON e.dst = concat('o_', CAST(o.o_orderkey AS {s}))
+""".strip()
+
+
+@register("graph_search_relations",
+          with_oracle_ctes(_search_graph_oracle(), ["emb", "edges"]))
+def graph_search_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 composed from the library operators: knn_exact seeds -> edge
+    expansion (broadcast the tiny seed set) -> hydration join."""
+    load_tables(spark, sf_dir)
+    emb = spark.table("emb")
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"))
+    res = KNN.knn_exact(
+        emb, queries, k=5, metric="cosine",
+        id_col="vec_id", vec_col="v", norm_col="norm", exclude_self=True)
+    seeds = res.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"), F.round("dist", 6).alias("dist"))
+    edges = G.active_at(spark.table("edges"), T_MID).select("src", "rel", "dst")
+    orders = spark.table("orders")
+    return (
+        F.broadcast(seeds)
+        .join(edges, edges["src"] == F.concat(F.lit("p_"),
+              F.col("neighbor_id").cast("string")), "left")
+        .join(orders, F.col("dst") == F.concat(F.lit("o_"),
+              F.col("o_orderkey").cast("string")), "left")
+        .select("query_id", "neighbor_id", "rank", "dist", "rel", "dst",
+                F.round("o_totalprice", 2).alias("dst_totalprice"))
+    )
+
+
 _GRAPH_KNN_ROOT = "n_1"
 
 
