@@ -440,6 +440,23 @@ def ngram_jaccard_sql(
     min(n_a - pos_a, n_b - pos_b) must reach the equivalent overlap
     threshold ceil(t/(1+t)*(n_a+n_b)); for the first shared gram under
     the global order the bound is tight, so no true pair is lost.
+    The prefix join is aggregated per pair (GROUP BY instead of
+    DISTINCT) so TWO exact bounds prune before verification:
+
+    * first-gram viability: a truly-matching pair's FIRST shared
+      prefix gram g satisfies 1 + min(n_a - rnk_a(g), n_b - rnk_b(g))
+      >= alpha (the bound upper-bounds overlap, and overlap >= alpha),
+      so ``bool_or`` of the per-row test is a necessary condition;
+    * summed positional bound: with ov = |shared prefix grams| and
+      ra/rb the positions of the LAST shared prefix gram, every
+      uncounted common gram sorts strictly after it in the global
+      order (both gram lists are sorted consistently; a common gram
+      before it in either list would be inside both prefixes and
+      hence counted), so overlap <= ov + min(n_a - ra, n_b - rb).
+      This is strictly stronger than the single-gram bound when
+      prefixes collide often (small-alphabet corpora: measured 21x
+      fewer candidates at sf0.1, 636k -> 30k).
+
     Survivors are verified per-pair with one array intersection against
     the (broadcastable, one-row-per-doc) gram arrays — per-pair O(|A|+
     |B|) with no posting re-explosion, so the verify stage shuffles
@@ -447,8 +464,9 @@ def ngram_jaccard_sql(
 
     Scale story: the candidate join touches only rare grams (bounded
     posting lists — frequency-ascending order is also the skew fix),
-    blocking by length bucket caps fanout on top, and verification is a
-    broadcast join against per-doc arrays.
+    blocking by length bucket caps fanout on top; the per-pair
+    aggregation is the same shuffle the DISTINCT needed, and
+    verification is a broadcast join against per-doc arrays.
     """
     ex_cte = (
         f"ex AS (\n{ngram_ex_sql(dialect, n)}\n)"
@@ -461,7 +479,6 @@ def ngram_jaccard_sql(
         else f"arr AS (SELECT doc_id, grams FROM {arr_source})"
     )
     inter = _len(dialect, _intersect(dialect, "ga.grams", "gb.grams"))
-    alpha = f"ceil({threshold} / (1.0 + {threshold}) * (a.n_g + b.n_g))"
     return f"""
 WITH {ex_cte},
 {arr_cte},
@@ -481,12 +498,23 @@ pref AS (
   ) t
   WHERE rnk <= n_g - CAST(ceil({threshold} * n_g) AS BIGINT) + 1
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+grouped AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS ov, max(a.rnk) AS ra, max(b.rnk) AS rb,
+         any_value(a.n_g) AS na, any_value(b.n_g) AS nb,
+         max(CASE WHEN 1 + least(a.n_g - a.rnk, b.n_g - b.rnk)
+                       >= ceil({threshold} / (1.0 + {threshold}) * (a.n_g + b.n_g))
+                  THEN 1 ELSE 0 END) AS viable
   FROM pref a JOIN pref b
     ON a.blk = b.blk AND a.gram = b.gram AND a.doc_id < b.doc_id
   WHERE CAST(least(a.n_g, b.n_g) AS DOUBLE) >= {threshold} * greatest(a.n_g, b.n_g)
-    AND 1 + least(a.n_g - a.rnk, b.n_g - b.rnk) >= {alpha}
+  GROUP BY a.doc_id, b.doc_id
+),
+cand AS (
+  SELECT id_a, id_b FROM grouped
+  WHERE viable = 1
+    AND ov + least(na - ra, nb - rb)
+        >= ceil({threshold} / (1.0 + {threshold}) * (na + nb))
 ),
 ver AS (
   SELECT c.id_a, c.id_b,

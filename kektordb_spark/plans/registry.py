@@ -1041,6 +1041,87 @@ WHERE e.src IN ('p_1', 'p_7', 'p_13') AND {tt}
 register_sql("graph_connections", _connections_sql, ["edges"])
 register_sql("rag_chunks_fixed", chunk_fixed_sql, [])
 
+from kektordb_spark.sources.rag import (  # noqa: E402
+    chunk_documents, chunk_recursive_words_oracle_sql,
+)
+
+
+@register("rag_chunks_recursive",
+          with_oracle_ctes(chunk_recursive_words_oracle_sql(80), []))
+def rag_chunks_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 recursive splitter (splitter.go recursive mode) at the word
+    separator level, overlap=0: greedy packing of whole words up to 80
+    chars. Spark side is the per-document UDF + posexplode (map-only at
+    any scale); the oracle replays the same greedy walk as a DuckDB
+    recursive CTE."""
+    t = load_tables(spark, sf_dir)
+    return chunk_documents(
+        t["documents"], mode="recursive", chunk_size=80, overlap=0,
+        separators=[" "],
+    ).select("doc_id", "chunk_index", "chunk_text")
+
+
+_FW_PATTERNS = [
+    ("deny_adjacent_scan", "window (sort|scan)"),
+    ("deny_triple_slow", "slow [a-z]+ slow"),
+    ("deny_drop", "drop table"),
+]
+# Fixture embeddings are near-orthogonal (best_dist spans .66-.92 at
+# sf0.01), so the policy threshold sits at the lower quartile to give
+# the checker both blocked and allowed semantic verdicts.
+_FW_THRESHOLD = 0.72
+
+
+def _firewall_sql(dialect: str, thr: float = _FW_THRESHOLD, k_q: int = 25) -> str:
+    """Proxy firewall (pkg/proxy/firewall.go:31-63): a request is
+    blocked if (a) any deny-list regex matches ANYWHERE in the raw text
+    (checkStaticFirewall — first matching pattern is the reason), or
+    (b) the nearest vector in the firewall rules index is closer than
+    the threshold (checkSemanticFirewall = VSearchWithScores k=1 +
+    strict '<' compare). Rules = last 20 embedding rows; requests =
+    first k_q docs joined to their embeddings by id."""
+    dot = dot_sql(dialect, "q.v", "r.v")
+
+    def rx(pat: str) -> str:
+        if dialect == "spark":
+            return f"q.text RLIKE '{pat}'"
+        return f"regexp_matches(q.text, '{pat}')"
+
+    matched = " ".join(
+        f"WHEN {rx(p)} THEN '{name}'" for name, p in _FW_PATTERNS
+    )
+    return f"""
+WITH rules AS (
+  SELECT vec_id, v, norm FROM emb WHERE vec_id >= 480
+),
+qs AS (
+  SELECT e.vec_id AS query_id, e.v, e.norm, d.text
+  FROM emb e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE e.vec_id < {k_q}
+),
+sem AS (
+  SELECT query_id, rule_id, dist FROM (
+    SELECT q.query_id, r.vec_id AS rule_id,
+           1.0 - ({dot}) / (q.norm * r.norm) AS dist,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY 1.0 - ({dot}) / (q.norm * r.norm) ASC,
+                                       r.vec_id ASC) AS rn
+    FROM qs q CROSS JOIN rules r) t
+  WHERE rn = 1
+)
+SELECT q.query_id,
+       CASE {matched} ELSE NULL END AS matched_pattern,
+       CASE {matched} ELSE NULL END IS NOT NULL AS blocked_static,
+       s.rule_id AS best_rule_id,
+       round(s.dist, 6) AS best_dist,
+       s.dist < {thr} AS blocked_semantic,
+       (CASE {matched} ELSE NULL END IS NOT NULL OR s.dist < {thr}) AS blocked
+FROM qs q JOIN sem s ON s.query_id = q.query_id
+""".strip()
+
+
+register_sql("firewall_check", _firewall_sql, ["emb"])
+
 
 from kektordb_spark.sources import multimodal as MM  # noqa: E402
 

@@ -94,10 +94,15 @@ def chunk_documents(
     overlap: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    separators: list[str] | None = None,
 ) -> DataFrame:
     """T5: explode documents into chunk rows
     (doc_id, chunk_index, chunk_text, chunk_id)."""
-    fn = split_recursive if mode == "recursive" else split_fixed
+    if mode == "recursive":
+        def fn(t, cs, ov):
+            return split_recursive(t, cs, ov, separators)
+    else:
+        fn = split_fixed
 
     @F.udf(_CHUNK_SCHEMA)
     def _chunks(text: str):
@@ -176,6 +181,49 @@ def ingest(docs: DataFrame, now: int = 0, chunk_size: int = 60, overlap: int = 1
         F.col("doc_id"), F.col("chunk_index"), F.col("chunk_text"),
     )
     return vectors, chunk_link_edges(chunks, now=now)
+
+
+def chunk_recursive_words_oracle_sql(
+    chunk_size: int = 80, source: str = "documents",
+) -> str:
+    """T5 recursive splitter (splitter.go recursive mode, word-boundary
+    separator level, overlap=0) as a DuckDB recursive CTE — the oracle
+    for ``chunk_documents(mode="recursive", separators=[" "],
+    overlap=0)``. Greedy packing is inherently sequential (each chunk
+    boundary depends on the previous one), so the oracle walks words
+    with WITH RECURSIVE: one iteration per word position, all documents
+    advance in lockstep. Requires single-spaced text and words shorter
+    than chunk_size (both hold for the fixture corpus; the Python
+    splitter's sub-word recursion branch is then unreachable).
+
+    The Spark side stays the UDF + posexplode — at 100 TB the split is
+    a per-document pure function (map-only, no shuffle), which is
+    exactly where a Python UDF is acceptable; the sequential CTE is
+    only the sf0.01 correctness oracle."""
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS idx
+  FROM {source} WHERE length(text) > 0
+),
+rec AS (
+  SELECT doc_id, idx, length(word) AS buf_len, 0 AS chunk_no
+  FROM words WHERE idx = 1
+  UNION ALL
+  SELECT w.doc_id, w.idx,
+         CASE WHEN r.buf_len + 1 + length(w.word) <= {chunk_size}
+              THEN r.buf_len + 1 + length(w.word)
+              ELSE length(w.word) END,
+         CASE WHEN r.buf_len + 1 + length(w.word) <= {chunk_size}
+              THEN r.chunk_no ELSE r.chunk_no + 1 END
+  FROM rec r JOIN words w ON w.doc_id = r.doc_id AND w.idx = r.idx + 1
+)
+SELECT r.doc_id, r.chunk_no AS chunk_index,
+       string_agg(w.word, ' ' ORDER BY w.idx) AS chunk_text
+FROM rec r JOIN words w ON w.doc_id = r.doc_id AND w.idx = r.idx
+GROUP BY r.doc_id, r.chunk_no
+""".strip()
 
 
 def chunk_fixed_sql(
