@@ -82,14 +82,22 @@ def bfs(
         pairs = e.select(F.col("src").alias("from_n"), F.col("dst").alias("to_n")).unionAll(
             e.select(F.col("dst").alias("from_n"), F.col("src").alias("to_n"))
         )
-    # Whole BFS as ONE declarative plan: level d = distinct successors
-    # of level d-1; min-depth = groupBy(node).min over the union of all
-    # levels. No driver-side actions (isEmpty/collect) between rounds —
-    # the bounded unroll (depth<=5) keeps lineage shallow, the per-level
-    # distinct bounds each frontier by |V| so there is no path explosion,
-    # and Catalyst/AQE schedules the whole traversal as one job. Each
-    # expansion joins edges on from_n — at scale, bucket/partition the
-    # edge table by src so these joins co-locate without re-shuffle.
+    # Each unrolled round references ``pairs`` once more, and Spark
+    # inlines multiply-referenced subplans (SCALE.md rule 2) — when the
+    # edge relation is itself derived (a view over base tables), a
+    # depth-D traversal would re-derive it D times. Materialize it once;
+    # on a cluster this is the bucketed/Delta edge table that exists
+    # anyway, localCheckpoint is the local-mode stand-in.
+    if max_depth > 1:
+        pairs = pairs.localCheckpoint(eager=True)
+    # Whole BFS is otherwise ONE declarative plan: level d = distinct
+    # successors of level d-1; min-depth = groupBy(node).min over the
+    # union of all levels. No driver-side actions (isEmpty/collect)
+    # between rounds — the bounded unroll (depth<=5) keeps lineage
+    # shallow, the per-level distinct bounds each frontier by |V| so
+    # there is no path explosion. Each expansion joins edges on from_n —
+    # at scale, bucket/partition the edge table by src so these joins
+    # co-locate without re-shuffle.
     levels = [roots.select(F.col("node"), F.lit(0).alias("depth"))]
     frontier = levels[0]
     for d in range(1, max_depth + 1):
