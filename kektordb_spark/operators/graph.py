@@ -61,6 +61,7 @@ def bfs(
     relations: list[str] | None = None,
     direction: str = "out",
     at_time: int | None = None,
+    materialize_edges: bool = False,
 ) -> DataFrame:
     """G8/F8 bounded BFS: returns (node, depth) with depth = shortest
     hop count from any root (min-depth dedup, pathfinding.go pattern).
@@ -84,11 +85,15 @@ def bfs(
         )
     # Each unrolled round references ``pairs`` once more, and Spark
     # inlines multiply-referenced subplans (SCALE.md rule 2) — when the
-    # edge relation is itself derived (a view over base tables), a
-    # depth-D traversal would re-derive it D times. Materialize it once;
-    # on a cluster this is the bucketed/Delta edge table that exists
-    # anyway, localCheckpoint is the local-mode stand-in.
-    if max_depth > 1:
+    # edge relation is an EXPENSIVE derivation (joins, windows, UDFs), a
+    # depth-D traversal re-derives it D times and the caller should pass
+    # materialize_edges=True (localCheckpoint here; a bucketed/Delta
+    # edge table on a cluster). When it is a plain scan/union projection
+    # (the common case), re-deriving costs less than materializing the
+    # whole relation, so the default stays lazy — measured at sf0.1:
+    # checkpointing the 1.8M-row pairs costs ~0.5 s more per traversal
+    # than the three re-scans it saves.
+    if materialize_edges and max_depth > 1:
         pairs = pairs.localCheckpoint(eager=True)
     # Whole BFS is otherwise ONE declarative plan: level d = distinct
     # successors of level d-1; min-depth = groupBy(node).min over the

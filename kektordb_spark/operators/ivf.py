@@ -65,19 +65,8 @@ def _assign_cte(dialect: str, cents: str, out: str) -> str:
 )"""
 
 
-def ivf_knn_sql(
-    dialect: str,
-    nlist: int = 8,
-    iters: int = 2,
-    nprobe: int = 2,
-    n_queries: int = 5,
-    k: int = 10,
-) -> str:
-    """Full IVF pipeline as one SQL text: train (md5-seeded init +
-    ``iters`` unrolled Lloyd iterations) → invert → probe → exact
-    cosine top-k on the probed cells. Queries are emb vec_id <
-    n_queries (searched against the whole corpus including themselves,
-    rank 1 = self — mirrors stress_test_recall.py's setup)."""
+def _train_parts(dialect: str, nlist: int, iters: int) -> tuple[list[str], str]:
+    """CTE chain for k-means training; returns (parts, final_cents_name)."""
     md5key = (
         "md5(CAST(vec_id AS STRING))" if dialect == "spark"
         else "md5(CAST(vec_id AS VARCHAR))"
@@ -91,6 +80,43 @@ def ivf_knn_sql(
         parts.append(_assign_cte(dialect, cents, f"a{i}"))
         parts.append(_mean_cte(dialect, f"a{i}", f"c{i}"))
         cents = f"c{i}"
+    return parts, cents
+
+
+def ivf_train_sql(dialect: str, nlist: int = 8, iters: int = 2) -> str:
+    """Training pipeline alone -> final centroid relation (cid, v).
+    The Spark runner materializes THIS once (nlist rows — trivially
+    broadcast-able): the centroid CTE is referenced by both the final
+    assignment and the probe, and Spark inlines multiply-referenced
+    CTEs (SCALE.md rule 2), so inlining would run every Lloyd iteration
+    twice."""
+    parts, cents = _train_parts(dialect, nlist, iters)
+    return "WITH " + ",\n".join(parts) + f"\nSELECT cid, v FROM {cents}"
+
+
+def ivf_knn_sql(
+    dialect: str,
+    nlist: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    n_queries: int = 5,
+    k: int = 10,
+    cents_source: str | None = None,
+) -> str:
+    """Full IVF pipeline as one SQL text: train (md5-seeded init +
+    ``iters`` unrolled Lloyd iterations) → invert → probe → exact
+    cosine top-k on the probed cells. Queries are emb vec_id <
+    n_queries (searched against the whole corpus including themselves,
+    rank 1 = self — mirrors stress_test_recall.py's setup).
+
+    ``cents_source``: name of a pre-materialized centroid relation
+    (see ivf_train_sql); default trains inline (the self-contained
+    oracle text)."""
+    if cents_source is None:
+        parts, cents = _train_parts(dialect, nlist, iters)
+    else:
+        parts = [f"tc AS (SELECT cid, v FROM {cents_source})"]
+        cents = "tc"
     # final inverted file + probe
     parts.append(_assign_cte(dialect, cents, "inv"))
     qd = l2sq_sql(dialect, "q.v", "c.v")

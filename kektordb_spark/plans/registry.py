@@ -224,7 +224,17 @@ for _metric in ("cosine", "euclidean", "dot"):
     )(_knn_query(_metric))
 
 
-register_sql("ivf_knn", IVF.ivf_knn_sql, ["emb"])
+@register("ivf_knn", with_oracle_ctes(IVF.ivf_knn_sql("duckdb"), ["emb"]))
+def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (see operators/ivf.py). Spark side materializes the
+    trained centroids once (nlist rows) — the centroid relation is
+    referenced by both the final assignment and the probe, and Spark
+    re-evaluates inlined CTEs per reference; the oracle keeps the
+    self-contained single-text form (DuckDB materializes CTEs)."""
+    load_tables(spark, sf_dir)
+    cents = spark.sql(IVF.ivf_train_sql("spark")).localCheckpoint(eager=True)
+    cents.createOrReplaceTempView("_ivf_cents")
+    return spark.sql(IVF.ivf_knn_sql("spark", cents_source="_ivf_cents"))
 
 _INT8_ABSMAX = 0.5  # fixed training absmax (fixture range ±0.5); the
                     # learned path is api.vcompress_int8 (percentile_approx)
