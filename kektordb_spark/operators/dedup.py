@@ -424,9 +424,31 @@ SELECT doc_id, blk, gram FROM {source} {_unnest(dialect, 'grams', 'gram')}
 """.strip()
 
 
+def ngram_pref_sql(dialect: str, threshold: float = 0.6, ex_source: str = "ex") -> str:
+    """The PPJoin prefix relation (doc_id, blk, gram, n_g, rnk): each
+    doc's grams ordered by global document frequency ascending (rarest
+    first, gram tie-break), truncated to the first
+    |A| - ceil(t*|A|) + 1 positions. The prefix self-join references
+    this relation TWICE (a JOIN b) and Spark inlines multiply-referenced
+    subplans, so the Spark runner materializes it once — measured ~2x
+    on the whole PPJoin stage at sf0.1. At scale this is the persisted
+    prefix-index table classic AllPairs systems build anyway."""
+    return f"""
+SELECT doc_id, blk, gram, n_g, rnk FROM (
+  SELECT e.doc_id, e.blk, e.gram, s.n_g,
+         row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.gram) AS rnk
+  FROM {ex_source} e
+  JOIN (SELECT gram, count(*) AS df FROM {ex_source} GROUP BY gram) f ON f.gram = e.gram
+  JOIN (SELECT doc_id, count(*) AS n_g FROM {ex_source} GROUP BY doc_id) s ON s.doc_id = e.doc_id
+) t
+WHERE rnk <= n_g - CAST(ceil({threshold} * n_g) AS BIGINT) + 1
+""".strip()
+
+
 def ngram_jaccard_sql(
     dialect: str, n: int = 4, threshold: float = 0.6,
     ex_source: str | None = None, arr_source: str | None = None,
+    pref_source: str | None = None,
 ) -> str:
     """Char-4-gram Jaccard within length-bucket blocks (n_chars DIV 32)
     with an EXACT prefix + positional filter (AllPairs/PPJoin, Bayardo
@@ -468,36 +490,29 @@ def ngram_jaccard_sql(
     aggregation is the same shuffle the DISTINCT needed, and
     verification is a broadcast join against per-doc arrays.
     """
-    ex_cte = (
-        f"ex AS (\n{ngram_ex_sql(dialect, n)}\n)"
-        if ex_source is None
-        else f"ex AS (SELECT doc_id, blk, gram FROM {ex_source})"
-    )
     arr_cte = (
         f"arr AS (\n{ngram_arr_sql(dialect, n)}\n)"
         if arr_source is None
         else f"arr AS (SELECT doc_id, grams FROM {arr_source})"
     )
+    if pref_source is None:
+        ex_cte = (
+            f"ex AS (\n{ngram_ex_sql(dialect, n)}\n)"
+            if ex_source is None
+            else f"ex AS (SELECT doc_id, blk, gram FROM {ex_source})"
+        )
+        pref_ctes = f"""{ex_cte},
+pref AS (
+{ngram_pref_sql(dialect, threshold, ex_source='ex')}
+),"""
+    else:
+        pref_ctes = (
+            f"pref AS (SELECT doc_id, blk, gram, n_g, rnk FROM {pref_source}),"
+        )
     inter = _len(dialect, _intersect(dialect, "ga.grams", "gb.grams"))
     return f"""
-WITH {ex_cte},
+WITH {pref_ctes}
 {arr_cte},
-sizes AS (
-  SELECT doc_id, count(*) AS n_g FROM ex GROUP BY doc_id
-),
-gf AS (
-  SELECT gram, count(*) AS df FROM ex GROUP BY gram
-),
-pref AS (
-  SELECT doc_id, blk, gram, n_g, rnk FROM (
-    SELECT e.doc_id, e.blk, e.gram, s.n_g,
-           row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.gram) AS rnk
-    FROM ex e
-    JOIN gf f ON f.gram = e.gram
-    JOIN sizes s ON s.doc_id = e.doc_id
-  ) t
-  WHERE rnk <= n_g - CAST(ceil({threshold} * n_g) AS BIGINT) + 1
-),
 grouped AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          count(*) AS ov, max(a.rnk) AS ra, max(b.rnk) AS rb,

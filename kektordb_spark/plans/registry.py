@@ -833,8 +833,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.ngram_ex_from_arr_sql("spark")
     ).localCheckpoint(eager=True)
     ex.createOrReplaceTempView("_ng_ex")
+    pref = spark.sql(
+        DD.ngram_pref_sql("spark", ex_source="_ng_ex")
+    ).localCheckpoint(eager=True)
+    pref.createOrReplaceTempView("_ng_pref")
     return spark.sql(DD.ngram_jaccard_sql(
-        "spark", ex_source="_ng_ex", arr_source="_ng_arr"))
+        "spark", arr_source="_ng_arr", pref_source="_ng_pref"))
 
 from kektordb_spark.operators import blockgemm as BG  # noqa: E402
 
