@@ -82,6 +82,12 @@ def _seq1(dialect: str, n: str) -> str:
     return f"range(1, greatest({n}, 1) + 1)"
 
 
+def _empty_str_arr(dialect: str) -> str:
+    if dialect == "spark":
+        return "CAST(array() AS ARRAY<STRING>)"
+    return "CAST([] AS VARCHAR[])"
+
+
 def _elem(dialect: str, arr: str, i: str) -> str:
     """1-based array element access."""
     if dialect == "spark":
@@ -95,24 +101,32 @@ def _transform(dialect: str, arr: str, lam: str) -> str:
 
 
 def word_shingles(dialect: str, toks: str, n: int = 3) -> str:
-    """Distinct word n-gram shingles of a token-array column."""
+    """Distinct word n-gram shingles of a token-array column. Inputs
+    with fewer than ``n`` tokens have NO shingles (empty array) — the
+    clamped-sequence shortcut would instead emit one partial/empty
+    shingle, which (a) reports any two short docs as near-duplicates
+    and (b) creates a worst-case skew key joining every short doc into
+    one candidate bucket (caught by tests/test_ppjoin_property.py on
+    the char-gram twin)."""
+    cnt = f"{_len(dialect, toks)} - {n - 1}"
     parts = ", ".join(_elem(dialect, toks, f"i + {j}") for j in range(n))
     grams = _transform(
-        dialect,
-        _seq1(dialect, f"{_len(dialect, toks)} - {n - 1}"),
-        f"i -> concat_ws(' ', {parts})",
+        dialect, _seq1(dialect, cnt), f"i -> concat_ws(' ', {parts})"
     )
-    return _distinct_arr(dialect, grams)
+    return (f"CASE WHEN {cnt} >= 1 THEN {_distinct_arr(dialect, grams)} "
+            f"ELSE {_empty_str_arr(dialect)} END")
 
 
 def char_ngrams(dialect: str, txt: str, n: int = 4) -> str:
-    """Distinct character n-grams of a string column."""
+    """Distinct character n-grams of a string column; strings shorter
+    than ``n`` have NO grams (see word_shingles — same phantom-gram /
+    skew-key hazard)."""
+    cnt = f"length({txt}) - {n - 1}"
     grams = _transform(
-        dialect,
-        _seq1(dialect, f"length({txt}) - {n - 1}"),
-        f"i -> substr({txt}, i, {n})",
+        dialect, _seq1(dialect, cnt), f"i -> substr({txt}, i, {n})"
     )
-    return _distinct_arr(dialect, grams)
+    return (f"CASE WHEN {cnt} >= 1 THEN {_distinct_arr(dialect, grams)} "
+            f"ELSE {_empty_str_arr(dialect)} END")
 
 
 def jaccard(dialect: str, a: str, b: str) -> str:
