@@ -1204,6 +1204,34 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_start").alias("s_us"),
         F.unix_micros("session_end").alias("e_us"),
         "user_id", "n_events", "total_value")
+
+
+@register("streaming_stateful_totals", ST.user_totals_oracle_sql("duckdb"))
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState custom stateful operator (per-user
+    running totals in keyed state across micro-batches — the per-key
+    form of ST2's write accumulator). Output mode 'update': each
+    trigger emits the cumulative totals for keys seen in the batch;
+    the final emission per key (max n_events — the count is strictly
+    increasing) equals the batch groupBy, which is the oracle."""
+    from pyspark.sql import Window
+
+    load_tables(spark, sf_dir)
+    stream = ST.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    emissions = ST.run_to_memory(
+        spark, ST.stateful_user_totals(stream), "stateful_totals",
+        output_mode="update",
+    )
+    return (
+        emissions.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
 register_sql("text_lang_id", TQ.lang_id_sql, [])
 register_sql("text_quality_score", TQ.quality_score_sql, [])
 register_sql("text_token_count", TQ.token_count_sql, [])

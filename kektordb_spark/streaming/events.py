@@ -116,6 +116,56 @@ def session_windows(
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the brief's escape hatch for operators Spark's built-in windows
+    can't express): per-user RUNNING totals maintained across
+    micro-batches in keyed state — the per-key generalization of the
+    Gardener's writes-since-last-cycle accumulator (ST2,
+    gardener.go:485-634), and the pattern a per-entity rate
+    limiter / semantic-cache hit counter (ST5, proxy.go:408-463) needs.
+
+    Each trigger emits the updated cumulative (n_events, total_value)
+    for the groups present in the batch; the final emission per key
+    equals the batch groupBy answer, which is the oracle
+    (tests/test_streaming.py). State is one struct per user —
+    state-store size is O(|users|), bounded exactly like the
+    reference's per-entity counters; pair with a timeout
+    (GroupStateTimeout.ProcessingTimeTimeout) to expire idle keys in a
+    production deployment."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(tot, 2)]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            stateStructType="n bigint, tot double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch oracle for stateful_user_totals' final per-key emissions."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 class GardenerTrigger:
     """ST2 adaptive scheduling (gardener.go:485-634): the Gardener
     'thinks early' when >= ``min_writes`` events accumulated since the
@@ -148,17 +198,27 @@ class GardenerTrigger:
 _SINK_SEQ = [0]
 
 
-def run_to_memory(spark: SparkSession, df: DataFrame, prefix: str) -> DataFrame:
+def run_to_memory(
+    spark: SparkSession, df: DataFrame, prefix: str, output_mode: str = "complete"
+) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink and return the result table."""
     _SINK_SEQ[0] += 1
     name = f"{prefix}_{_SINK_SEQ[0]}"
     q = (
         df.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
+        .outputMode(output_mode).trigger(availableNow=True).start()
     )
     q.awaitTermination(300)
     return spark.table(name)
+
+
+def user_totals_oracle_sql(dialect: str) -> str:
+    """Batch-SQL oracle for stateful_user_totals' final emissions."""
+    return """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+""".strip()
 
 
 def windowed_counts_oracle_sql(dialect: str, window_s: int = 21600) -> str:

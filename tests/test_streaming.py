@@ -62,6 +62,32 @@ def test_sliding_rate_batch_shape(spark, batch_events):
     assert sum(r["n"] for r in out) == 2 * batch_events.count()
 
 
+def test_stateful_user_totals_stream_equals_batch(spark, batch_events, events_dir):
+    stream = ST.read_event_stream(spark, events_dir)
+    q = (
+        ST.stateful_user_totals(stream)
+        .writeStream.format("memory").queryName("stateful_totals")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # final emission per key (n_events is cumulative => max row per key)
+    from pyspark.sql import Window
+    emissions = spark.table("stateful_totals")
+    final = (
+        emissions.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    g = {tuple(r) for r in final.collect()}
+    w = {tuple(r) for r in ST.user_totals_batch(batch_events).collect()}
+    assert g == w and len(g) > 10
+
+
 def test_gardener_trigger(spark, batch_events, events_dir):
     trig = ST.GardenerTrigger(min_writes=50)
     stream = ST.read_event_stream(spark, events_dir)
