@@ -1,0 +1,92 @@
+"""Physical-plan regression tests: the scale properties SCALE.md
+documents, asserted on the actual Catalyst plans so they cannot rot.
+
+These assert structural facts that hold at any data size (pushdown,
+column pruning, shuffle counts, explicit broadcasts, top-k pushdown) —
+not runtime numbers. A regression here means a future edit silently
+introduced an extra shuffle / lost a pushed filter / de-broadcast a
+provably-small side: exactly the failures that are invisible at sf0.01
+and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kektordb_spark.plans import registry
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry._registry[name][0](spark, SF_SMALL)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def n_exchanges(plan: str) -> int:
+    """Count Exchange nodes in the plan TREE (formatted explain repeats
+    each node in the detail section below the tree)."""
+    import re
+
+    return len(re.findall(r"- Exchange \(", plan))
+
+
+def test_pricing_summary_single_exchange_pushdown_pruning(spark):
+    plan = plan_of(spark, "rel_pricing_summary")
+    # ship-date predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: 7 needed columns only, never the wide comment column
+    assert "l_comment" not in plan
+    # partial (map-side) agg + ONE shuffle + final agg
+    assert n_exchanges(plan) == 1
+    assert "partial_sum" in plan
+
+
+def test_topk_orders_broadcast_and_topk_pushdown(spark):
+    plan = plan_of(spark, "rel_topk_orders")
+    # dimension join is broadcast, never a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # ORDER BY ... LIMIT fuses into TakeOrderedAndProject — no global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_broadcasts_queries_over_scan(spark):
+    plan = plan_of(spark, "knn_cosine_top10")
+    # tiny query side broadcast against the corpus scan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # rank window partitioned by query_id (no global single-partition window)
+    assert "row_number" in plan and "query_id" in plan
+
+
+def test_bm25_no_cartesian_and_bounded_exchanges(spark):
+    plan = plan_of(spark, "bm25_top10")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_dsl_pushes_to_scan(spark):
+    plan = plan_of(spark, "filter_dsl_or_and")
+    # the translated DSL predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+    assert n_exchanges(plan) == 0  # pure scan+filter+limit: no shuffle
+
+
+def test_ngram_candidates_are_equi_join(spark):
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    # candidate generation joins on (blk, gram) — an equi-join;
+    # a cross product here would be O(N^2) at corpus scale
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_graph_bfs_no_cartesian(spark):
+    plan = plan_of(spark, "graph_bfs_depth3")
+    assert "CartesianProduct" not in plan
+
+
+def test_multimodal_map_only(spark):
+    plan = plan_of(spark, "multimodal_features")
+    # feature extraction is map-only: binary payloads never shuffle
+    assert n_exchanges(plan) == 0
