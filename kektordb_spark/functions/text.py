@@ -82,7 +82,11 @@ def bm25_scores(
     """BM25 over an analyzed corpus; returns (doc, score).
 
     Candidates = union of posting lists of the query tokens
-    (core.go:2005-2021); score = sum over query tokens of
+    (core.go:2005-2021); score = sum over query tokens — WITH
+    multiplicity: the reference iterates the analyzed query tokens
+    including duplicates (core.go:2024-2031 ``for _, token := range
+    queryTokens``), so a repeated query token contributes its term
+    score once per occurrence — of
     idf * tf*(k1+1) / (tf + k1*(1-b+b*len/avgdl)) (core.go:2043-2070).
 
     Plan shape: one explode+groupBy for postings, broadcast of the
@@ -101,11 +105,16 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     postings = build_postings(base, "doc", "toks")
-    qt = spark.createDataFrame([(t,) for t in query_tokens], "token string").distinct()
+    # query-token multiplicity qn (reference: duplicates score n times)
+    qt = (
+        spark.createDataFrame([(t,) for t in query_tokens], "token string")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("qn"))
+    )
     # df per query token (document frequency over the whole corpus)
     dfreq = (
         postings.join(F.broadcast(qt), "token")
-        .groupBy("token")
+        .groupBy("token", "qn")
         .agg(F.count(F.lit(1)).alias("df"))
     )
     matched = (
@@ -114,7 +123,8 @@ def bm25_scores(
         .crossJoin(F.broadcast(stats))
     )
     term_score = (
-        F.log(
+        F.col("qn")
+        * F.log(
             1.0
             + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
         )
@@ -137,12 +147,17 @@ def bm25_oracle_sql(
     ``allow_pred`` (a predicate over docs_tok columns) post-filters the
     scored set — the reference's hybrid text branch applies the boolean
     allowlist AFTER corpus-wide scoring (ops.go:997-1026), so idf/avgdl
-    stay corpus-wide."""
-    uniq = list(dict.fromkeys(query_tokens))
+    stay corpus-wide.
+
+    Query tokens keep their multiplicity (core.go:2024-2031 iterates
+    the analyzed query INCLUDING duplicates): qn weights each term."""
+    arr = ", ".join(f"'{t}'" for t in query_tokens)
     if dialect == "spark":
-        qt = "SELECT explode(array(" + ", ".join(f"'{t}'" for t in uniq) + ")) AS token"
+        qt = (f"SELECT token, CAST(count(*) AS DOUBLE) AS qn FROM "
+              f"(SELECT explode(array({arr})) AS token) GROUP BY token")
     else:
-        qt = "SELECT unnest([" + ", ".join(f"'{t}'" for t in uniq) + "]) AS token"
+        qt = (f"SELECT token, CAST(count(*) AS DOUBLE) AS qn FROM "
+              f"(SELECT unnest([{arr}]) AS token) GROUP BY token")
     explode = (
         "SELECT doc_id AS doc, size(toks) AS dl, t.token AS token FROM docs_tok "
         "LATERAL VIEW explode(toks) t AS token"
@@ -160,13 +175,14 @@ postings AS (
   FROM tok GROUP BY token, doc
 ),
 dfreq AS (
-  SELECT p.token, CAST(count(*) AS DOUBLE) AS df
+  SELECT p.token, max(qt.qn) AS qn, CAST(count(*) AS DOUBLE) AS df
   FROM postings p JOIN qt USING (token) GROUP BY p.token
 ),
 scored AS (
   SELECT p.doc,
          sum(
-           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           d.qn
+           * ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
            * (p.tf * ({BM25_K1} + 1.0))
            / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * CAST(p.dl AS DOUBLE) / s.avgdl))
          ) AS score
