@@ -167,7 +167,12 @@ def parse_hybrid_filter(filter_str: str) -> tuple[str, str | None, str | None]:
     routes to the BM25 scorer, the remainder stays a boolean filter.
     Returns (remaining_dsl, field, text) — field/text None when no
     CONTAINS clause is present. Like the reference, only one CONTAINS
-    clause is supported and it must be AND-joined."""
+    clause is supported and it must be AND-joined. Deliberate
+    divergence: the reference trims only an UPPERCASE "AND " leftover
+    (Go strings.TrimPrefix is case-sensitive) even though its DSL
+    keywords are case-insensitive, leaving a dangling lowercase "and"
+    in the boolean remainder; we trim case-insensitively, consistent
+    with the DSL."""
     m = _CONTAINS_RE.search(filter_str)
     if not m:
         return filter_str.strip(), None, None

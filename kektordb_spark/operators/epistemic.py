@@ -13,8 +13,11 @@ Reference math (pkg/engine/epistemic_types.go, epistemic.go:22-182):
     stand in: 'in_order' carries the 0.20 weight, 'supplied_by' the
     0.50 weight.
   * A4 belief state: 0.40*consensus + 0.30*stability + 0.30*friction →
-    crystallized (>=0.85) / volatile (<=0.40) / contested (friction
-    edges present) / stable (epistemic_types.go:256-296).
+    contested (friction edges present AND belief < 0.85 — checked
+    FIRST, so low-belief contested nodes are contested, not volatile) /
+    crystallized (>=0.85) / volatile (<=0.40) / stable
+    (epistemic_types.go:256-274). A1 guards maxVar < 1e-10 → 1.0
+    (identical candidate vectors; epistemic_types.go:168-175).
 
 Everything is dialect-parameterized SQL (Spark == DuckDB bit-for-bit
 after 6-dp rounding). Plan shape at scale: the candidate step is the
@@ -102,7 +105,9 @@ pw AS (
 ),
 consensus AS (
   SELECT v.query_id, v.n_cands, v.variance, p.max_pairwise,
-         1.0 - least(v.variance / (p.max_pairwise * p.max_pairwise), 1.0) AS consensus
+         CASE WHEN p.max_pairwise < 1e-10 THEN 1.0
+              ELSE 1.0 - least(v.variance / (p.max_pairwise * p.max_pairwise), 1.0)
+         END AS consensus
   FROM var_ v JOIN pw p ON v.query_id = p.query_id
 )"""
 
@@ -219,9 +224,9 @@ SELECT query_id,
        round(stability, 6) AS stability,
        round(friction, 6) AS friction,
        round(belief, 6) AS belief,
-       CASE WHEN belief >= 0.85 THEN 'crystallized'
+       CASE WHEN friction_edges > 0 AND belief < 0.85 THEN 'contested'
+            WHEN belief >= 0.85 THEN 'crystallized'
             WHEN belief <= 0.40 THEN 'volatile'
-            WHEN friction_edges > 0 THEN 'contested'
             ELSE 'stable' END AS state
 FROM belief
 """.strip()

@@ -38,8 +38,10 @@ def fuse(
     alpha: float,
     id_col: str = "id",
 ) -> DataFrame:
-    """H2 weighted-sum fusion on the full outer join of the branches."""
-    a = min(max(alpha, 0.0), 1.0)
+    """H2 weighted-sum fusion on the full outer join of the branches.
+    An out-of-range alpha RESETS to the 0.5 default (ops.go:1088-1090
+    ``if alpha < 0 || alpha > 1 { alpha = 0.5 }`` — reset, not clamp)."""
+    a = alpha if 0.0 <= alpha <= 1.0 else 0.5
     v = vec_scored.select(F.col(id_col), "vec_score")
     t = text_scored.select(F.col(id_col), "text_score")
     return (

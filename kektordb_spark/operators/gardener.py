@@ -35,9 +35,15 @@ DAY = 86400
 
 def importance_shifts_sql(
     dialect: str, now: int, window: int = 180 * DAY,
-    min_recent: int = 2, ratio: float = 2.0,
+    min_recent: int = 2, ratio: float = 2.0, min_total: int = 5,
 ) -> str:
-    """A7: mention spike per node ('in_order' in-edges)."""
+    """A7: mention spike per node ('in_order' in-edges). Mirrors the
+    reference's gate structure (gardener.go:1484-1501): nodes with
+    fewer than ``min_total`` mentions in ALL history are skipped as
+    insignificant BEFORE the spike test recent > min_recent AND
+    recent > ratio * older. Window/thresholds are fixture-scaled
+    (the reference's 3-day window is meaningless against the TPC-H
+    date range)."""
     return f"""
 WITH m AS (
   SELECT dst AS node,
@@ -49,7 +55,8 @@ WITH m AS (
 )
 SELECT node, CAST(recent AS INT) AS recent, CAST(older AS INT) AS older
 FROM m
-WHERE recent > {min_recent} AND recent > {ratio} * older
+WHERE recent + older >= {min_total}
+  AND recent > {min_recent} AND recent > {ratio} * older
 """.strip()
 
 
