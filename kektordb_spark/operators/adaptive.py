@@ -4,8 +4,10 @@ Reference pipeline (RetrieveWithContext, adaptive_retriever.go:101-411):
 seed k-NN → graph expansion (greedy 1-hop; per-hop score =
 parent_score x edge weight, default 0.3) → assembled context score =
 w_sem * derived + w_graph * depthPenalty(1 - 0.15*depth, floor 0.3)
-+ w_dens * information-density → greedy fill under a token budget
-(running chars/CharsPerToken estimate).
++ w_dens * normalizedDensity, where normalizedDensity =
+clamp((density - 0.3) / 0.6, 0, 1) (adaptive_retriever.go:311-316) →
+greedy fill under a token budget (running chars/CharsPerToken
+estimate).
 
 Spark shape — ONE declarative plan, no driver loops:
   * seeds: exact k-NN (broadcast query);
@@ -82,8 +84,10 @@ scored AS (
          CAST({size}(d.toks) AS INT) AS n_toks,
          {W_SEM} * b.score
        + {W_GRAPH} * greatest(0.3, 1.0 - {DEPTH_PENALTY} * b.depth)
-       + {W_DENS} * (CASE WHEN {size}(d.toks) = 0 THEN 0.0
-                     ELSE CAST({size}({dist}(d.toks)) AS DOUBLE) / {size}(d.toks) END)
+       + {W_DENS} * least(1.0, greatest(0.0,
+           ((CASE WHEN {size}(d.toks) = 0 THEN 0.0
+              ELSE CAST({size}({dist}(d.toks)) AS DOUBLE) / {size}(d.toks) END)
+            - 0.3) / 0.6))
          AS final
   FROM best b JOIN docs_tok d ON d.doc_id = b.vec_id
 ),
