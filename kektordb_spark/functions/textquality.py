@@ -154,35 +154,87 @@ FROM documents
 """.strip()
 
 
-PRESERVE_WORDS = ["not", "no", "nor", "and", "or", "if", "then", "but"]
-SAFE_STOPWORDS = [w for w in ENGLISH_STOPWORDS if w not in PRESERVE_WORDS]
+# T4 word sets, transcribed from pkg/textanalyzer/compressor.go:30-101.
+# The effective removable set is safeStopWords MINUS importantWords
+# (isStopWord checks isImportantWord first — notably 'a' is in BOTH
+# lists, so it is PRESERVED despite being an article).
+ENGLISH_SAFE_STOPWORDS = [
+    "a", "an", "the",
+    "is", "am", "are", "was", "were", "be", "been", "being",
+    "have", "has", "had", "do", "does", "did",
+    "will", "would", "shall", "should",
+    "to", "of", "in", "on", "at", "by", "for", "from", "with", "about",
+    "its", "as",
+]
+ITALIAN_SAFE_STOPWORDS = [
+    "il", "lo", "la", "i", "gli", "le", "un", "uno", "una",
+    "di", "a", "da", "in", "con", "su", "per", "tra", "fra",
+    "al", "allo", "ai", "agli", "alla", "alle",
+    "del", "dello", "dei", "degli", "della", "delle",
+    "nel", "nello", "nei", "negli", "nella", "nelle",
+    "sul", "sullo", "sui", "sugli", "sulla", "sulle",
+    "dal", "dallo", "dai", "dagli", "dalla", "dalle",
+    "col", "coi",
+    "è", "era", "erano",
+    "sto", "stai", "sta", "stiamo", "state", "stanno",
+    "ho", "hai", "ha", "abbiamo", "avete", "hanno",
+]
+IMPORTANT_WORDS = [
+    # English negations / logical operators / confusable single letters
+    "not", "no", "never", "none", "nothing",
+    "and", "or", "but", "if", "unless", "except",
+    "only", "all", "every", "each", "any",
+    "a", "i",
+    # Italian
+    "non", "mai", "nulla", "niente",
+    "e", "ed", "o", "oppure", "ma", "però", "tuttavia",
+    "se", "qualora", "tranne", "eccetto",
+    "solo", "soltanto", "tutti", "tutte", "ogni", "ciascuno",
+    "sono", "sia", "siano",
+]
+ENGLISH_REMOVABLE = [w for w in ENGLISH_SAFE_STOPWORDS if w not in IMPORTANT_WORDS]
+ITALIAN_REMOVABLE = [w for w in ITALIAN_SAFE_STOPWORDS if w not in IMPORTANT_WORDS]
+
+# smartTokenize (compressor.go:135-160): token chars are letters,
+# digits, apostrophe, hyphen; punctuation is dropped, case preserved.
+# ASCII class suffices for the fixture corpus; '' escapes the quote
+# inside the SQL string literal.
+_SMART_TOKEN_RE = "[A-Za-z0-9''-]+"
 
 
 def compress_context_sql(dialect: str) -> str:
     """T4 context compression ("caveman mode",
-    pkg/textanalyzer/compressor.go:73-222): drop SAFE stopwords from
-    the response text while preserving negations/logical operators and
-    original word forms; report the token reduction ratio (the
-    reference documents 20-35%). Pure projection — split/filter/join
-    runs inside the scan's codegen span."""
-    safe = _arr_lit(dialect, SAFE_STOPWORDS)
-    if dialect == "spark":
-        words = "split(text, ' ')"
-        joined = "array_join(kept, ' ')"
-    else:
-        words = "string_split(text, ' ')"
-        joined = "array_to_string(kept, ' ')"
-    kept = _filter_arr(dialect, words, f"w -> NOT {_contains(dialect, safe, 'lower(w)')}")
+    pkg/textanalyzer/compressor.go:73-222): smartTokenize (punctuation
+    dropped, case and word forms preserved), remove the language's
+    safe stopwords EXCEPT negations/logical operators, re-join with
+    single spaces; report the token reduction ratio
+    (CompressionRatio, compressor.go:210-222; the docs cite 20-35%).
+    Language dispatch like the Go: 'it'/'italian' uses the Italian
+    set, everything else falls back to English. Pure projection —
+    tokenize/filter/join runs inside the scan's codegen span."""
+    en = _arr_lit(dialect, ENGLISH_REMOVABLE)
+    it = _arr_lit(dialect, ITALIAN_REMOVABLE)
+    words = _regex_all(dialect, "text", _SMART_TOKEN_RE)
+    removable = f"CASE WHEN lang IN ('it', 'italian') THEN {it} ELSE {en} END"
+    # DuckDB array_to_string([]) is NULL while Spark array_join([]) is
+    # '' — coalesce so both match the Go (Compress("") == "").
+    joined = "array_join(kept, ' ')" if dialect == "spark" \
+        else "coalesce(array_to_string(kept, ' '), '')"
+    kept = _filter_arr(dialect, "words", f"w -> NOT {_contains(dialect, 'rem', 'lower(w)')}")
     return f"""
-WITH c AS (
-  SELECT doc_id, text, {kept} AS kept, {_len(dialect, words)} AS n_orig
-  FROM documents
+WITH c0 AS (
+  SELECT doc_id, {words} AS words, {removable} AS rem FROM documents
+),
+c AS (
+  SELECT doc_id, {kept} AS kept, {_len(dialect, 'words')} AS n_orig FROM c0
 )
 SELECT doc_id,
        {joined} AS compressed,
        CAST(n_orig AS INT) AS n_orig,
        CAST({_len(dialect, 'kept')} AS INT) AS n_kept,
-       round(1.0 - CAST({_len(dialect, 'kept')} AS DOUBLE) / n_orig, 6) AS reduction
+       round(CASE WHEN n_orig = 0 THEN 0.0
+             ELSE 1.0 - CAST({_len(dialect, 'kept')} AS DOUBLE) / n_orig END,
+             6) AS reduction
 FROM c
 """.strip()
 
