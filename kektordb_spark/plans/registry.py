@@ -1178,6 +1178,38 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.frame_sample_plan(MM.media_from_documents(spark), fps=0.5)
 
 
+_RESIZE_PLAN_ORACLE = """
+WITH v AS (
+  SELECT concat('m_', CAST(doc_id AS VARCHAR)) AS media_id,
+         CAST(64 + n_chars % 512 AS INT) AS width,
+         CAST(48 + n_chars % 384 AS INT) AS height
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+),
+s AS (
+  SELECT *, CASE WHEN greatest(width, height) > 256
+                 THEN 256.0 / CAST(greatest(width, height) AS DOUBLE)
+                 ELSE 1.0 END AS sc
+  FROM v
+)
+SELECT media_id, 'image' AS kind, width, height,
+       round(sc, 6) AS scale,
+       CAST(ceil(width * sc) AS INT) AS out_width,
+       CAST(ceil(height * sc) AS INT) AS out_height,
+       greatest(width, height) > 256 AS needs_resize
+FROM s
+""".strip()
+
+
+@register("multimodal_resize_plan", _RESIZE_PLAN_ORACLE)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize planning: output geometry is pure JVM-side column
+    math over metadata; only rows with needs_resize=true ever reach the
+    decode+resample UDF, so untouched blobs never enter Python."""
+    load_tables(spark, sf_dir)
+    media = MM.media_from_documents(spark).where(F.col("kind") == "image")
+    return MM.resize_plan(media, max_side=256)
+
+
 @register("streaming_windowed_counts", ST.windowed_counts_oracle_sql("duckdb"))
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1 + tumbling windows: file-source stream -> watermark ->
