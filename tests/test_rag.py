@@ -35,8 +35,8 @@ def test_split_fixed_overlap():
 def test_stemmer_basics():
     cases = {
         "caresses": "caress", "ponies": "poni", "running": "run",
-        "hopping": "hop", "relational": "relate", "happy": "happi",
-        "agreed": "agree", "cats": "cat", "is": "is",
+        "hopping": "hop", "relational": "relat", "happy": "happi",
+        "agreed": "agre", "cats": "cat", "is": "is",
     }
     for w, want in cases.items():
         assert stem_word(w) == want, (w, stem_word(w), want)
