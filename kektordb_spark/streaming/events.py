@@ -37,8 +37,9 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """ST1/ST3: incremental file-source stream over a DIRECTORY of
     event parquet files (the change-log landing zone; new files are
     discovered per micro-batch — the reference's mtime rescan). The
-    TIMESTAMP(NANOS) column arrives as long (nanosAsLong) and is
-    rebuilt exactly like the batch path (tables.load_tables)."""
+    TIMESTAMP(MICROS) column is read through the declared long schema
+    (raw int64 micros) and rebuilt as a timestamp, matching the batch
+    path (tables.load_tables)."""
     import os
 
     reader = (
@@ -51,7 +52,7 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
         events_dir = os.path.dirname(events_dir)
     raw = reader.parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
 
 
 def windowed_event_counts(
