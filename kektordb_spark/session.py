@@ -36,8 +36,10 @@ def get_spark(app_name: str = "kektordb-spark", cpus: int | None = None) -> Spar
         .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 32)))
         # Arrow for every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # testdata events.ts is TIMESTAMP(NANOS) parquet; read as long and
-        # convert (tables.load_tables) — Spark has no native nanos type.
+        # Robustness for nanos-encoded event files: TIMESTAMP(NANOS)
+        # parquet (which Spark has no native type for) loads as long and
+        # tables.ts_from_long rebuilds it per the footer's actual unit.
+        # Current fixtures are TIMESTAMP(MICROS) and load natively.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

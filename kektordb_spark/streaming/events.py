@@ -37,22 +37,26 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """ST1/ST3: incremental file-source stream over a DIRECTORY of
     event parquet files (the change-log landing zone; new files are
     discovered per micro-batch — the reference's mtime rescan). The
-    TIMESTAMP(MICROS) column is read through the declared long schema
-    (raw int64 micros) and rebuilt as a timestamp, matching the batch
-    path (tables.load_tables)."""
+    timestamp column is read through the declared long schema (raw
+    int64 in the file's physical unit) and rebuilt via the SAME helper
+    the batch path uses (tables.ts_from_long), so stream ≡ batch for
+    any parquet encoding of ts."""
     import os
+
+    from kektordb_spark.tables import event_ts_unit, ts_from_long
 
     reader = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)  # bounded micro-batches
     )
+    unit = event_ts_unit(events_dir)
     if events_dir.endswith(".parquet") and os.path.isfile(events_dir):
         # A single-file fixture: the file source wants a directory, so
         # stream the parent filtered down to just this file.
         reader = reader.option("pathGlobFilter", os.path.basename(events_dir))
         events_dir = os.path.dirname(events_dir)
     raw = reader.parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.col("ts")))
+    return raw.withColumn("ts", ts_from_long(F.col("ts"), unit))
 
 
 def windowed_event_counts(

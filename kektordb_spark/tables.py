@@ -32,7 +32,7 @@ Views:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BASE_TABLES = [
@@ -244,6 +244,40 @@ DERIVED_VIEWS = {
 }
 
 
+def event_ts_unit(path: str) -> str:
+    """Physical time unit ('us' | 'ns' | 'ms' | 's') of the events
+    ``ts`` column, read from the parquet footer. ``path`` may be a file
+    or a directory of parquet parts (first part wins — a landing zone
+    with mixed units would be a writer bug upstream of us)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    f = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return "us"
+        f = parts[0]
+    typ = pq.read_schema(f).field("ts").type
+    return getattr(typ, "unit", "us")
+
+
+def ts_from_long(col: Column, unit: str) -> Column:
+    """Rebuild a timestamp from a raw int64 ts column whose parquet
+    physical unit is ``unit``. Shared by the batch (load_tables) and
+    streaming (streaming/events.py) paths so the two can never diverge
+    on encoding assumptions.
+
+    Arithmetic stays integral end-to-end: int64 nanos exceed double's
+    53-bit mantissa, so float division would corrupt the low digits."""
+    if unit == "ns":
+        return F.timestamp_micros(F.try_divide(col.cast("decimal(25,0)"), F.lit(1000)).cast("long"))
+    scale = {"s": 1_000_000, "ms": 1_000, "us": 1}[unit]
+    return F.timestamp_micros(col * F.lit(scale))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read base parquet tables and register them + derived views as temp
     views. Returns dict of base DataFrames.
@@ -259,10 +293,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in BASE_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events" and dict(df.dtypes).get("ts") in ("bigint", "long"):
-            # TIMESTAMP(NANOS) read as long (session nanosAsLong config);
-            # integer-divide to micros (exact) and rebuild the timestamp.
+            # ts arrived as a raw int64 (the session's nanosAsLong config
+            # surfaces TIMESTAMP(NANOS) parquet as long — current fixtures
+            # are MICROS and load as timestamps, skipping this branch).
+            # Rebuild per the file's actual physical unit so batch and
+            # stream agree regardless of how the fixture was encoded.
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+                "ts",
+                ts_from_long(F.col("ts"), event_ts_unit(f"{sf_dir}/{name}.parquet")),
             )
         df.createOrReplaceTempView(name)
         out[name] = df
