@@ -410,8 +410,8 @@ def ngram_ex_sql(dialect: str, n: int = 4, source: str = "documents") -> str:
     div = "DIV" if dialect == "spark" else "//"
     return f"""
 SELECT doc_id, blk, gram FROM (
-  SELECT doc_id, n_chars {div} 32 AS blk, {char_ngrams(dialect, 'lower(text)', n)} AS grams
-  FROM {source}
+  SELECT doc_id, n_chars {div} 32 AS blk, {char_ngrams(dialect, 'ltext', n)} AS grams
+  FROM (SELECT doc_id, n_chars, lower(text) AS ltext FROM {source})
 ) g {_unnest(dialect, 'grams', 'gram')}
 """.strip()
 
@@ -424,10 +424,13 @@ def ngram_arr_sql(dialect: str, n: int = 4, source: str = "documents") -> str:
     postings by exploding the concrete column (see minhash_arr_sql for
     why exploding unevaluated expressions is pathological)."""
     div = "DIV" if dialect == "spark" else "//"
+    # lower(text) is hoisted out of the per-gram lambda: an inlined
+    # lower() inside transform() re-lowercases the whole string once
+    # PER GRAM (len(text) evaluations instead of 1).
     return f"""
 SELECT doc_id, n_chars {div} 32 AS blk,
-       {char_ngrams(dialect, 'lower(text)', n)} AS grams
-FROM {source}
+       {char_ngrams(dialect, 'ltext', n)} AS grams
+FROM (SELECT doc_id, n_chars, lower(text) AS ltext FROM {source})
 """.strip()
 
 
@@ -438,7 +441,10 @@ SELECT doc_id, blk, gram FROM {source} {_unnest(dialect, 'grams', 'gram')}
 """.strip()
 
 
-def ngram_pref_sql(dialect: str, threshold: float = 0.6, ex_source: str = "ex") -> str:
+def ngram_pref_sql(
+    dialect: str, threshold: float = 0.6, ex_source: str = "ex",
+    arr_source: str | None = None,
+) -> str:
     """The PPJoin prefix relation (doc_id, blk, gram, n_g, rnk): each
     doc's grams ordered by global document frequency ascending (rarest
     first, gram tie-break), truncated to the first
@@ -446,14 +452,25 @@ def ngram_pref_sql(dialect: str, threshold: float = 0.6, ex_source: str = "ex") 
     this relation TWICE (a JOIN b) and Spark inlines multiply-referenced
     subplans, so the Spark runner materializes it once — measured ~2x
     on the whole PPJoin stage at sf0.1. At scale this is the persisted
-    prefix-index table classic AllPairs systems build anyway."""
+    prefix-index table classic AllPairs systems build anyway.
+
+    When ``arr_source`` (the one-row-per-doc gram-array relation) is
+    given, per-doc sizes come from the array length — a broadcastable
+    |docs|-row relation — instead of re-aggregating the postings; the
+    grams are DISTINCT per doc so the two are identical."""
+    size_fn = "size" if dialect == "spark" else "len"
+    sizes = (
+        f"SELECT doc_id, count(*) AS n_g FROM {ex_source} GROUP BY doc_id"
+        if arr_source is None
+        else f"SELECT doc_id, {size_fn}(grams) AS n_g FROM {arr_source}"
+    )
     return f"""
 SELECT doc_id, blk, gram, n_g, rnk FROM (
   SELECT e.doc_id, e.blk, e.gram, s.n_g,
          row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.gram) AS rnk
   FROM {ex_source} e
   JOIN (SELECT gram, count(*) AS df FROM {ex_source} GROUP BY gram) f ON f.gram = e.gram
-  JOIN (SELECT doc_id, count(*) AS n_g FROM {ex_source} GROUP BY doc_id) s ON s.doc_id = e.doc_id
+  JOIN ({sizes}) s ON s.doc_id = e.doc_id
 ) t
 WHERE rnk <= n_g - CAST(ceil({threshold} * n_g) AS BIGINT) + 1
 """.strip()

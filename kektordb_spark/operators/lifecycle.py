@@ -224,6 +224,87 @@ ORDER BY d.artifact, d.version, d.field
 """.strip()
 
 
+def artifact_staleness_sql(
+    dialect: str, artifact_mod: int = 5, now_epoch: int = 1706745600,
+) -> str:
+    """A17 artifact staleness + dynamic recompile threshold
+    (pkg/compiler/watcher.go:118-207, 320-351): staleness accrues 0.3
+    per source-change event since the last compile plus 0.05 per hour
+    since compile; importance = usage_count * exp(-recency_hours/168)
+    * 0.3, +1.0 when the artifact has >5 sources, capped at 10; the
+    threshold adapts (x0.5 if importance>8, x0.7 if >5, x2.0 if
+    usage<10) and the artifact is flagged stale when score >= threshold.
+
+    Fixture anchoring (same cohort convention as artifact_diff_sql):
+    artifact := user with user_id %% {artifact_mod} == 0; the last
+    compile is the artifact's median event (versions in ts order);
+    changes-since-compile are later events; usage/accesses are its
+    view+click events; sources := distinct value buckets. 'now' is an
+    injected epoch so the operator is deterministic (never now()
+    inside operators). One pass over events, one groupBy per artifact
+    — a single shuffle keyed on the artifact at scale."""
+    ep = _epoch_ts(dialect)
+    return f"""
+WITH v AS (
+  SELECT user_id AS artifact, event_type, value, {ep} AS ep,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+  WHERE user_id % {artifact_mod} = 0
+),
+agg AS (
+  SELECT artifact,
+         max(CASE WHEN version = CAST(ceil(n_events / 2.0) AS BIGINT) THEN ep END) AS compiled_at,
+         count(CASE WHEN version > CAST(ceil(n_events / 2.0) AS BIGINT) THEN 1 END) AS n_changes,
+         count(CASE WHEN event_type IN ('view', 'click') THEN 1 END) AS usage_count,
+         max(CASE WHEN event_type IN ('view', 'click') THEN ep END) AS last_accessed,
+         count(DISTINCT CAST(floor(value / 50) AS INT)) AS n_sources
+  FROM v GROUP BY artifact
+),
+scored AS (
+  SELECT artifact, n_changes, usage_count, n_sources,
+         CAST(0.3 AS DOUBLE) * n_changes
+           + CAST(0.05 AS DOUBLE) * (({now_epoch} - compiled_at) / 3600.0) AS staleness,
+         least(usage_count * exp(-(({now_epoch} - coalesce(last_accessed, 0)) / 3600.0) / 168.0) * 0.3
+               + CASE WHEN n_sources > 5 THEN 1.0 ELSE 0.0 END, 10.0) AS importance
+  FROM agg
+)
+SELECT artifact, CAST(n_changes AS INT) AS n_changes,
+       CAST(usage_count AS INT) AS usage_count,
+       round(staleness, 6) AS staleness,
+       round(importance, 6) AS importance,
+       CAST(CASE WHEN importance > 8.0 THEN 0.5
+                 WHEN importance > 5.0 THEN 0.7
+                 WHEN usage_count < 10 THEN 2.0
+                 ELSE 1.0 END AS DOUBLE) AS threshold,
+       staleness >= (CASE WHEN importance > 8.0 THEN 0.5
+                          WHEN importance > 5.0 THEN 0.7
+                          WHEN usage_count < 10 THEN 2.0
+                          ELSE 1.0 END) AS stale
+FROM scored
+ORDER BY artifact
+""".strip()
+
+
+def engine_stats_sql(dialect: str) -> str:
+    """System stats endpoint (GET /system/stats, internal/server/
+    http_handlers.go:55; MCP get_stats): per-relation row/active counts
+    — the catalog-level numbers the reference reports from its
+    in-memory structs. Metadata-only aggregations; at scale these are
+    parquet-footer count pushdowns (no full scan)."""
+    return """
+SELECT 'memories' AS relation, count(*) AS total,
+       count(CASE WHEN NOT deleted THEN 1 END) AS active
+FROM mem
+UNION ALL
+SELECT 'edges', count(*), count(CASE WHEN deleted_at = 0 THEN 1 END) FROM edges
+UNION ALL
+SELECT 'documents', count(*), count(*) FROM documents
+UNION ALL
+SELECT 'embeddings', count(*), count(*) FROM emb
+""".strip()
+
+
 def transfer_memory_sql(
     dialect: str, event_type: str = "purchase", min_value: float = 150.0,
 ) -> str:

@@ -834,7 +834,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     ex.createOrReplaceTempView("_ng_ex")
     pref = spark.sql(
-        DD.ngram_pref_sql("spark", ex_source="_ng_ex")
+        DD.ngram_pref_sql("spark", ex_source="_ng_ex", arr_source="_ng_arr")
     ).localCheckpoint(eager=True)
     pref.createOrReplaceTempView("_ng_pref")
     return spark.sql(DD.ngram_jaccard_sql(
@@ -969,6 +969,8 @@ register_sql("memory_reinforce", _reinforce_sql, ["mem"])
 register_sql("gardener_session_summary", LC.session_summary_sql, [])
 register_sql("gardener_user_profile", LC.user_profile_sql, [])
 register_sql("compiler_artifact_diff", LC.artifact_diff_sql, [])
+register_sql("compiler_artifact_staleness", LC.artifact_staleness_sql, [])
+register_sql("engine_stats", LC.engine_stats_sql, ["mem", "edges", "emb"])
 register_sql("transfer_memory", LC.transfer_memory_sql, ["mem"])
 
 

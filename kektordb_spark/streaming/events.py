@@ -204,16 +204,37 @@ _SINK_SEQ = [0]
 
 
 def run_to_memory(
-    spark: SparkSession, df: DataFrame, prefix: str, output_mode: str = "complete"
+    spark: SparkSession,
+    df: DataFrame,
+    prefix: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a
-    memory sink and return the result table."""
+    memory sink and return the result table.
+
+    ``state_partitions`` bounds the streaming shuffle partitions for
+    THIS query: every stateful operator keeps one state-store instance
+    per shuffle partition, each with per-trigger setup/commit cost, so
+    a fixture-sized stream with the batch default (cpus*4) pays ~128
+    state commits per trigger for a handful of keys (measured ~2-3 s of
+    pure overhead per streaming query at sf0.1). Size it to key
+    cardinality in production — streaming partition count is fixed at
+    the first checkpoint, unlike batch AQE. The batch-session setting
+    is restored after start so concurrent batch plans are unaffected
+    (the streaming query captures its conf at start)."""
     _SINK_SEQ[0] += 1
     name = f"{prefix}_{_SINK_SEQ[0]}"
-    q = (
-        df.writeStream.format("memory").queryName(name)
-        .outputMode(output_mode).trigger(availableNow=True).start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode).trigger(availableNow=True).start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(300)
     return spark.table(name)
 
