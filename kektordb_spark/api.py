@@ -330,6 +330,18 @@ def vcompress_int8(index: Index, sample_limit: int = 25000) -> DataFrame:
     )
 
 
+def vcompress_f16(index: Index) -> DataFrame:
+    """S12 VCompress to float16 (hnsw_index.go:187-213 — f16 is
+    Euclidean-only in the reference). IEEE binary16 round-trip via an
+    Arrow-batched pandas UDF (no SQL equivalent of round-to-nearest-
+    even at 11-bit significand); a pure column rewrite, single scan."""
+    from kektordb_spark.functions.vector import quantize_f16
+
+    return index.vectors.where(~F.col("deleted")).select(
+        "id", quantize_f16(F.col("v")).alias("v16")
+    )
+
+
 # ---------------------------------------------------------------------------
 # KV store (S8)
 # ---------------------------------------------------------------------------

@@ -72,3 +72,33 @@ def dot_int8(a: str, b: str) -> Column:
         f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS INT) * CAST(y AS INT)), "
         f"0, (s, p) -> s + p)"
     )
+
+
+def quantize_f16(col: Column) -> Column:
+    """S12 float16 compression (reference hnsw_index.go:187-213: f16 is
+    Euclidean-only; storage halves, distance decodes to f32). Spark has
+    no half type, so values are IEEE-754 binary16 round-tripped (numpy,
+    round-half-even — bit-exact with the reference's f16 encode/decode)
+    and stored widened; an Arrow-batched pandas UDF because the
+    round-to-nearest-even-at-11-bit-significand step has no built-in
+    SQL equivalent. Not oracle-checkable in DuckDB (no half type) —
+    pinned instead by tests/test_f16.py against numpy directly."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    def _f16(s):
+        return s.map(
+            lambda v: np.asarray(v, dtype=np.float64)
+            .astype(np.float16)
+            .astype(np.float64)
+            .tolist()
+        )
+
+    # Explicit eval type (no type hints): the module uses postponed
+    # annotation evaluation, which pandas_udf cannot introspect for a
+    # locally-imported pd alias.
+    from pyspark.sql.functions import PandasUDFType
+
+    udf = pandas_udf(_f16, ArrayType(DoubleType()), PandasUDFType.SCALAR)
+    return udf(col)

@@ -281,6 +281,38 @@ FROM (
 register_sql("knn_int8_top10", _knn_int8_sql, ["emb"])
 
 
+@register("knn_f16_top10", None)
+def knn_f16_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 float16 compression + V1 euclidean k-NN over the compressed
+    column (reference hnsw_index.go:187-213: f16 is Euclidean-only;
+    query vectors are f16-encoded at search time like stored ones).
+    No DuckDB oracle — SQL has no IEEE binary16 round-trip — so the
+    driver records a rows-only check; tests/test_f16.py pins the
+    values against a numpy brute-force reference instead."""
+    from kektordb_spark.functions.vector import quantize_f16
+
+    load_tables(spark, sf_dir)
+    emb16 = (
+        spark.table("emb")
+        .select("vec_id", quantize_f16(F.col("v")).alias("v"))
+        # one pandas-UDF pass, then reused by both roles below
+        .localCheckpoint(eager=True)
+    )
+    queries = emb16.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cands = emb16.where(F.col("vec_id") >= 5)
+    res = KNN.knn_exact(
+        cands, queries, k=10, metric="euclidean",
+        id_col="vec_id", vec_col="v",
+    )
+    return res.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 @register("lsh_knn", with_oracle_ctes(KNN.lsh_bucketed_knn_oracle_sql("duckdb"), ["emb"]))
 def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1-approximate at scale: random-hyperplane LSH — candidates from
