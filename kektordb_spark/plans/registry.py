@@ -1171,6 +1171,109 @@ FROM qs q JOIN sem s ON s.query_id = q.query_id
 register_sql("firewall_check", _firewall_sql, ["emb"])
 
 
+def _hyde_dual_rag_sql(
+    dialect: str, n_q: int = 3, grounded_k: int = 20,
+    grounded_thr: float = 0.66, k: int = 10,
+) -> str:
+    """Proxy grounded-HyDe dual-vector RAG (pkg/proxy/proxy.go:220-280,
+    README 4-stage pipeline): (1) rewrite — identity here, the
+    reference's own no-LLM path; (2) grounded search: top-{{grounded_k}}
+    cosine hits within the {{grounded_thr}} distance threshold; (3)
+    hypothesis vector — deterministic stand-in for embed(LLM
+    hypothesis): the elementwise MEAN of the grounded hits' vectors
+    (the hypothesis is grounded in exactly those snippets; divergence
+    from the reference's LLM text is documented); (4) dual-vector
+    search with fallback: rank by the HyDe vector when a hypothesis
+    exists, else by the original query vector ("fallback ensures no
+    regression", proxy README:82-84).
+
+    Plan shape: the hypothesis never materializes as an array — the
+    grounded hits and candidates are position-exploded and the
+    hyde-dot is a (query, pos) equi-join + sum, so the whole pipeline
+    is joins/aggregations (co-partitioned by query at scale), no UDF.
+    """
+    dot = dot_sql(dialect, "q.v", "c.v")
+    if dialect == "spark":
+        pos_explode = "LATERAL VIEW posexplode(v) t AS pos, x"
+        pos_col, x_col = "pos", "x"
+    else:
+        pos_explode = ""
+        pos_col, x_col = "generate_subscripts(v, 1) - 1", "unnest(v)"
+    hit_ex = (
+        f"SELECT query_id, {pos_col} AS pos, {x_col} AS x FROM hits_v"
+        if dialect == "duckdb"
+        else "SELECT query_id, pos, x FROM hits_v " + pos_explode
+    )
+    cand_ex = (
+        f"SELECT vec_id, {pos_col} AS pos, {x_col} AS x FROM cands"
+        if dialect == "duckdb"
+        else "SELECT vec_id, pos, x FROM cands " + pos_explode
+    )
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, v, norm FROM emb WHERE vec_id < {n_q}
+),
+cands AS (
+  SELECT vec_id, v, norm FROM emb WHERE vec_id >= {n_q}
+),
+grounded AS (
+  SELECT query_id, vec_id, dist FROM (
+    SELECT q.query_id, c.vec_id,
+           1.0 - ({dot}) / (q.norm * c.norm) AS dist,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY 1.0 - ({dot}) / (q.norm * c.norm) ASC,
+                                       c.vec_id ASC) AS rn
+    FROM qs q CROSS JOIN cands c) t
+  WHERE rn <= {grounded_k} AND dist <= {grounded_thr}
+),
+hits_v AS (
+  SELECT g.query_id, c.v FROM grounded g JOIN cands c ON c.vec_id = g.vec_id
+),
+hyp AS (
+  SELECT query_id, pos, avg(x) AS h
+  FROM ({hit_ex}) he
+  GROUP BY query_id, pos
+),
+hyp_norm AS (
+  SELECT query_id, sqrt(sum(h * h)) AS hnorm FROM hyp GROUP BY query_id
+),
+cand_ex AS (
+{cand_ex}
+),
+hyde_dist AS (
+  SELECT hy.query_id, ce.vec_id,
+         1.0 - sum(hy.h * ce.x) / (max(hn.hnorm) * max(c.norm)) AS dist
+  FROM hyp hy
+  JOIN cand_ex ce ON ce.pos = hy.pos
+  JOIN cands c ON c.vec_id = ce.vec_id
+  JOIN hyp_norm hn ON hn.query_id = hy.query_id
+  GROUP BY hy.query_id, ce.vec_id
+),
+orig_dist AS (
+  SELECT q.query_id, c.vec_id,
+         1.0 - ({dot}) / (q.norm * c.norm) AS dist
+  FROM qs q CROSS JOIN cands c
+),
+chosen AS (
+  SELECT o.query_id, o.vec_id,
+         CASE WHEN h.vec_id IS NOT NULL THEN h.dist ELSE o.dist END AS dist,
+         h.vec_id IS NOT NULL AS used_hyde
+  FROM orig_dist o
+  LEFT JOIN hyde_dist h ON h.query_id = o.query_id AND h.vec_id = o.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
+       round(dist, 6) AS dist, used_hyde
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM chosen) t
+WHERE rank <= {k}
+""".strip()
+
+
+register_sql("proxy_hyde_dual_rag", _hyde_dual_rag_sql, ["emb"])
+
+
 from kektordb_spark.sources import multimodal as MM  # noqa: E402
 
 
