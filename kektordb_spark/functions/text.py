@@ -98,8 +98,13 @@ def bm25_scores(
     # Materialize the analyzed tokens once: without this, Catalyst
     # collapses the tokenizer projection into the explode, re-running
     # the regexp + stopword filter once per OUTPUT token (~100x the
-    # work). One cached narrow projection feeds every downstream branch.
-    base = docs.select(F.col(id_col).alias("doc"), F.col(toks_col).alias("toks")).persist()
+    # work). Eager checkpoint rather than lazy persist: the relation is
+    # referenced by several sibling stages of ONE job (postings,
+    # lengths, stats), and a lazy cache lets concurrently-scheduled
+    # stages race past the unfilled cache and re-tokenize.
+    base = docs.select(
+        F.col(id_col).alias("doc"), F.col(toks_col).alias("toks")
+    ).localCheckpoint(eager=True)
     lengths = base.select("doc", F.size("toks").alias("dl"))
     stats = lengths.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")

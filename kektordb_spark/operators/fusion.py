@@ -24,9 +24,19 @@ def normalize_vector_scores(knn: DataFrame, dist_col: str = "dist") -> DataFrame
 
 
 def normalize_text_scores(bm25: DataFrame, score_col: str = "score") -> DataFrame:
-    """H1 text branch: divide by the batch max (search_utils.go:59-70)."""
-    mx = bm25.agg(F.max(score_col).alias("mx"))
-    return bm25.crossJoin(F.broadcast(mx)).withColumn(
+    """H1 text branch: divide by the batch max (search_utils.go:59-70).
+
+    The scored relation is referenced twice (the max aggregate and the
+    row side) and Spark inlines shared subplans, so the WHOLE upstream
+    scoring pipeline would run twice (measured: the hybrid text branch
+    at sf0.1 paid a full extra BM25 pass). Scores are one small row per
+    matched doc — materialize once, then both references hit the
+    checkpointed relation. (A window max over the unpartitioned frame
+    would avoid the double reference but funnels every row through one
+    partition — worse at scale than the tiny checkpoint.)"""
+    scored = bm25.localCheckpoint(eager=True)
+    mx = scored.agg(F.max(score_col).alias("mx"))
+    return scored.crossJoin(F.broadcast(mx)).withColumn(
         "text_score",
         F.when(F.col("mx") > 0, F.col(score_col) / F.col("mx")).otherwise(F.col(score_col)),
     ).drop("mx")

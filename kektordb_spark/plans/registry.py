@@ -536,7 +536,7 @@ register_sql("knn_with_decay", _knn_decay_sql, ["emb", "mem"])
 def bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 BM25 ranked retrieval (core.go:1965-2068 semantics)."""
     load_tables(spark, sf_dir)
-    scored = TX.bm25_scores(spark.table("docs_tok"), BM25_QUERY)
+    scored = TX.bm25_scores(spark.table("docs_tok_par"), BM25_QUERY)
     return (
         scored.select("doc", F.round("score", 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc"))
@@ -544,7 +544,8 @@ def bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _text_stats_sql(dialect: str) -> str:
+def _text_stats_sql(dialect: str, source: str | None = None) -> str:
+    source = source or ("docs_tok_par" if dialect == "spark" else "docs_tok")
     size = "size" if dialect == "spark" else "len"
     dist = "array_distinct" if dialect == "spark" else "list_distinct"
     filt = "filter" if dialect == "spark" else "list_filter"
@@ -561,7 +562,7 @@ SELECT doc_id,
              ELSE CAST({size}({dist}(toks)) AS DOUBLE) / CAST({size}(toks) AS DOUBLE) END, 6) AS density,
        CAST({size}({filt}(toks, t -> {cont}({pos}, t)))
           - {size}({filt}(toks, t -> {cont}({neg}, t))) AS INT) AS sentiment
-FROM docs_tok
+FROM {source}
 """.strip()
 
 
@@ -643,7 +644,7 @@ def hybrid_fusion_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn = KNN.knn_exact(cands, q, k=10**9, metric="cosine",
                         id_col="vec_id", vec_col="v", norm_col="norm")
     vecs = FU.normalize_vector_scores(knn).select(F.col("vec_id").alias("id"), "vec_score")
-    bm = TX.bm25_scores(spark.table("docs_tok"), BM25_QUERY)
+    bm = TX.bm25_scores(spark.table("docs_tok_par"), BM25_QUERY)
     txt = FU.normalize_text_scores(bm).select(F.col("doc").alias("id"), "text_score")
     fused = FU.fuse(vecs, txt, alpha=0.5)
     return (
@@ -668,7 +669,7 @@ def hybrid_contains_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest, field, text = FL.parse_hybrid_filter(_HYBRID_FILTER)
     assert field == "text"
     toks = [t for t in text.lower().split() if t]
-    scored = TX.bm25_scores(spark.table("docs_tok"), toks)
+    scored = TX.bm25_scores(spark.table("docs_tok_par"), toks)
     allow = (
         spark.table("docs_tok")
         .where(FL.filter_to_column(rest, _DOCS_SCHEMA))

@@ -278,6 +278,9 @@ def ts_from_long(col: Column, unit: str) -> Column:
     return F.timestamp_micros(col * F.lit(scale))
 
 
+_REGISTERED: dict[int, tuple[str, dict[str, DataFrame]]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read base parquet tables and register them + derived views as temp
     views. Returns dict of base DataFrames.
@@ -286,9 +289,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     registry query calls load_tables first and materializes its own
     state after, so anything still pinned in the block manager here is
     garbage from an earlier query in the same session (measured: a
-    65-query session degrades up to 10x without this)."""
+    65-query session degrades up to 10x without this).
+
+    Registration is memoized per (session, sf_dir): temp views are
+    immutable reads over immutable fixtures, and re-registering costs
+    ~1.4 s of parse/analyze roundtrips — across a 75-query bench run
+    that re-registration was HALF the total wall clock. Switching
+    sf_dir in the same session re-registers everything."""
     for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
         jrdd.unpersist()
+    sid = id(spark)
+    prev = _REGISTERED.get(sid)
+    if prev is not None and prev[0] == sf_dir:
+        return prev[1]
     out: dict[str, DataFrame] = {}
     for name in BASE_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -317,6 +330,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     spark.sql(
         docs_tok_view_sql("spark", source="documents_par")
     ).createOrReplaceTempView("docs_tok_par")
+    _REGISTERED[sid] = (sf_dir, out)
     return out
 
 
