@@ -97,6 +97,51 @@ def vcreate(
                  precision=precision, auto_links=tuple(auto_links))
 
 
+class IndexExistsError(ValueError):
+    """Duplicate index name on create — HTTP 409 in the reference
+    (ops.go:130 'index with the same name already exists')."""
+
+
+class IndexNotFoundError(KeyError):
+    """Unknown index — HTTP 404 in the reference."""
+
+
+class Catalog:
+    """Index catalog (GET/POST/DELETE /vector/indexes*,
+    http_handlers.go:74-75, 131-132): named Index snapshots with the
+    reference's create/duplicate/delete/not-found contract. On a
+    cluster this is the metastore — here a plain dict of immutable
+    Index values."""
+
+    def __init__(self) -> None:
+        self._indexes: dict[str, Index] = {}
+
+    def create(self, spark: SparkSession, name: str, **kw) -> Index:
+        if name in self._indexes:
+            raise IndexExistsError(f"index '{name}' already exists")
+        ix = vcreate(spark, name, **kw)
+        self._indexes[name] = ix
+        return ix
+
+    def list(self) -> list[str]:
+        return sorted(self._indexes)
+
+    def get(self, name: str) -> Index:
+        if name not in self._indexes:
+            raise IndexNotFoundError(f"index '{name}' not found")
+        return self._indexes[name]
+
+    def put(self, index: Index) -> None:
+        """Store an updated snapshot (every mutation returns a new
+        Index; the catalog is where 'current' lives)."""
+        self._indexes[index.name] = index
+
+    def delete(self, name: str) -> None:
+        if name not in self._indexes:
+            raise IndexNotFoundError(f"index '{name}' not found")
+        del self._indexes[name]
+
+
 def _rows_to_df(spark: SparkSession, items: list[dict], now: int) -> DataFrame:
     rows = []
     for it in items:
@@ -130,11 +175,42 @@ def upsert(base: DataFrame, updates: DataFrame, key: str = "id") -> DataFrame:
     return joined.select(*picked)
 
 
-def vadd_batch(index: Index, items: list[dict], now: int) -> Index:
-    """S2/S3 VAdd/VAddBatch (ops.go:268-395, 1384-1501): upsert rows,
+class DuplicateIdError(ValueError):
+    """Raised by strict-mode adds on an existing id — the reference's
+    VAdd/VAddBatch/VImport all reject duplicates ("ID 'x' already
+    exists", hnsw_index.go:527/1041/1604; HTTP 409 at
+    http_handlers.go:486). Upserts happen only through explicit
+    metadata/evolve paths."""
+
+
+class SelfLinkError(ValueError):
+    """Raised when source == target — rejected with HTTP 400 in the
+    reference (http_handlers.go:880)."""
+
+
+def vadd_batch(index: Index, items: list[dict], now: int, mode: str = "strict") -> Index:
+    """S2/S3 VAdd/VAddBatch (ops.go:268-395, 1384-1501): add rows,
     inject system metadata defaults, derive auto-link edges (G7,
-    ops.go:1699-1735)."""
+    ops.go:1699-1735).
+
+    ``mode='strict'`` (the reference semantics) rejects ids that
+    already exist among non-deleted rows or repeat within the batch —
+    one semi-join instead of the reference's per-item map probe.
+    ``mode='upsert'`` is the bulk MERGE path (latest row wins) for
+    Delta-style pipelines beyond the reference's surface."""
     new = _rows_to_df(index.spark, items, now)
+    if mode == "strict":
+        ids = [it["id"] for it in items]
+        if len(set(ids)) != len(ids):
+            dup = sorted({i for i in ids if ids.count(i) > 1})[0]
+            raise DuplicateIdError(f"ID '{dup}' already exists")
+        clash = (
+            index.vectors.where(~F.col("deleted"))
+            .join(new.select("id"), "id", "left_semi")
+            .select("id").limit(1).collect()
+        )
+        if clash:
+            raise DuplicateIdError(f"ID '{clash[0]['id']}' already exists")
     vectors = upsert(index.vectors, new)
     edges = index.edges
     for fld, rel in index.auto_links:
@@ -222,7 +298,13 @@ def vlink(
     new; absent → append. Optional inverse edge same rules.
 
     The whole rule is one anti-join + one conditional update — the
-    read-side of a MERGE WHEN MATCHED AND <changed> THEN UPDATE+INSERT."""
+    read-side of a MERGE WHEN MATCHED AND <changed> THEN UPDATE+INSERT.
+    Self-links are rejected (http_handlers.go:880)."""
+    if src == dst:
+        raise SelfLinkError(
+            "cannot link a node to itself (source_id equals target_id)"
+        )
+
     def one(edges: DataFrame, s: str, d: str, r: str) -> DataFrame:
         active = (F.col("src") == s) & (F.col("dst") == d) & \
                  (F.col("rel") == r) & (F.col("deleted_at") == 0)

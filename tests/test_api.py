@@ -25,7 +25,7 @@ def idx(spark):
     return api.vadd_batch(ix, items, now=T0)
 
 
-def test_vadd_upsert_and_autolink(idx):
+def test_vadd_strict_and_autolink(idx):
     assert idx.vectors.count() == 3
     row = idx.vectors.where(F.col("id") == "a").collect()[0]
     assert row["created_at"] == T0 and row["access_count"] == 0
@@ -33,10 +33,25 @@ def test_vadd_upsert_and_autolink(idx):
     # G7 auto-link edges derived from metadata
     links = idx.edges.where(F.col("rel") == "belongs_to").collect()
     assert {(r["src"], r["dst"]) for r in links} == {("a", "x"), ("b", "x")}
-    # upsert overwrites (S2 is an upsert, not append)
-    idx2 = api.vadd_batch(idx, [{"id": "a", "vector": [0.5, 0.5]}], now=T1)
+    # S2 strict mode: duplicate id REJECTED like the reference
+    # (hnsw_index.go:527 "ID 'x' already exists"; 409 at the HTTP layer)
+    with pytest.raises(api.DuplicateIdError, match="already exists"):
+        api.vadd_batch(idx, [{"id": "a", "vector": [0.5, 0.5]}], now=T1)
+    # explicit upsert mode is the bulk MERGE path
+    idx2 = api.vadd_batch(idx, [{"id": "a", "vector": [0.5, 0.5]}], now=T1,
+                          mode="upsert")
     assert idx2.vectors.count() == 3
     assert idx2.vectors.where(F.col("id") == "a").collect()[0]["created_at"] == T1
+    # deleted ids are re-addable in strict mode (the live-id check
+    # only considers non-deleted rows)
+    idx3 = api.vdelete(idx, ["a"], now=T1)
+    idx4 = api.vadd_batch(idx3, [{"id": "a", "vector": [0.5, 0.5]}], now=T2)
+    assert idx4.vectors.where(F.col("id") == "a").where(~F.col("deleted")).count() == 1
+
+
+def test_vlink_self_link_rejected(idx):
+    with pytest.raises(api.SelfLinkError, match="cannot link a node to itself"):
+        api.vlink(idx, "a", "a", "self_ref", now=T0)
 
 
 def test_vdelete_cascade(idx):
