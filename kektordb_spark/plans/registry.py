@@ -281,6 +281,33 @@ FROM (
 register_sql("knn_int8_top10", _knn_int8_sql, ["emb"])
 
 
+@register("knn_pq_top10", None)
+def knn_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): train per-subspace
+    codebooks with DataFrame-native Lloyd iterations, encode the corpus
+    to M bytes/vector, answer queries via ADC LUT joins. The scale path
+    where even int8 vectors are too big to scan — candidate work is
+    O(N*M) table lookups. No SQL oracle (iterative k-means is not one
+    statement); tests/test_pq.py pins training, codes, and top-k
+    against a pure-numpy replica; recall vs exact kNN is asserted in
+    the same test."""
+    from kektordb_spark.operators import pq as PQ
+
+    load_tables(spark, sf_dir)
+    emb = spark.table("emb")
+    cands = emb.where(F.col("vec_id") >= 5)
+    centroids = PQ.pq_train(cands, m=8, k=16, iters=3)
+    codes = PQ.pq_encode(cands, centroids, m=8)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    res = PQ.pq_knn(codes, centroids, queries, k=10, m=8)
+    return res.select(
+        "query_id", F.col("id").alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 @register("knn_f16_top10", None)
 def knn_f16_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12 float16 compression + V1 euclidean k-NN over the compressed
