@@ -47,5 +47,13 @@ def get_spark(app_name: str = "kektordb-spark", cpus: int | None = None) -> Spar
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
+        # The status listeners track jobs/stages/SQL executions even
+        # with the UI off; a 75-query bench session accumulates
+        # thousands of entries on the listener bus. Cap retention so
+        # late queries in a long session don't pay for early ones.
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "10000")
+        .config("spark.sql.ui.retainedExecutions", "30")
     )
     return builder.getOrCreate()
