@@ -224,6 +224,48 @@ for _metric in ("cosine", "euclidean", "dot"):
     )(_knn_query(_metric))
 
 
+def _knn_batch_sql(dialect: str, k: int = 10) -> str:
+    """Batch-throughput kNN: EVERY vector queries the whole corpus
+    (all-pairs cosine top-{k}, self excluded) in ONE plan. This is the
+    apples-to-apples comparison against the reference's online QPS
+    (BASELINE.md: 1073 QPS single-node GloVe-100d): a batch engine
+    amortizes per-query overhead across the whole query set — N
+    queries cost one scan join + one ranked window, so queries/sec
+    grows with N instead of being capped by per-request latency. The
+    ranked window shuffles one partition per query id (perfectly
+    parallel); the distance fold is whole-stage-codegen'd JVM code."""
+    dot = dot_sql(dialect, "q.v", "c.v")
+    return f"""
+WITH d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         1.0 - ({dot}) / (q.norm * c.norm) AS dist
+  FROM emb q CROSS JOIN emb c
+  WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(dist, 6) AS dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM d
+) t WHERE rank <= {k}
+""".strip()
+
+
+@register("knn_batch_allpairs", with_oracle_ctes(_knn_batch_sql("duckdb"), ["emb"]))
+def knn_batch_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-throughput kNN via the tiled-GEMM kernel (see
+    _knn_batch_sql docstring for the semantics and BG.knn_all for the
+    plan shape — the SQL fold form is ~25x slower at 4M pairs because
+    higher-order functions evaluate interpreted; the GEMM kernel stays
+    hash-identical after round(·,6), SCALE.md rule 7)."""
+    load_tables(spark, sf_dir)
+    emb = spark.table("emb").select("vec_id", F.col("v").alias("vec"))
+    res = BG.knn_all(spark, k=10, emb=emb)
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
+        F.round("dist", 6).alias("dist"),
+    )
+
+
 @register("ivf_knn", with_oracle_ctes(IVF.ivf_knn_sql("duckdb"), ["emb"]))
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (see operators/ivf.py). Spark side materializes the
