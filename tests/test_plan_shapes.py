@@ -90,3 +90,29 @@ def test_multimodal_map_only(spark):
     plan = plan_of(spark, "multimodal_features")
     # feature extraction is map-only: binary payloads never shuffle
     assert n_exchanges(plan) == 0
+
+
+def test_pq_assignment_is_broadcast_equi_join(spark):
+    plan = plan_of(spark, "knn_pq_top10")
+    # every centroid/LUT join is broadcast (config-sized relations);
+    # a shuffle join against K*M centroid rows would be a planning bug
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hyde_hypothesis_is_equi_join(spark):
+    plan = plan_of(spark, "proxy_hyde_dual_rag")
+    # the hyde-dot is a (query, pos) equi-join + aggregation — the
+    # hypothesis vector never materializes, and the only cross joins
+    # are the intended query x candidate distance scans
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_batch_gemm_knn_shuffles_candidates_not_matrix(spark):
+    plan = plan_of(spark, "knn_batch_allpairs")
+    # the GEMM kernel emits per-tile top-k candidates; the N^2 distance
+    # matrix must never appear as a join output. Expected exchanges:
+    # pack groupBy, tile repartition, final rank window (+AQE reads) —
+    # structural bound, not exact count.
+    assert "CartesianProduct" not in plan
+    assert n_exchanges(plan) <= 4
