@@ -1445,6 +1445,21 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n_events", "total_value")
 
 
+@register("streaming_importance_spikes", ST.importance_spikes_oracle_sql("duckdb"))
+def streaming_importance_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 + A7 composite: the Gardener importance-shift detector run
+    INCREMENTALLY — per-entity mention counts as a watermarked tumbling
+    window stream, spike rule (n > 5 AND n > 2*prev window) applied to
+    the emitted window table. The stream answer equals the epoch-bucket
+    + lag batch SQL oracle."""
+    load_tables(spark, sf_dir)
+    stream = ST.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    windowed = ST.run_to_memory(
+        spark, ST.windowed_entity_mentions(stream), "ent_mentions"
+    )
+    return ST.importance_spikes(windowed)
+
+
 @register("streaming_stateful_totals", ST.user_totals_oracle_sql("duckdb"))
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState custom stateful operator (per-user

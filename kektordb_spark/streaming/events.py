@@ -163,6 +163,76 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def windowed_entity_mentions(
+    events: DataFrame, window: str = "3 days", watermark: str = "1 hour",
+) -> DataFrame:
+    """A7-as-a-stream: per-entity mention counts in tumbling event-time
+    windows — the streaming half of the Gardener's importance-shift
+    detector (gardener.go:1471-1537). The spike comparison joins
+    consecutive windows AFTER emission (importance_spikes below): state
+    in the stream stays one count per (window, entity), bounded by the
+    watermark; the cross-window comparison needs completed windows by
+    definition, so it belongs downstream of the sink."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("w"), F.col("user_id").alias("entity"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("w_start"), "entity", "n")
+    )
+
+
+def importance_spikes(
+    windowed: DataFrame, window_s: int = 259200,
+    min_recent: int = 5, ratio: float = 2.0,
+) -> DataFrame:
+    """Spike rule on emitted windows (gardener.go:1511-1528): entity
+    spikes in window w when n(w) > min_recent AND n(w) > ratio *
+    n(w-1). Missing previous window counts as 0 mentions -> any
+    window above min_recent spikes (the reference's recent>2*older
+    with older=0). One self-equi-join on (entity, previous window)."""
+    spark = windowed.sparkSession
+    # SQL self-join over a registered view: DataFrame-API self-joins of
+    # a memory-sink table fail attribute dedup (both sides share the
+    # sink's attribute ids); two scans of the view name re-resolve
+    # cleanly.
+    windowed.createOrReplaceTempView("_spike_windows")
+    return spark.sql(f"""
+WITH wc AS (
+  SELECT CAST(unix_timestamp(w_start) AS BIGINT) AS w_epoch, entity, n
+  FROM _spike_windows
+)
+SELECT c.w_epoch, c.entity, c.n, coalesce(p.n, 0) AS n_prev
+FROM wc c LEFT JOIN wc p
+  ON p.entity = c.entity AND p.w_epoch = c.w_epoch - {window_s}
+WHERE c.n > {min_recent} AND c.n > {ratio} * coalesce(p.n, 0)
+""".strip())
+
+
+def importance_spikes_oracle_sql(dialect: str, window_s: int = 259200,
+                                 min_recent: int = 5, ratio: float = 2.0) -> str:
+    div = "DIV" if dialect == "spark" else "//"
+    ep = (
+        "CAST(unix_timestamp(ts) AS BIGINT)" if dialect == "spark"
+        else "CAST(floor(epoch(ts)) AS BIGINT)"
+    )
+    return f"""
+WITH wc AS (
+  SELECT ({ep} {div} {window_s}) * {window_s} AS w_epoch,
+         user_id AS entity, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT c.w_epoch, c.entity, c.n, coalesce(p.n, 0) AS n_prev
+  FROM wc c LEFT JOIN wc p
+    ON p.entity = c.entity AND p.w_epoch = c.w_epoch - {window_s}
+)
+SELECT w_epoch, entity, n, n_prev FROM j
+WHERE n > {min_recent} AND n > {ratio} * n_prev
+""".strip()
+
+
 def user_totals_batch(events: DataFrame) -> DataFrame:
     """Batch oracle for stateful_user_totals' final per-key emissions."""
     return events.groupBy("user_id").agg(
