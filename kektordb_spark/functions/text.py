@@ -105,41 +105,54 @@ def bm25_scores(
     base = docs.select(
         F.col(id_col).alias("doc"), F.col(toks_col).alias("toks")
     ).localCheckpoint(eager=True)
-    lengths = base.select("doc", F.size("toks").alias("dl"))
-    stats = lengths.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+
+    # Query token sets are tiny by nature, so tf(token, doc) comes from
+    # per-token array scans in ONE narrow projection — no posting
+    # explode, no token-keyed shuffle (the prior shape shuffled the
+    # full (token, doc) posting relation to serve a 3-token query;
+    # measured ~2.4 s of the 5 s total at sf0.1). build_postings
+    # remains the materialized-index path for repeated-query serving.
+    uniq: dict[str, int] = {}
+    for t in query_tokens:
+        uniq[t] = uniq.get(t, 0) + 1
+    tokens = sorted(uniq)
+
+    def tf_col(t: str) -> F.Column:
+        esc = t.replace("'", "\\'")
+        return F.expr(f"size(filter(toks, x -> x = '{esc}'))")
+
+    per = base.select(
+        "doc", F.size("toks").alias("dl"),
+        *[tf_col(t).alias(f"tf_{i}") for i, t in enumerate(tokens)],
     )
-    postings = build_postings(base, "doc", "toks")
-    # query-token multiplicity qn (reference: duplicates score n times)
-    qt = (
-        spark.createDataFrame([(t,) for t in query_tokens], "token string")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("double").alias("qn"))
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(tokens))
+        ],
     )
-    # df per query token (document frequency over the whole corpus)
-    dfreq = (
-        postings.join(F.broadcast(qt), "token")
-        .groupBy("token", "qn")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    matched = (
-        postings.join(F.broadcast(dfreq), "token")
-        .join(lengths, "doc")
-        .crossJoin(F.broadcast(stats))
-    )
-    term_score = (
-        F.col("qn")
-        * F.log(
-            1.0
-            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    rows = per.crossJoin(F.broadcast(stats))
+    terms = []
+    for i, t in enumerate(tokens):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            1.0 + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
         )
-        * (F.col("tf") * (BM25_K1 + 1))
-        / (
-            F.col("tf")
-            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        terms.append(
+            F.when(
+                tf > 0,
+                float(uniq[t]) * idf * (tf * (BM25_K1 + 1))
+                / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
+            ).otherwise(F.lit(0.0))
         )
-    )
-    return matched.groupBy("doc").agg(F.sum(term_score).alias("score"))
+    score = terms[0]
+    for term in terms[1:]:
+        score = score + term
+    any_hit = F.greatest(*[F.col(f"tf_{i}") for i in range(len(tokens))]) > 0
+    # candidates = union of the query tokens' posting lists
+    # (core.go:2005-2021) == rows with at least one matching token
+    return rows.where(any_hit).select("doc", score.alias("score"))
 
 
 def bm25_oracle_sql(
