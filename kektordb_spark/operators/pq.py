@@ -59,14 +59,19 @@ _SQDIST = (
 
 
 def _assign(sv: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid per (id, sub): broadcast join + ranked argmin
-    (ties to the lowest centroid id)."""
-    w = Window.partitionBy("id", "sub").orderBy(F.col("d").asc(), F.col("cid").asc())
+    """Nearest centroid per (id, sub): broadcast join + hash-aggregate
+    argmin — ``min_by`` over the lexicographic (distance, cid) struct
+    keeps ties on the lowest centroid id without the sort a ranked
+    window would need (the window form shuffled+sorted N*M*K rows per
+    Lloyd round; the aggregate is map-side combined)."""
     return (
         sv.join(F.broadcast(centroids), "sub")
         .withColumn("d", F.expr(_SQDIST))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy("id", "sub")
+        .agg(
+            F.min_by("cid", F.struct("d", "cid")).alias("cid"),
+            F.first("sv").alias("sv"),  # constant within the group
+        )
         .select("id", "sub", "cid", "sv")
     )
 
