@@ -222,6 +222,7 @@ def find_path(
     max_depth: int = 4,
     relations: list[str] | None = None,
     at_time: int | None = None,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """G9 FindPath (pkg/engine/pathfinding.go:16-148): bidirectional
     BFS — forward from ``src``, backward from ``dst`` (over reversed
@@ -243,7 +244,7 @@ def find_path(
     if relations:
         e = e.where(F.col("rel").isin(relations))
     base = e.select("src", "dst")
-    if max_depth > 1:
+    if materialize_edges and max_depth > 1:
         base = base.localCheckpoint(eager=True)
     fwd = _bfs_over_pairs(
         base.select(F.col("src").alias("from_n"), F.col("dst").alias("to_n")),
@@ -307,6 +308,7 @@ def extract_subgraph(
     max_depth: int,
     relations: list[str] | None = None,
     at_time: int | None = None,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """G8 VExtractSubgraph (pkg/engine/graph.go:296-386): BFS to depth
     <=5 both directions over the given relations, then return the
@@ -323,7 +325,9 @@ def extract_subgraph(
     e = active_at(edges, at_time)
     if relations:
         e = e.where(F.col("rel").isin(relations))
-    base = e.select("src", "dst", "rel", "weight").localCheckpoint(eager=True)
+    base = e.select("src", "dst", "rel", "weight")
+    if materialize_edges:
+        base = base.localCheckpoint(eager=True)
     pairs = base.select(F.col("src").alias("from_n"), F.col("dst").alias("to_n")).unionAll(
         base.select(F.col("dst").alias("from_n"), F.col("src").alias("to_n"))
     )

@@ -541,7 +541,8 @@ def knn_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bfs and knn_exact operators (allowlist semi-join between)."""
     load_tables(spark, sf_dir)
     roots = spark.createDataFrame([(_GRAPH_KNN_ROOT,)], "node string")
-    reach = G.bfs(spark.table("edges"), roots, max_depth=3, direction="in")
+    reach = G.bfs(spark.table("edges"), roots, max_depth=3, direction="in",
+                  materialize_edges=False)
     allow = (
         reach.where(F.expr("substr(node, 1, 2) = 'p_'"))
         .select(F.expr("CAST(substr(node, 3) AS BIGINT)").alias("vec_id"))
@@ -780,7 +781,8 @@ def graph_bfs_depth3(spark: SparkSession, sf_dir: str) -> DataFrame:
     part nodes through the FK DAG at t=1998-06-01."""
     load_tables(spark, sf_dir)
     roots = spark.createDataFrame([(r,) for r in BFS_ROOTS], "node string")
-    return G.bfs(spark.table("edges"), roots, max_depth=3, at_time=T_MID).select(
+    return G.bfs(spark.table("edges"), roots, max_depth=3, at_time=T_MID,
+                 materialize_edges=False).select(
         "node", F.col("depth").cast("int").alias("depth")
     )
 
@@ -836,7 +838,8 @@ def graph_find_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9 FindPath: bidirectional BFS part->...->region, maxDepth 4
     (pkg/engine/pathfinding.go:16-148); rows = nodes on shortest paths."""
     load_tables(spark, sf_dir)
-    return G.find_path(spark.table("edges"), "p_1", "r_1", max_depth=4, at_time=T_MID)
+    return G.find_path(spark.table("edges"), "p_1", "r_1", max_depth=4,
+                       at_time=T_MID, materialize_edges=False)
 
 
 _SUBGRAPH_RELS = ["placed_by", "from_nation"]
@@ -853,7 +856,7 @@ def graph_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     roots = spark.createDataFrame([("c_1",)], "node string")
     return G.extract_subgraph(
         spark.table("edges"), roots, max_depth=2,
-        relations=_SUBGRAPH_RELS, at_time=T_MID,
+        relations=_SUBGRAPH_RELS, at_time=T_MID, materialize_edges=False,
     )
 
 
