@@ -1075,6 +1075,13 @@ register_sql("gardener_session_summary", LC.session_summary_sql, [])
 register_sql("gardener_user_profile", LC.user_profile_sql, [])
 register_sql("compiler_artifact_diff", LC.artifact_diff_sql, [])
 register_sql("compiler_artifact_staleness", LC.artifact_staleness_sql, [])
+
+from kektordb_spark.operators import asof as ASOF  # noqa: E402
+
+register_sql(
+    "artifact_version_asof", ASOF.artifact_version_asof_sql, [],
+    doc=ASOF.artifact_version_asof_sql.__doc__,
+)
 register_sql("engine_stats", LC.engine_stats_sql, ["mem", "edges", "emb"])
 register_sql("transfer_memory", LC.transfer_memory_sql, ["mem"])
 
