@@ -58,6 +58,11 @@ def main() -> None:
     spark.sql(
         "SELECT count(*) FROM emb WHERE aggregate(v, CAST(0.0 AS DOUBLE), (s, x) -> s + x) > -1e18"
     ).collect()
+    # third hot family: md5 + conv hex->int (dedup fingerprints/minhash)
+    spark.sql(
+        "SELECT count(*) FROM docs_tok_par "
+        "WHERE CAST(conv(substr(md5(concat_ws(' ', toks)), 1, 8), 16, 10) AS BIGINT) >= 0"
+    ).collect()
 
     queries = registry.queries()
     timings: dict[str, float] = {}

@@ -873,10 +873,11 @@ def _simhash_fp_view(spark: SparkSession) -> None:
     relation (referenced once per pigeonhole chunk — Spark re-evaluates
     inlined CTEs per reference, and exploding an unevaluated
     higher-order expression is pathological, see minhash_arr_sql)."""
-    toks = spark.sql("SELECT doc_id, toks FROM docs_tok_par").localCheckpoint(eager=True)
-    toks.createOrReplaceTempView("_sh_toks")
+    # docs_tok_par is parquet-materialized by load_tables — concrete
+    # token arrays already, so only the fingerprint relation needs a
+    # checkpoint here.
     fp = spark.sql(
-        DD.simhash_sql("spark", docs_source="_sh_toks")
+        DD.simhash_sql("spark", docs_source="docs_tok_par")
     ).localCheckpoint(eager=True)
     fp.createOrReplaceTempView("_sh_fp")
 
