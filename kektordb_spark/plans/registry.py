@@ -1361,6 +1361,44 @@ WHERE rank <= {k}
 register_sql("proxy_hyde_dual_rag", _hyde_dual_rag_sql, ["emb"])
 
 
+def _search_query_text_sql(
+    dialect: str, qtext: str = "merge sort window algorithm", k: int = 10,
+) -> str:
+    """Auto-embed search path (http_handlers.go:622-731 step 2:
+    query_text -> embedder -> VSearch): both the corpus and the query
+    literal go through the deterministic hash-projection embedder
+    (sources/rag.py embed_stub == embed_sql), then exact cosine top-k.
+    The embedder is a stand-in (swap for a real encoder = one function
+    body); the PLAN is the real thing — embed at scan time, no
+    separate embedding materialization needed for ad-hoc text queries."""
+    from kektordb_spark.sources.rag import embed_sql
+
+    src = "documents_par" if dialect == "spark" else "documents"
+    ve = embed_sql(dialect, "text")
+    qv = embed_sql(dialect, f"'{qtext}'")
+    dot = dot_sql(dialect, "c.v", "q.v")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, {ve} AS v FROM {src}
+),
+qry AS (
+  SELECT {qv} AS v
+),
+d AS (
+  SELECT c.doc_id,
+         1.0 - ({dot}) / (sqrt({dot_sql(dialect, 'c.v', 'c.v')}) * sqrt({dot_sql(dialect, 'q.v', 'q.v')})) AS dist
+  FROM corpus c CROSS JOIN qry q
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, round(dist, 6) AS dist
+FROM (
+  SELECT *, row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS rank FROM d
+) t WHERE rank <= {k}
+""".strip()
+
+
+register_sql("search_query_text", _search_query_text_sql, [])
+
+
 from kektordb_spark.sources import multimodal as MM  # noqa: E402
 
 

@@ -169,6 +169,26 @@ def embed_stub(texts):
     return pd.Series([one(t) for t in texts])
 
 
+def embed_sql(dialect: str, txt: str) -> str:
+    """The embed_stub hash projection as a SQL expression — identical
+    bytes in both engines (Spark ``sha2(t,256)`` == DuckDB
+    ``sha256(t)``, lowercase hex), so the auto-embed query path
+    (http_handlers.go:641-658: query_text -> embedder -> VSearch) is
+    fully oracle-checkable. Swapping in a real encoder replaces this
+    AND embed_stub together."""
+    if dialect == "spark":
+        byte = f"CAST(conv(substr(sha2({txt}, 256), i * 2 + 1, 2), 16, 10) AS DOUBLE)"
+        return (
+            f"transform(sequence(0, {EMBED_DIM - 1}), "
+            f"i -> {byte} / 255.0 - 0.5)"
+        )
+    byte = f"CAST(concat('0x', substr(sha256({txt}), i * 2 + 1, 2)) AS BIGINT)"
+    return (
+        f"list_transform(range(0, {EMBED_DIM}), "
+        f"i -> CAST({byte} AS DOUBLE) / 255.0 - 0.5)"
+    )
+
+
 def ingest(docs: DataFrame, now: int = 0, chunk_size: int = 60, overlap: int = 10):
     """Full S10 pipeline: chunk → embed → vector rows + prev/next
     edges. Returns (vector_rows, edge_rows) ready for api.vadd_batch /
