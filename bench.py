@@ -63,6 +63,16 @@ def main() -> None:
         "SELECT count(*) FROM docs_tok_par "
         "WHERE CAST(conv(substr(md5(concat_ws(' ', toks)), 1, 8), 16, 10) AS BIGINT) >= 0"
     ).collect()
+    # Streaming-engine bootstrap (state store providers, checkpoint
+    # machinery) — the first streaming query otherwise absorbs it.
+    from kektordb_spark.streaming.events import read_event_stream, run_to_memory
+
+    run_to_memory(
+        spark,
+        read_event_stream(spark, f"{sf_dir}/events.parquet").limit(1),
+        "_warm_stream",
+        output_mode="append",
+    )
 
     queries = registry.queries()
     timings: dict[str, float] = {}
