@@ -464,13 +464,19 @@ def ngram_pref_sql(
         if arr_source is None
         else f"SELECT doc_id, {size_fn}(grams) AS n_g FROM {arr_source}"
     )
+    # df inline as a window count (one shuffle keyed on gram) instead
+    # of a groupBy + re-join of the same postings — the rank window
+    # then re-keys on doc_id; two shuffles total, no extra join.
     return f"""
 SELECT doc_id, blk, gram, n_g, rnk FROM (
-  SELECT e.doc_id, e.blk, e.gram, s.n_g,
-         row_number() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.gram) AS rnk
-  FROM {ex_source} e
-  JOIN (SELECT gram, count(*) AS df FROM {ex_source} GROUP BY gram) f ON f.gram = e.gram
-  JOIN ({sizes}) s ON s.doc_id = e.doc_id
+  SELECT doc_id, blk, gram, n_g,
+         row_number() OVER (PARTITION BY doc_id ORDER BY df, gram) AS rnk
+  FROM (
+    SELECT e.doc_id, e.blk, e.gram, s.n_g,
+           count(*) OVER (PARTITION BY e.gram) AS df
+    FROM {ex_source} e
+    JOIN ({sizes}) s ON s.doc_id = e.doc_id
+  ) d
 ) t
 WHERE rnk <= n_g - CAST(ceil({threshold} * n_g) AS BIGINT) + 1
 """.strip()
