@@ -353,6 +353,34 @@ def graph_vacuum(index: Index, now: int, retention: int) -> Index:
     return replace(index, edges=edges)
 
 
+def repair_dangling(index: Index, now: int) -> Index:
+    """G10 self-repair (ops.go:1213-1267: VGetConnections removes
+    dangling links in the background): soft-close active edges whose
+    src OR dst no longer resolves to a live vector row. Two left-anti
+    probes against the (broadcastable) live-id set — one pass over
+    edges, the Spark form of the reference's per-hop cleanup."""
+    live = index.vectors.where(~F.col("deleted")).select("id")
+    dangle_src = index.edges.join(
+        live.withColumnRenamed("id", "src"), "src", "left_anti"
+    ).select("src", "dst", "rel")
+    dangle_dst = index.edges.join(
+        live.withColumnRenamed("id", "dst"), "dst", "left_anti"
+    ).select("src", "dst", "rel")
+    dangling = dangle_src.unionByName(dangle_dst).distinct()
+    marked = dangling.withColumn("_dangling", F.lit(True))
+    edges = (
+        index.edges.join(F.broadcast(marked), ["src", "dst", "rel"], "left")
+        .select(
+            "src", "dst", "rel", "weight", "created_at",
+            F.when(
+                (F.col("deleted_at") == 0) & F.col("_dangling").isNotNull(),
+                F.lit(now).cast("long"),
+            ).otherwise(F.col("deleted_at")).alias("deleted_at"),
+        )
+    )
+    return replace(index, edges=edges)
+
+
 def vevolve(
     index: Index, old_id: str, new_id: str, new_props: dict, now: int,
     reason: str = "",

@@ -140,3 +140,22 @@ def test_kv_roundtrip(spark):
     assert api.kv_get(kv, "nope") is None
     kv = api.kv_delete(kv, "k1")
     assert api.kv_get(kv, "k1") is None
+
+
+def test_repair_dangling(idx):
+    # a -> b healthy; a -> ghost dangles (ghost was never added);
+    # delete b so a -> b dangles too afterwards
+    idx = api.vlink(idx, "a", "b", "refs", now=T0)
+    idx = api.vlink(idx, "a", "ghost", "refs", now=T0)
+    fixed = api.repair_dangling(idx, now=T1)
+    active = {(r["src"], r["dst"]) for r in
+              fixed.edges.where(F.col("deleted_at") == 0)
+              .select("src", "dst").collect()}
+    assert ("a", "ghost") not in active
+    assert ("a", "b") in active  # healthy link untouched
+    # after deleting b, repair closes a->b as well (G10+S5 composition)
+    fixed2 = api.repair_dangling(api.vdelete(fixed, ["b"], now=T1), now=T2)
+    active2 = {(r["src"], r["dst"]) for r in
+               fixed2.edges.where(F.col("deleted_at") == 0)
+               .select("src", "dst").collect()}
+    assert ("a", "b") not in active2
