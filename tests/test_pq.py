@@ -107,7 +107,8 @@ def test_pq_codes_and_topk_match_numpy(spark, pq_parts):
         qv = vecs[ids == qi][0]
         lut = [((qv[s * W:(s + 1) * W] - cents[s]) ** 2).sum(axis=1) for s in range(M)]
         adc = np.stack([lut[s][ncodes[:, s]] for s in range(M)]).sum(axis=0)
-        order = np.lexsort((ids[mask], adc))[:10]
+        # pq_knn ranks by (round(dist, 6), id) — SCALE.md rule 7
+        order = np.lexsort((ids[mask], np.round(adc, 6)))[:10]
         expect = [int(ids[mask][i]) for i in order]
         assert got[qi] == expect, f"query {qi}"
         # recall vs exact float kNN
