@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -415,6 +415,158 @@ def vevolve(
         EDGE_SCHEMA,
     )
     edges = index.edges.unionByName(copied).unionByName(links)
+    return replace(index, vectors=vectors, edges=edges)
+
+
+def consolidate(index: Index, clusters: list[list[str]], now: int) -> Index:
+    """A5 merge step write-side (gardener.go:941-1110
+    consolidateCluster, no-LLM path), batched over every cluster at
+    once — each stage is one join/group-by over the vectors or edges
+    table, the read-side of exactly one MERGE:
+
+      * master row per cluster: id ``consolidation_<lowest member id>``
+        (deterministic substitute for the reference's wall-clock nanos
+        id), vector = elementwise mean of members, content = the most
+        graph-connected member's content (ties: longer content, then
+        first in member order — pickCentralContent,
+        gardener.go:1288-1308), meta type=consolidated_memory +
+        derived_from_count;
+      * external active edges of members transferred to the master
+        (SKIP_RELS analysis artifacts and within-cluster endpoints
+        excluded; same (rel, endpoint) from several members resolves
+        last-member-wins, the deterministic face of the reference's
+        VLink-versioning over sorted member iteration);
+      * ``consolidated_into``/``derived_from`` link pair per member
+        (gardener.go:1093-1097);
+      * members archived in place: meta gains _archived=true and
+        _consolidated_into=<master> (gardener.go:1099-1103).
+    """
+    from kektordb_spark.operators.consolidation import SKIP_RELS
+
+    spark = index.spark
+    pairs = [
+        (f"consolidation_{sorted(m)[0]}", mid) for m in clusters for mid in m
+    ]
+    cl = spark.createDataFrame(pairs, "master string, member string")
+    live = index.vectors.where(~F.col("deleted"))
+    items = live.join(
+        F.broadcast(cl), live["id"] == cl["member"]
+    ).select("master", *index.vectors.columns)
+
+    ecur = index.edges.where(F.col("deleted_at") == 0)
+    touch = ecur.select(F.col("src").alias("nid")).unionAll(
+        ecur.select(F.col("dst").alias("nid"))
+    )
+    deg = touch.groupBy("nid").agg(F.count(F.lit(1)).alias("degree"))
+    content_len = F.length(F.coalesce(F.col("meta")["content"], F.lit("")))
+    w_central = Window.partitionBy("master").orderBy(
+        F.col("degree").desc(), content_len.desc(), F.col("id").asc()
+    )
+    central = (
+        items.join(deg, items["id"] == deg["nid"], "left")
+        .withColumn("degree", F.coalesce("degree", F.lit(0)))
+        .withColumn("rn", F.row_number().over(w_central))
+        .where(F.col("rn") == 1)
+        .select(
+            "master",
+            F.coalesce(F.col("meta")["content"], F.lit("")).alias("content"),
+        )
+    )
+    mvec = (
+        items.select("master", F.posexplode("v").alias("pos", "x"))
+        .groupBy("master", "pos").agg(F.avg("x").alias("m"))
+        .groupBy("master")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("master", F.expr("transform(pm, s -> s.m)").alias("v"))
+    )
+    counts = items.groupBy("master").agg(F.count(F.lit(1)).alias("n"))
+    masters = (
+        mvec.join(central, "master").join(counts, "master")
+        .select(
+            F.col("master").alias("id"), "v", F.expr(_NORM).alias("norm"),
+            F.lit(now).cast("long").alias("created_at"),
+            F.lit(None).cast("long").alias("last_accessed"),
+            F.lit(0).alias("access_count"),
+            F.lit(False).alias("pinned"),
+            F.lit(False).alias("historical"),
+            F.lit("episodic").alias("memory_layer"),
+            F.lit(None).cast("string").alias("decay_model"),
+            F.lit(False).alias("deleted"),
+            F.map_from_arrays(
+                F.array(F.lit("content"), F.lit("type"),
+                        F.lit("derived_from_count")),
+                F.array(F.col("content"), F.lit("consolidated_memory"),
+                        F.col("n").cast("string")),
+            ).alias("meta"),
+        )
+    )
+
+    def transfer(direction: str) -> DataFrame:
+        """Member edges rewired to the master; ``direction`` names the
+        member-side endpoint column."""
+        other = "dst" if direction == "src" else "src"
+        e = (
+            ecur.join(F.broadcast(cl), ecur[direction] == cl["member"])
+            .where(~F.col("rel").isin(*SKIP_RELS))
+        )
+        same_cluster = cl.select(
+            F.col("master").alias("m2"), F.col("member").alias("end2")
+        )
+        e = e.join(
+            F.broadcast(same_cluster),
+            (F.col("m2") == F.col("master")) & (F.col("end2") == F.col(other)),
+            "left_anti",
+        )
+        w = Window.partitionBy("master", "rel", other).orderBy(
+            F.col("member").desc()
+        )
+        picked = e.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        src = F.col("master") if direction == "src" else F.col("src")
+        dst = F.col("dst") if direction == "src" else F.col("master")
+        return picked.select(
+            src.alias("src"), dst.alias("dst"), "rel", "weight",
+            F.lit(now).cast("long").alias("created_at"),
+            F.lit(0).cast("long").alias("deleted_at"),
+        )
+
+    lit_now = F.lit(now).cast("long")
+    lit_zero = F.lit(0).cast("long")
+    cons_links = cl.select(
+        F.col("member").alias("src"), F.col("master").alias("dst"),
+        F.lit("consolidated_into").alias("rel"), F.lit(1.0).alias("weight"),
+        lit_now.alias("created_at"), lit_zero.alias("deleted_at"),
+    )
+    deriv_links = cl.select(
+        F.col("master").alias("src"), F.col("member").alias("dst"),
+        F.lit("derived_from").alias("rel"), F.lit(1.0).alias("weight"),
+        lit_now.alias("created_at"), lit_zero.alias("deleted_at"),
+    )
+    edges = (
+        index.edges.unionByName(transfer("src")).unionByName(transfer("dst"))
+        .unionByName(cons_links).unionByName(deriv_links)
+    )
+
+    archived_meta = F.map_concat(
+        F.map_filter(
+            F.col("meta"),
+            lambda k, _: ~k.isin("_archived", "_consolidated_into"),
+        ),
+        F.map_from_arrays(
+            F.array(F.lit("_archived"), F.lit("_consolidated_into")),
+            F.array(F.lit("true"), F.col("master")),
+        ),
+    )
+    vectors = (
+        index.vectors.join(F.broadcast(cl),
+                           index.vectors["id"] == cl["member"], "left")
+        .withColumn(
+            "meta",
+            F.when(F.col("member").isNotNull() & ~F.col("deleted"),
+                   archived_meta).otherwise(F.col("meta")),
+        )
+        .select(*index.vectors.columns)
+    )
+    vectors = upsert(vectors, masters)
     return replace(index, vectors=vectors, edges=edges)
 
 

@@ -38,10 +38,11 @@ und AS (
 )"""
 
 
-def consolidation_sql(
-    dialect: str, threshold: float = 0.40, iters: int = 4, min_size: int = 3,
-) -> str:
-    """A5 as bounded min-label propagation over the similarity graph."""
+def _label_ctes(
+    dialect: str, threshold: float = 0.40, iters: int = 4,
+) -> tuple[list[str], str]:
+    """Shared CTE chain: similarity pairs -> undirected edges -> bounded
+    min-label propagation. Returns (cte_list, final_relation_name)."""
     parts = [_pairs_cte(dialect, threshold)]
     parts.append("l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)")
     prev = "l0"
@@ -54,6 +55,14 @@ def consolidation_sql(
   GROUP BY n.node, n.label
 )""")
         prev = f"l{i}"
+    return parts, prev
+
+
+def consolidation_sql(
+    dialect: str, threshold: float = 0.40, iters: int = 4, min_size: int = 3,
+) -> str:
+    """A5 as bounded min-label propagation over the similarity graph."""
+    parts, prev = _label_ctes(dialect, threshold, iters)
     body = ",\n".join(parts)
     # members sorted numerically then joined
     if dialect == "spark":
@@ -70,15 +79,12 @@ HAVING count(*) >= {min_size}
 """.strip()
 
 
-def consolidation_df(
-    spark, threshold: float = 0.40, iters: int = 4, min_size: int = 3,
+def consolidation_labels_df(
+    spark, threshold: float = 0.40, iters: int = 4,
 ):
-    """Spark-side A5: the similarity edge list comes from the blocked
-    float64 GEMM kernel (operators/blockgemm.py — each tile one numpy
-    matmul, threshold applied in-kernel so only surviving pairs shuffle)
-    and is MATERIALIZED once (persist) because the label-propagation
-    rounds re-reference it. Semantics identical to consolidation_sql —
-    the DuckDB oracle runs that SQL."""
+    """Spark-side label propagation: returns (node, label) after
+    ``iters`` min-label rounds over the GEMM-kernel similarity graph.
+    Shared by the clusters query and the merge step."""
     from pyspark.sql import functions as F
 
     from kektordb_spark.operators import blockgemm as BG
@@ -111,6 +117,21 @@ def consolidation_df(
             .select("node", F.least(F.col("l0"), F.coalesce("lmin", "l0")).alias("label"))
             .localCheckpoint(eager=True)
         )
+    return labels
+
+
+def consolidation_df(
+    spark, threshold: float = 0.40, iters: int = 4, min_size: int = 3,
+):
+    """Spark-side A5 cluster discovery: the similarity edge list comes
+    from the blocked float64 GEMM kernel (operators/blockgemm.py — each
+    tile one numpy matmul, threshold applied in-kernel so only
+    surviving pairs shuffle) and is MATERIALIZED once because the
+    label-propagation rounds re-reference it. Semantics identical to
+    consolidation_sql — the DuckDB oracle runs that SQL."""
+    from pyspark.sql import functions as F
+
+    labels = consolidation_labels_df(spark, threshold, iters)
     return (
         labels.groupBy("label")
         .agg(
@@ -123,6 +144,158 @@ def consolidation_df(
         .where(F.col("size") >= min_size)
         .select(F.col("label").alias("cluster_master"), "size", "members")
     )
+
+
+# Analysis-artifact relations a consolidation never transfers to the
+# master node (gardener.go:1026-1045 skipEdges).
+SKIP_RELS = (
+    "consolidated_into", "derived_from", "analyzed_against",
+    "gap_analyzed", "sentiment_analyzed", "centrality_analyzed",
+    "decay_analyzed", "suggests_link", "contradicts", "contradicted_by",
+    "focus_shifted", "focus_shifted_by", "sentiment_shift",
+    "sentiment_shifted_by", "became_central", "centralized_by",
+    "knowledge_decay", "decaying_in",
+)
+
+
+def merge_body_ctes(
+    dialect: str, labels_rel: str, min_size: int = 3, at_time: int | None = None,
+) -> str:
+    """A5 merge step (gardener.go:941-1110 consolidateCluster, no-LLM
+    path) as one SQL statement over a (node, label) cluster relation:
+
+      * master content = most graph-connected member's content (here:
+        the part name — vec i <-> part p_i per the fixture anchoring),
+        ties by longer content then lowest member id — the reference's
+        sequential "strictly better degree, or equal degree and
+        strictly longer content" rule with its first-in-member-order
+        tie (pickCentralContent, gardener.go:1288-1308);
+      * master vector = elementwise mean of member vectors ("zero-cost
+        embedding", gardener.go:948-976) — surfaced as its rounded L2
+        norm so the value check is float-stable;
+      * external edges transferred to the master: current
+        (latest-version) active edges of members, skipping
+        analysis-artifact relations (SKIP_RELS) and within-cluster
+        endpoints; when several members carry the same (rel, endpoint)
+        the HIGHEST member id's weight survives — the deterministic
+        face of the reference's last-VLink-wins edge versioning over
+        its sorted member iteration (gardener.go:1046-1090).
+
+    Returns the CTE chain + final SELECT (cluster grain, one row per
+    consolidated master). Plan shape: every stage is an equi-join or
+    group-by keyed on label/node — co-partitioned at scale; members
+    per cluster are bounded (similarity clusters), so the per-label
+    windows never skew."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    tt = ("deleted_at = 0" if at_time is None
+          else f"(created_at <= {at_time} AND (deleted_at = 0 OR deleted_at > {at_time}))")
+    skips = ", ".join(f"'{r}'" for r in SKIP_RELS)
+    if dialect == "spark":
+        posex = ("SELECT c.label, t.pos, t.x FROM cl_nodes c "
+                 "JOIN emb e ON e.vec_id = c.node "
+                 "LATERAL VIEW posexplode(e.v) t AS pos, x")
+        members = ("array_join(transform(array_sort(collect_list(node)), "
+                   "x -> CAST(x AS STRING)), ',')")
+    else:
+        posex = ("SELECT c.label, generate_subscripts(e.v, 1) - 1 AS pos, "
+                 "unnest(e.v) AS x FROM cl_nodes c JOIN emb e ON e.vec_id = c.node")
+        members = ("array_to_string(list_transform(list_sort(list(node)), "
+                   "x -> CAST(x AS VARCHAR)), ',')")
+    return f"""sizes AS (
+  SELECT label, count(*) AS size FROM {labels_rel} GROUP BY label
+),
+cl_nodes AS (
+  SELECT m.label, m.node, concat('p_', CAST(m.node AS {s})) AS nid
+  FROM {labels_rel} m JOIN sizes z ON z.label = m.label
+  WHERE z.size >= {min_size}
+),
+ecur AS (
+  SELECT src, dst, rel, weight FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY src, dst, rel
+                                   ORDER BY created_at DESC, weight DESC) AS rn
+    FROM edges e WHERE {tt}
+  ) t WHERE rn = 1
+),
+deg AS (
+  SELECT n.label, n.node, count(e.rel) AS degree
+  FROM cl_nodes n
+  LEFT JOIN (SELECT src AS a, rel FROM ecur
+             UNION ALL SELECT dst AS a, rel FROM ecur) e ON e.a = n.nid
+  GROUP BY n.label, n.node
+),
+central AS (
+  SELECT label, content FROM (
+    SELECT d.label, coalesce(p.p_name, '') AS content,
+           row_number() OVER (PARTITION BY d.label
+                              ORDER BY d.degree DESC,
+                                       length(coalesce(p.p_name, '')) DESC,
+                                       d.node ASC) AS rn
+    FROM deg d LEFT JOIN part p ON p.p_partkey = d.node) t
+  WHERE rn = 1
+),
+avgv AS (
+  SELECT label, round(sqrt(sum(m * m)), 6) AS avg_vec_norm FROM (
+    SELECT label, pos, avg(x) AS m FROM ({posex}) px GROUP BY label, pos) t
+  GROUP BY label
+),
+rew_out AS (
+  SELECT label, rel, dst, weight FROM (
+    SELECT n.label, n.node, e.rel, e.dst, e.weight,
+           row_number() OVER (PARTITION BY n.label, e.rel, e.dst
+                              ORDER BY n.node DESC) AS rn
+    FROM cl_nodes n
+    JOIN ecur e ON e.src = n.nid
+    LEFT JOIN cl_nodes t2 ON t2.label = n.label AND t2.nid = e.dst
+    WHERE e.rel NOT IN ({skips}) AND t2.nid IS NULL) t
+  WHERE rn = 1
+),
+out_stats AS (
+  SELECT label, count(*) AS edges_out, round(sum(weight), 2) AS rewired_weight
+  FROM rew_out GROUP BY label
+),
+rew_in AS (
+  SELECT label, rel, src FROM (
+    SELECT n.label, n.node, e.rel, e.src,
+           row_number() OVER (PARTITION BY n.label, e.rel, e.src
+                              ORDER BY n.node DESC) AS rn
+    FROM cl_nodes n
+    JOIN ecur e ON e.dst = n.nid
+    LEFT JOIN cl_nodes s2 ON s2.label = n.label AND s2.nid = e.src
+    WHERE e.rel NOT IN ({skips}) AND s2.nid IS NULL) t
+  WHERE rn = 1
+),
+in_stats AS (
+  SELECT label, count(*) AS edges_in FROM rew_in GROUP BY label
+),
+mlist AS (
+  SELECT label, {members} AS members FROM cl_nodes GROUP BY label
+)
+SELECT concat('consolidation_', CAST(z.label AS {s})) AS master_id,
+       CAST(z.size AS INT) AS derived_from_count,
+       c.content,
+       a.avg_vec_norm,
+       CAST(coalesce(o.edges_out, 0) AS INT) AS edges_out,
+       round(coalesce(o.rewired_weight, 0.0), 2) AS rewired_weight,
+       CAST(coalesce(i.edges_in, 0) AS INT) AS edges_in,
+       m.members
+FROM sizes z
+JOIN central c ON c.label = z.label
+JOIN avgv a ON a.label = z.label
+JOIN mlist m ON m.label = z.label
+LEFT JOIN out_stats o ON o.label = z.label
+LEFT JOIN in_stats i ON i.label = z.label
+WHERE z.size >= {min_size}"""
+
+
+def consolidation_merge_oracle_sql(
+    threshold: float = 0.40, iters: int = 4, min_size: int = 3,
+    at_time: int | None = None,
+) -> str:
+    """Self-contained DuckDB oracle: label propagation + merge body."""
+    parts, prev = _label_ctes("duckdb", threshold, iters)
+    parts.append(f"lbl AS (SELECT node, label FROM {prev})")
+    body = merge_body_ctes("duckdb", "lbl", min_size, at_time)
+    return "WITH " + ",\n".join(parts) + ",\n" + body
 
 
 def knowledge_gaps_sql(dialect: str, threshold: float = 0.42) -> str:

@@ -1080,6 +1080,22 @@ def gardener_consolidation_clusters(spark: SparkSession, sf_dir: str) -> DataFra
     similarity edge list once (see consolidation_df)."""
     load_tables(spark, sf_dir)
     return CS.consolidation_df(spark)
+@register("gardener_consolidation_merge",
+          with_oracle_ctes(CS.consolidation_merge_oracle_sql(), ["emb", "edges"]))
+def gardener_consolidation_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 merge step (gardener.go:941-1110): per discovered cluster,
+    the master-memory post-image — synthesized content (most
+    graph-central member, no-LLM fallback), mean vector (as rounded L2
+    norm), external-edge rewiring counts/weights with last-writer-wins
+    versioning, and the archived member list. Spark side reuses the
+    GEMM-kernel label propagation; the merge body is the same dialect
+    SQL the DuckDB oracle runs (operators/consolidation.py). The
+    write-side facade op is api.consolidate (test_api)."""
+    load_tables(spark, sf_dir)
+    CS.consolidation_labels_df(spark).createOrReplaceTempView("_cons_labels")
+    return spark.sql("WITH " + CS.merge_body_ctes("spark", "_cons_labels"))
+
+
 @register("gardener_knowledge_gaps",
           with_oracle_ctes(CS.knowledge_gaps_sql("duckdb"), ["emb"]))
 def gardener_knowledge_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -159,3 +159,54 @@ def test_repair_dangling(idx):
                fixed2.edges.where(F.col("deleted_at") == 0)
                .select("src", "dst").collect()}
     assert ("a", "b") not in active2
+
+
+def test_consolidate_merge(spark):
+    """A5 merge step (gardener.go:941-1110): master synthesis, edge
+    transfer with skip/in-cluster/last-member-wins rules, archive."""
+    ix = api.vcreate(spark, "cons", metric="cosine")
+    ix = api.vadd_batch(ix, [
+        {"id": "m1", "vector": [1.0, 0.0], "meta": {"content": "alpha"}},
+        {"id": "m2", "vector": [0.0, 1.0], "meta": {"content": "beta-long"}},
+        {"id": "m3", "vector": [1.0, 1.0], "meta": {"content": "gamma"}},
+        {"id": "x", "vector": [0.5, 0.5], "meta": {}},
+        {"id": "y", "vector": [0.5, 0.5], "meta": {}},
+    ], now=T0)
+    ix = api.vlink(ix, "m1", "x", "likes", now=T0, weight=2.0)
+    ix = api.vlink(ix, "m1", "y", "likes", now=T0, weight=1.0)
+    ix = api.vlink(ix, "m3", "x", "likes", now=T0, weight=5.0)
+    ix = api.vlink(ix, "m2", "m3", "likes", now=T0)        # in-cluster
+    ix = api.vlink(ix, "y", "m2", "cites", now=T0, weight=1.5)
+    ix = api.vlink(ix, "m1", "x", "gap_analyzed", now=T0)  # skip rel
+
+    out = api.consolidate(ix, [["m1", "m2", "m3"]], now=T2)
+
+    master = out.vectors.where(F.col("id") == "consolidation_m1").collect()
+    assert len(master) == 1
+    m = master[0]
+    # mean vector + content of the most-connected member (m1: degree 4)
+    assert [round(v, 9) for v in m["v"]] == [round(2 / 3, 9), round(2 / 3, 9)]
+    assert m["meta"]["content"] == "alpha"
+    assert m["meta"]["type"] == "consolidated_memory"
+    assert m["meta"]["derived_from_count"] == "3"
+
+    active = {(r["src"], r["dst"], r["rel"]): r["weight"] for r in
+              out.edges.where(F.col("deleted_at") == 0).collect()}
+    # transfers: last member (m3) wins the (likes, x) collision
+    assert active[("consolidation_m1", "x", "likes")] == 5.0
+    assert active[("consolidation_m1", "y", "likes")] == 1.0
+    assert active[("y", "consolidation_m1", "cites")] == 1.5
+    # in-cluster and analysis-artifact edges are NOT transferred
+    assert ("consolidation_m1", "m3", "likes") not in active
+    assert ("consolidation_m1", "x", "gap_analyzed") not in active
+    # consolidated_into / derived_from link pairs per member
+    for mid in ("m1", "m2", "m3"):
+        assert (mid, "consolidation_m1", "consolidated_into") in active
+        assert ("consolidation_m1", mid, "derived_from") in active
+
+    # members archived in place, bystanders untouched
+    for r in out.vectors.where(F.col("id").isin("m1", "m2", "m3")).collect():
+        assert r["meta"]["_archived"] == "true"
+        assert r["meta"]["_consolidated_into"] == "consolidation_m1"
+    x_meta = out.vectors.where(F.col("id") == "x").collect()[0]["meta"]
+    assert "_archived" not in x_meta
