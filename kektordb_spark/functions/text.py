@@ -94,6 +94,13 @@ def bm25_scores(
     cross-stat via a literal N/avgdl aggregation — three narrow shuffles
     total, all keyed on the doc id.
     """
+    if not query_tokens:
+        # Empty analyzed query (e.g. an all-stopword CONTAINS filter)
+        # matches nothing — the reference's posting-union candidate set
+        # is empty (core.go:2005-2021).
+        return docs.select(F.col(id_col).alias("doc")).limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
     spark = docs.sparkSession
     # Materialize the analyzed tokens once: without this, Catalyst
     # collapses the tokenizer projection into the explode, re-running
@@ -157,7 +164,7 @@ def bm25_scores(
 
 def bm25_oracle_sql(
     dialect: str, query_tokens: list[str], k: int,
-    allow_pred: str | None = None,
+    allow_pred: str | None = None, source: str = "docs_tok",
 ) -> str:
     """Self-contained BM25 SQL over the ``docs_tok`` view — identical
     formula in Spark SQL and DuckDB SQL (used by the correctness gate).
@@ -177,15 +184,15 @@ def bm25_oracle_sql(
         qt = (f"SELECT token, CAST(count(*) AS DOUBLE) AS qn FROM "
               f"(SELECT unnest([{arr}]) AS token) GROUP BY token")
     explode = (
-        "SELECT doc_id AS doc, size(toks) AS dl, t.token AS token FROM docs_tok "
+        f"SELECT doc_id AS doc, size(toks) AS dl, t.token AS token FROM {source} "
         "LATERAL VIEW explode(toks) t AS token"
         if dialect == "spark"
-        else "SELECT doc_id AS doc, len(toks) AS dl, unnest(toks) AS token FROM docs_tok"
+        else f"SELECT doc_id AS doc, len(toks) AS dl, unnest(toks) AS token FROM {source}"
     )
     dl_expr = "size(toks)" if dialect == "spark" else "len(toks)"
     return f"""
 WITH tok AS ({explode}),
-lengths AS (SELECT doc_id AS doc, {dl_expr} AS dl FROM docs_tok),
+lengths AS (SELECT doc_id AS doc, {dl_expr} AS dl FROM {source}),
 stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM lengths),
 qt AS ({qt}),
 postings AS (
@@ -211,7 +218,7 @@ scored AS (
 )
 SELECT doc, round(score, 6) AS score
 FROM scored
-{f"WHERE doc IN (SELECT doc_id FROM docs_tok WHERE {allow_pred})" if allow_pred else ""}
+{f"WHERE doc IN (SELECT doc_id FROM {source} WHERE {allow_pred})" if allow_pred else ""}
 ORDER BY round(score, 6) DESC, doc
 LIMIT {k}
 """.strip()

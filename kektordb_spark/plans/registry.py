@@ -704,6 +704,100 @@ def bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# T1 Italian analyzer fixture: the synthetic corpus has no Italian
+# slice, so one is derived deterministically — a closed English->
+# Italian word map applied to the 'en' documents in BOTH engines. The
+# Spark side then runs the real analyzer (tokenize + stopword filter +
+# pandas-UDF stemmer, functions/stemmer_italian.py); the oracle replays
+# it with a static stem dictionary over the (closed) vocabulary — the
+# same UDF-vs-SQL parity discipline as search_query_text. 'della'/'di'
+# exercise the stopword filter; 'città' the accent path; 'tavoli'/
+# 'globalizzazione' the pronoun-strip quirks pinned in
+# tests/test_stemmer_golden.py.
+_IT_MAP = {
+    "table": "tavoli", "row": "righe", "fast": "velocemente",
+    "slow": "lentamente", "scan": "scansione", "value": "valore",
+    "part": "parti", "merge": "unire", "sort": "ordinare",
+    "window": "finestra", "query": "interrogazione", "data": "dati",
+    "batch": "gruppo", "key": "chiave", "agg": "aggregazione",
+    "join": "giunzione", "line": "linea", "hash": "globalizzazione",
+    "spark": "città", "filter": "filtrare", "group": "raggruppare",
+    "column": "colonna", "order": "ordinamento", "small": "piccolo",
+    "big": "grande", "customer": "cliente", "vector": "vettore",
+    "the": "della", "a": "di",
+}
+
+
+def _it_query_tokens() -> list[str]:
+    from kektordb_spark.functions.stemmer_italian import (
+        ITALIAN_STOPWORDS, stem_word_it,
+    )
+
+    stops = set(ITALIAN_STOPWORDS)
+    return [
+        stem_word_it(w)
+        for w in ["tavoli", "velocemente", "interrogazione", "città"]
+        if w not in stops
+    ]
+
+
+def _it_case(word_col: str) -> str:
+    return ("CASE " + word_col + " "
+            + " ".join(f"WHEN '{e}' THEN '{i}'" for e, i in _IT_MAP.items())
+            + " END")
+
+
+def _bm25_italian_oracle(k: int = 10) -> str:
+    from kektordb_spark.functions.stemmer_italian import (
+        ITALIAN_STOPWORDS, stem_word_it,
+    )
+
+    stops = set(ITALIAN_STOPWORDS)
+    stems = sorted(
+        (it, stem_word_it(it)) for it in set(_IT_MAP.values()) if it not in stops
+    )
+    vals = ", ".join(f"('{w}', '{s}')" for w, s in stems)
+    body = TX.bm25_oracle_sql("duckdb", _it_query_tokens(), k, source="it_tok")
+    body = body.lstrip()
+    assert body.upper().startswith("WITH ")
+    return f"""WITH stem_map(w, stem) AS (VALUES {vals}),
+src AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+wx AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w0 FROM src),
+tr AS (SELECT doc_id, {_it_case('w0')} AS itw FROM wx),
+st AS (SELECT t.doc_id, m.stem FROM tr t LEFT JOIN stem_map m ON m.w = t.itw),
+it_tok AS (
+  SELECT doc_id,
+         coalesce(list(stem) FILTER (WHERE stem IS NOT NULL), []) AS toks
+  FROM st GROUP BY doc_id
+),
+{body[5:]}"""
+
+
+@register("bm25_italian_top10", _bm25_italian_oracle())
+def bm25_italian_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2 for ``language:"italian"`` indexes: the reference's
+    ItalianStemmer analyzer (stemmer_italian.go:18-26 — tokenize, drop
+    Italian stopwords, stem) feeding BM25, over the derived Italian
+    corpus slice. Tokenization + stopwords stay JVM-side; only the
+    stem is a pandas UDF, run once per document (not per posting)."""
+    from kektordb_spark.functions.stemmer_italian import analyze_italian
+
+    load_tables(spark, sf_dir)
+    case = _it_case("w")
+    it = spark.table("documents_par").where("lang = 'en'").selectExpr(
+        "doc_id",
+        f"array_join(transform(split(text, ' '), w -> coalesce({case}, '')), ' ')"
+        " AS it_text",
+    )
+    toks = it.select("doc_id", analyze_italian("it_text").alias("toks"))
+    scored = TX.bm25_scores(toks, _it_query_tokens())
+    return (
+        scored.select("doc", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc"))
+        .limit(10)
+    )
+
+
 def _text_stats_sql(dialect: str, source: str | None = None) -> str:
     source = source or ("docs_tok_par" if dialect == "spark" else "docs_tok")
     size = "size" if dialect == "spark" else "len"
