@@ -37,9 +37,16 @@ def adaptive_retrieve_sql(
     dialect: str,
     query_id: int = 0,
     token_budget: int = 400,
+    density_min: float | None = None,
 ) -> str:
     """Full adaptive retrieval for one query vector; candidate doc =
-    emb vec_id (the fixture's 1:1 doc<->embedding mapping)."""
+    emb vec_id (the fixture's 1:1 doc<->embedding mapping).
+
+    ``density_min`` switches on the ``density`` expansion strategy
+    (expandWithDensityFilter, adaptive_retriever.go:195-210): the
+    greedy expansion's candidates are dropped when their information
+    density falls below the threshold BEFORE final scoring/assembly —
+    the same plan with one extra pushed-down predicate."""
     dot_q = dot_sql(dialect, "q.v", "c.v")
     dot_s = dot_sql(dialect, "s.v", "c.v")
     size = "size" if dialect == "spark" else "len"
@@ -79,17 +86,22 @@ best AS (
   SELECT vec_id, max(score) AS score, min(depth) AS depth
   FROM cand GROUP BY vec_id
 ),
-scored AS (
-  SELECT b.vec_id AS doc_id, d.source,
-         CAST({size}(d.toks) AS INT) AS n_toks,
-         {W_SEM} * b.score
-       + {W_GRAPH} * greatest(0.3, 1.0 - {DEPTH_PENALTY} * b.depth)
-       + {W_DENS} * least(1.0, greatest(0.0,
-           ((CASE WHEN {size}(d.toks) = 0 THEN 0.0
-              ELSE CAST({size}({dist}(d.toks)) AS DOUBLE) / {size}(d.toks) END)
-            - 0.3) / 0.6))
-         AS final
+densed AS (
+  SELECT b.vec_id, b.score, b.depth, d.source, d.toks,
+         CASE WHEN {size}(d.toks) = 0 THEN 0.0
+              ELSE CAST({size}({dist}(d.toks)) AS DOUBLE) / {size}(d.toks) END
+           AS dens
   FROM best b JOIN docs_tok d ON d.doc_id = b.vec_id
+  {f"WHERE (CASE WHEN {size}(d.toks) = 0 THEN 0.0 ELSE CAST({size}({dist}(d.toks)) AS DOUBLE) / {size}(d.toks) END) >= {density_min}" if density_min is not None else ""}
+),
+scored AS (
+  SELECT vec_id AS doc_id, source,
+         CAST({size}(toks) AS INT) AS n_toks,
+         {W_SEM} * score
+       + {W_GRAPH} * greatest(0.3, 1.0 - {DEPTH_PENALTY} * depth)
+       + {W_DENS} * least(1.0, greatest(0.0, (dens - 0.3) / 0.6))
+         AS final
+  FROM densed
 ),
 budgeted AS (
   SELECT doc_id, source, n_toks, round(final, 6) AS final,
@@ -101,4 +113,90 @@ budgeted AS (
 )
 SELECT doc_id, source, n_toks, final, CAST(cum_toks AS INT) AS cum_toks
 FROM budgeted WHERE cum_toks <= {token_budget}
+""".strip()
+
+
+# Fixture re-anchoring of the reference's GraphRelations allowlist +
+# EdgeWeights config (config.go:94-115 — next/prev/parent/... on a RAG
+# chunk graph; here the TPC-H-derived property graph's relations).
+GRAPH_RELATIONS = {"placed_by": 0.95, "in_order": 0.8, "supplied_by": 0.5}
+GRAPH_DEPTH = 2            # config GraphExpansionDepth default
+MAX_EXPANSION_NODES = 40   # config MaxExpansionNodes, sized so the cap
+                           # actually binds on the fixture graph
+
+
+def adaptive_graph_sql(dialect: str, query_id: int = 0) -> str:
+    """``graph`` expansion strategy (expandGraphBFS,
+    adaptive_retriever.go:212-297): k-NN seeds mapped onto the property
+    graph, level-synchronous BFS to depth {GRAPH_DEPTH} over the
+    allowed relations, per-hop score = parent score x edge weight,
+    shortest-path dedup, result capped at {MAX_EXPANSION_NODES} nodes.
+
+    Deterministic re-expression of the reference's two order-dependent
+    spots (documented deviations):
+      * same-depth multi-path scores: the reference keeps whichever
+        path its map iteration found first — here the MAX score at the
+        shortest depth wins;
+      * the node cap: the reference stops mid-BFS at visit #N — here
+        the full frontier is expanded and the TOP-N under
+        (depth ASC, score DESC, node ASC) is kept, a strict superset
+        ordering of what any first-N visit order could return.
+
+    Plan shape at scale: each BFS round is one frontier-to-edges
+    equi-join (frontier broadcastable, edges bucketed by src) + one
+    groupBy(node) dedup — the same loop-with-materialization shape as
+    operators/graph.bfs; no cross join anywhere."""
+    dot_q = dot_sql(dialect, "q.v", "c.v")
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    wt = ("CASE rel " + " ".join(
+        f"WHEN '{r}' THEN {w}" for r, w in sorted(GRAPH_RELATIONS.items())
+    ) + f" ELSE {EDGE_WEIGHT} END")
+    rels = ", ".join(f"'{r}'" for r in sorted(GRAPH_RELATIONS))
+    parts = [f"""q AS (SELECT * FROM emb WHERE vec_id = {query_id}),
+seed_d AS (
+  SELECT c.vec_id,
+         1.0 / (1.0 + (1.0 - ({dot_q}) / (q.norm * c.norm))) AS score
+  FROM q CROSS JOIN emb c WHERE c.vec_id <> {query_id}
+),
+v0 AS (
+  SELECT concat('p_', CAST(vec_id AS {s})) AS node, score, 0 AS depth FROM (
+    SELECT *, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rk
+    FROM seed_d
+  ) t WHERE rk <= {SEED_K}
+),
+e AS (
+  SELECT src, dst, {wt} AS wt FROM edges
+  WHERE deleted_at = 0 AND rel IN ({rels})
+)"""]
+    parts.append("vis0 AS (SELECT node FROM v0)")
+    prev_frontier = "v0"
+    for d in range(1, GRAPH_DEPTH + 1):
+        parts.append(f"""f{d} AS (
+  SELECT x.node, max(x.score) AS score, {d} AS depth FROM (
+    SELECT e.dst AS node, p.score * e.wt AS score
+    FROM {prev_frontier} p JOIN e ON e.src = p.node
+  ) x
+  LEFT JOIN vis{d - 1} vis ON vis.node = x.node
+  WHERE vis.node IS NULL
+  GROUP BY x.node
+)""")
+        parts.append(
+            f"vis{d} AS (SELECT node FROM vis{d - 1} "
+            f"UNION ALL SELECT node FROM f{d})"
+        )
+        prev_frontier = f"f{d}"
+    union = " UNION ALL ".join(
+        ["SELECT node, score, depth FROM v0"]
+        + [f"SELECT node, score, depth FROM f{d}" for d in range(1, GRAPH_DEPTH + 1)]
+    )
+    return f"""
+WITH {','.join(parts)},
+allv AS ({union})
+SELECT node, CAST(depth AS INT) AS depth, round(score, 6) AS score
+FROM (
+  SELECT *, row_number() OVER (
+    ORDER BY depth ASC, round(score, 6) DESC, node ASC
+  ) AS rk
+  FROM allv
+) t WHERE rk <= {MAX_EXPANSION_NODES}
 """.strip()

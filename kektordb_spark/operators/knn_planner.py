@@ -1,0 +1,282 @@
+"""Unified kNN planner (SURVEY.md §4 "custom piece #2").
+
+The reference exposes ONE search call (VSearch, ops.go:560-660) and
+picks the physical path internally (HNSW graph, flat scan, quantized
+scan). This module is the batch-engine analog: one entry point —
+:func:`knn_search` — that selects among the repo's five physical
+strategies by corpus size, query-batch size, metric, and filter
+selectivity, and returns one output schema
+``(query_id, neighbor_id, dist, rank)`` regardless of path.
+
+Strategies and when they win (thresholds documented + unit-tested in
+tests/test_knn_planner.py):
+
+  * ``exact``  — brute-force broadcast scan (operators/knn.knn_exact).
+    Right whenever the (post-filter) corpus fits a per-query scan:
+    corpus <= EXACT_MAX, or a selective pre-filter shrinks it there.
+    Also the only path for non-cosine metrics' small corpora.
+  * ``gemm``   — tiled numpy GEMM (operators/blockgemm.knn_all) for
+    BATCH workloads: all-pairs / large query sets where per-query cost
+    must amortize (n_queries >= GEMM_MIN_QUERIES); threshold/top-k
+    applied inside the kernel so N^2 never shuffles.
+  * ``ivf``    — centroid prune + candidate equi-join
+    (:func:`ivf_knn_df` below, the DataFrame twin of
+    operators/ivf.ivf_knn_sql). The default large-corpus path: at
+    100 TB the corpus is bucketed by cell id and probing is partition
+    pruning.
+  * ``lsh``    — (table, signature) bucket equi-join
+    (operators/knn.lsh_bucketed_knn). Picked over IVF when the
+    workload can't afford a training pass (ad-hoc one-shot searches
+    over a corpus nothing was trained on).
+  * ``pq``     — byte codes + ADC LUT joins (operators/pq). Picked when
+    even scanning float vectors is memory-prohibitive:
+    corpus > PQ_MIN.
+
+A user who calls :func:`knn_search` gets the scale-safe path without
+knowing the menu; every threshold can be overridden with
+``strategy=``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EXACT_MAX = 100_000        # per-query scan affordable below this
+GEMM_MIN_QUERIES = 64      # batch big enough to amortize tile setup
+PQ_MIN = 20_000_000        # float scan memory-prohibitive above this
+SELECTIVE = 0.05           # pre-filter selectivity that forces exact
+
+
+@dataclass(frozen=True)
+class KnnPlan:
+    strategy: str  # 'exact' | 'gemm' | 'ivf' | 'lsh' | 'pq'
+    reason: str
+
+
+def choose_strategy(
+    corpus_size: int,
+    n_queries: int | None,
+    metric: str = "cosine",
+    filter_selectivity: float | None = None,
+    trained: bool = True,
+    forced: str | None = None,
+) -> KnnPlan:
+    """Pure decision function — unit-testable without a SparkSession.
+
+    ``n_queries=None`` means all-pairs (every vector queries the
+    corpus). ``trained=False`` signals no training pass is affordable
+    (ad-hoc search), steering large corpora to LSH instead of IVF."""
+    if forced is not None:
+        return KnnPlan(forced, "forced by caller")
+    effective = corpus_size
+    if filter_selectivity is not None:
+        effective = int(corpus_size * filter_selectivity)
+        if filter_selectivity <= SELECTIVE and effective <= EXACT_MAX:
+            return KnnPlan(
+                "exact",
+                f"pre-filter keeps {effective} rows "
+                f"(selectivity {filter_selectivity}) — V2 filter-then-scan",
+            )
+    nq = corpus_size if n_queries is None else n_queries
+    if effective <= EXACT_MAX:
+        if nq >= GEMM_MIN_QUERIES and metric == "cosine":
+            return KnnPlan(
+                "gemm", f"batch of {nq} queries amortizes over tiles"
+            )
+        return KnnPlan("exact", f"corpus {effective} fits a per-query scan")
+    if metric != "cosine":
+        # IVF/LSH/PQ implementations here are cosine-anchored; a large
+        # non-cosine corpus still gets the batch-amortized exact path.
+        return KnnPlan("gemm" if nq >= GEMM_MIN_QUERIES else "exact",
+                       f"non-cosine metric {metric}: exact family only")
+    if effective > PQ_MIN:
+        return KnnPlan("pq", f"corpus {effective} > {PQ_MIN}: byte codes + ADC")
+    if not trained:
+        return KnnPlan("lsh", "no training pass affordable: bucket equi-join")
+    return KnnPlan("ivf", f"corpus {effective}: centroid prune + cell probe")
+
+
+def ivf_knn_df(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    id_col: str = "id",
+    vec_col: str = "v",
+    norm_col: str = "norm",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    query_norm_col: str = "qnorm",
+) -> DataFrame:
+    """DataFrame twin of operators/ivf.ivf_knn_sql: md5-seeded init,
+    ``iters`` Lloyd rounds (centroids rounded to 12 dp each round so
+    assignments stay deterministic across partitionings), invert,
+    probe ``nprobe`` cells per query, exact cosine top-k on the probed
+    cells. Centroid relations are nlist rows — always broadcast; the
+    candidate step is an equi-join on cell id (partition pruning once
+    the corpus is bucketed by cell)."""
+    base = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col(norm_col).alias("norm"),
+    ).localCheckpoint(eager=True)
+    cents = (
+        base.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.md5(F.col("id").cast("string")))),
+        )
+        .where(F.col("rn") <= nlist)
+        .select((F.col("rn") - 1).alias("cid"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    l2 = ("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
+          "CAST(0.0 AS DOUBLE), (s, p) -> s + p)")
+
+    def assign(df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(cents), how="cross")
+            .withColumn("d2", F.expr(l2))
+            .groupBy("id")
+            .agg(
+                F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+                F.first("v").alias("v"), F.first("norm").alias("norm"),
+            )
+        )
+
+    for _ in range(iters):
+        assigned = assign(base)
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos").agg(F.round(F.avg("x"), 12).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.expr("transform(pm, s -> s.m)").alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    inv = assign(base)
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"), F.col(query_norm_col).alias("qnorm"),
+    )
+    ql2 = ("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+           "CAST(0.0 AS DOUBLE), (s, p) -> s + p)")
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    probe = (
+        q.join(F.broadcast(cents), how="cross")
+        .withColumn("d2", F.expr(ql2))
+        .withColumn("rk", F.row_number().over(w_probe))
+        .where(F.col("rk") <= nprobe)
+        .select("query_id", "qv", "qnorm", "cid")
+    )
+    dot = ("aggregate(zip_with(qv, v, (x, y) -> x * y), "
+           "CAST(0.0 AS DOUBLE), (s, p) -> s + p)")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probe.join(inv, "cid")
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"),
+            (1.0 - F.expr(dot) / (F.col("qnorm") * F.col("norm"))).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def knn_search(
+    vectors: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    metric: str = "cosine",
+    pre_filter=None,
+    corpus_size: int | None = None,
+    strategy: str | None = None,
+    filter_selectivity: float | None = None,
+    trained: bool = True,
+    id_col: str = "id",
+    vec_col: str = "v",
+    norm_col: str = "norm",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    query_norm_col: str = "qnorm",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """One search entry point; output (query_id, neighbor_id, dist,
+    rank) for every strategy. ``queries=None`` = all-pairs batch.
+    ``corpus_size`` is the catalog row-count hint — pass it at scale;
+    the default falls back to a count() job. ``pre_filter`` is applied
+    BEFORE the search (V2 filtered-kNN semantics, knn.py:67)."""
+    from kektordb_spark.operators import blockgemm as BG
+    from kektordb_spark.operators import knn as KNN
+    from kektordb_spark.operators import pq as PQ
+
+    if pre_filter is not None:
+        vectors = vectors.where(pre_filter)
+        filter_selectivity = None  # already applied; size below reflects it
+    if corpus_size is None:
+        corpus_size = vectors.count()
+    n_queries = None if queries is None else queries.count()
+    plan = choose_strategy(
+        corpus_size, n_queries, metric, filter_selectivity, trained, strategy
+    )
+
+    if plan.strategy == "gemm":
+        emb = vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        )
+        res = BG.knn_all(vectors.sparkSession, k=k, emb=emb)
+        if queries is not None:
+            qids = queries.select(F.col(query_id_col).alias("query_id"))
+            res = res.join(F.broadcast(qids), "query_id", "left_semi")
+        return res.select("query_id", "neighbor_id", "dist", "rank")
+
+    if queries is None:
+        queries = vectors.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias(query_vec_col),
+            F.col(norm_col).alias(query_norm_col),
+        )
+        exclude_self = True
+
+    cols = dict(
+        id_col=id_col, vec_col=vec_col, norm_col=norm_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        query_norm_col=query_norm_col,
+    )
+    if plan.strategy == "exact":
+        res = KNN.knn_exact(
+            vectors, queries, k=k, metric=metric,
+            exclude_self=exclude_self, **cols,
+        )
+        return res.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"), "dist", "rank",
+        )
+    if plan.strategy == "lsh":
+        res = KNN.lsh_bucketed_knn(vectors, queries, k=k, **cols)
+        return res.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"), "dist", "rank",
+        )
+    if plan.strategy == "ivf":
+        return ivf_knn_df(vectors, queries, k=k, **cols)
+    if plan.strategy == "pq":
+        cents = PQ.pq_train(vectors, vec_col=vec_col, id_col=id_col)
+        codes = PQ.pq_encode(vectors, cents, vec_col=vec_col, id_col=id_col)
+        res = PQ.pq_knn(
+            codes, cents, queries, k=k,
+            query_vec_col=query_vec_col, query_id_col=query_id_col,
+        )
+        return res.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col("id").alias("neighbor_id"), "dist", "rank",
+        )
+    raise ValueError(f"unknown strategy {plan.strategy}")

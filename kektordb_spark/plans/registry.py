@@ -199,15 +199,20 @@ def _emb_queries(spark: SparkSession):
 
 def _knn_query(metric: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Routed through the unified planner (operators/knn_planner):
+        at fixture corpus sizes with a 10-query batch it selects the
+        exact broadcast scan — same rows as calling knn_exact
+        directly (asserted by the unchanged oracle)."""
+        from kektordb_spark.operators import knn_planner as KP
+
         load_tables(spark, sf_dir)
         queries, cands = _emb_queries(spark)
-        res = KNN.knn_exact(
+        res = KP.knn_search(
             cands, queries, k=10, metric=metric,
             id_col="vec_id", vec_col="v", norm_col="norm",
         )
         return res.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "query_id", "neighbor_id",
             F.col("rank").cast("int").alias("rank"),
             F.round("dist", 6).alias("dist"),
         )
@@ -253,14 +258,19 @@ FROM (
 
 @register("knn_batch_allpairs", with_oracle_ctes(_knn_batch_sql("duckdb"), ["emb"]))
 def knn_batch_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch-throughput kNN via the tiled-GEMM kernel (see
-    _knn_batch_sql docstring for the semantics and BG.knn_all for the
-    plan shape — the SQL fold form is ~25x slower at 4M pairs because
-    higher-order functions evaluate interpreted; the GEMM kernel stays
-    hash-identical after round(·,6), SCALE.md rule 7)."""
+    """Batch-throughput kNN via the unified planner: queries=None is
+    the all-pairs batch, which choose_strategy routes to the tiled
+    GEMM kernel (see _knn_batch_sql docstring for the semantics and
+    BG.knn_all for the plan shape — the SQL fold form is ~25x slower
+    at 4M pairs because higher-order functions evaluate interpreted;
+    the GEMM kernel stays hash-identical after round(·,6), SCALE.md
+    rule 7)."""
+    from kektordb_spark.operators import knn_planner as KP
+
     load_tables(spark, sf_dir)
-    emb = spark.table("emb").select("vec_id", F.col("v").alias("vec"))
-    res = BG.knn_all(spark, k=10, emb=emb)
+    emb = spark.table("emb")
+    res = KP.knn_search(emb, queries=None, k=10,
+                        id_col="vec_id", vec_col="v", norm_col="norm")
     return res.select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
         F.round("dist", 6).alias("dist"),
@@ -478,12 +488,15 @@ def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     a (table, signature) bucket equi-join, never a cross product. The
     seeded hyperplane lattice + identical fold order make even this
     approximate path bit-reproducible against the SQL oracle."""
+    from kektordb_spark.operators import knn_planner as KP
+
     load_tables(spark, sf_dir)
     queries, cands = _emb_queries(spark)
-    res = KNN.lsh_bucketed_knn(
-        cands, queries, k=10, id_col="vec_id", vec_col="v", norm_col="norm")
+    res = KP.knn_search(
+        cands, queries, k=10, strategy="lsh",
+        id_col="vec_id", vec_col="v", norm_col="norm")
     return res.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"),
+        "query_id", "neighbor_id",
         F.col("rank").cast("int").alias("rank"),
         (F.round("dist", 6) + 0.0).alias("dist"),
     )
@@ -952,6 +965,18 @@ _registry["hybrid_contains_filter"] = (
 from kektordb_spark.operators import adaptive as AD  # noqa: E402
 
 register_sql("adaptive_retrieval", AD.adaptive_retrieve_sql, ["emb", "docs_tok"])
+register_sql(
+    "adaptive_retrieval_density",
+    lambda dialect: AD.adaptive_retrieve_sql(dialect, density_min=0.5),
+    ["emb", "docs_tok"],
+    doc="""Adaptive retrieval with the ``density`` expansion strategy
+    (expandWithDensityFilter, adaptive_retriever.go:195-210): greedy
+    1-hop expansion, then candidates below DensityMinRatio=0.5
+    information density are dropped before final scoring and
+    token-budget assembly. Same declarative plan as
+    adaptive_retrieval plus one pushed-down predicate.""",
+)
+register_sql("adaptive_retrieval_graph", AD.adaptive_graph_sql, ["emb", "edges"])
 
 
 # --------------------------------------------------------------------------
