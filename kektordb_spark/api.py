@@ -195,9 +195,17 @@ def vadd_batch(index: Index, items: list[dict], now: int, mode: str = "strict") 
 
     ``mode='strict'`` (the reference semantics) rejects ids that
     already exist among non-deleted rows or repeat within the batch —
-    one semi-join instead of the reference's per-item map probe.
-    ``mode='upsert'`` is the bulk MERGE path (latest row wins) for
-    Delta-style pipelines beyond the reference's surface."""
+    one semi-join instead of the reference's per-item map probe. The
+    clash check deliberately ignores soft-deleted rows: the reference's
+    Delete removes the id from its externalToInternalID map
+    (hnsw_index.go:2292-2325), so a subsequent Add of the same id
+    passes its map probe and succeeds — re-add-after-delete is allowed
+    there, and here it upserts over the tombstone with the same
+    user-visible result (tests/test_api.py::test_readd_after_delete).
+    The existence probe is an eager driver round-trip by design: strict
+    mode's contract is a synchronous DuplicateIdError (HTTP 409 at
+    http_handlers.go:486); pipelines that can't afford a per-call job
+    use ``mode='upsert'``, the bulk MERGE path (latest row wins)."""
     new = _rows_to_df(index.spark, items, now)
     if mode == "strict":
         ids = [it["id"] for it in items]
@@ -289,42 +297,79 @@ def vset_metadata(index: Index, id_: str, props: dict, now: int) -> Index:
     return replace(index, vectors=vectors)
 
 
+def vlink_batch(
+    index: Index, links: list[tuple], now: int,
+) -> Index:
+    """G1 VLink (core/graph.go:112-182) with edge VERSIONING, batched:
+    ``links`` is [(src, dst, rel, weight), ...]. Per key (src, dst,
+    rel): identical active edge (weight within 1e-12) → no-op; changed
+    weight → soft-close the old row + append the new version; absent →
+    append. Duplicate keys within one batch resolve last-wins (the
+    sequential-VLink outcome).
+
+    One MERGE statement's read-side — a broadcast join against the
+    (config-sized) link batch to conditionally close old versions, and
+    one anti-join to decide the inserts. NO driver round-trip per edge
+    (the per-edge ``collect()`` the single-link facade used to pay).
+    Self-links are rejected (http_handlers.go:880)."""
+    for s, d, _r, _w in links:
+        if s == d:
+            raise SelfLinkError(
+                "cannot link a node to itself (source_id equals target_id)"
+            )
+    # last-wins within the batch
+    dedup: dict[tuple, float] = {}
+    for s, d, r, w in links:
+        dedup[(s, d, r)] = float(w)
+    new = index.spark.createDataFrame(
+        [(s, d, r, w) for (s, d, r), w in dedup.items()],
+        "src string, dst string, rel string, new_weight double",
+    )
+    keys = ["src", "dst", "rel"]
+    changed = (
+        F.col("new_weight").isNotNull()
+        & (F.abs(F.col("weight") - F.col("new_weight")) >= 1e-12)
+    )
+    # close active rows whose weight changes (idempotent matches stay)
+    closed = (
+        index.edges.join(F.broadcast(new), keys, "left")
+        .select(
+            *keys, "weight", "created_at",
+            F.when((F.col("deleted_at") == 0) & changed,
+                   F.lit(now).cast("long"))
+            .otherwise(F.col("deleted_at")).alias("deleted_at"),
+        )
+    )
+    # insert a new version unless an identical active edge exists
+    active = index.edges.where(F.col("deleted_at") == 0).select(
+        *keys, F.col("weight").alias("old_weight")
+    )
+    inserts = (
+        new.join(F.broadcast(active), keys, "left")
+        .where(
+            F.col("old_weight").isNull()
+            | (F.abs(F.col("old_weight") - F.col("new_weight")) >= 1e-12)
+        )
+        .select(
+            *keys, F.col("new_weight").alias("weight"),
+            F.lit(now).cast("long").alias("created_at"),
+            F.lit(0).cast("long").alias("deleted_at"),
+        )
+    )
+    return replace(index, edges=closed.unionByName(inserts))
+
+
 def vlink(
     index: Index, src: str, dst: str, rel: str, now: int,
     weight: float = 1.0, inverse: str | None = None,
 ) -> Index:
-    """G1 VLink (core/graph.go:112-182) with edge VERSIONING: identical
-    active edge → no-op; changed weight → soft-close old row + append
-    new; absent → append. Optional inverse edge same rules.
-
-    The whole rule is one anti-join + one conditional update — the
-    read-side of a MERGE WHEN MATCHED AND <changed> THEN UPDATE+INSERT.
-    Self-links are rejected (http_handlers.go:880)."""
-    if src == dst:
-        raise SelfLinkError(
-            "cannot link a node to itself (source_id equals target_id)"
-        )
-
-    def one(edges: DataFrame, s: str, d: str, r: str) -> DataFrame:
-        active = (F.col("src") == s) & (F.col("dst") == d) & \
-                 (F.col("rel") == r) & (F.col("deleted_at") == 0)
-        existing = edges.where(active).select("weight").collect()
-        if existing and abs(existing[0]["weight"] - weight) < 1e-12:
-            return edges  # idempotent (graph.go:140-155)
-        if existing:
-            edges = edges.withColumn(
-                "deleted_at",
-                F.when(active, F.lit(now).cast("long")).otherwise(F.col("deleted_at")),
-            )
-        new = index.spark.createDataFrame(
-            [(s, d, r, float(weight), now, 0)], EDGE_SCHEMA
-        )
-        return edges.unionByName(new)
-
-    edges = one(index.edges, src, dst, rel)
+    """G1 VLink single-edge facade — a thin wrapper over
+    :func:`vlink_batch` (same versioning rules). Optional inverse edge
+    same rules (graph.go:165-180)."""
+    links = [(src, dst, rel, weight)]
     if inverse:
-        edges = one(edges, dst, src, inverse)
-    return replace(index, edges=edges)
+        links.append((dst, src, inverse, weight))
+    return vlink_batch(index, links, now)
 
 
 def vunlink(

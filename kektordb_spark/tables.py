@@ -303,6 +303,27 @@ def ts_from_long(col: Column, unit: str) -> Column:
 
 
 _REGISTERED: dict[int, tuple[str, dict[str, DataFrame]]] = {}
+_SCRATCH_DIRS: dict[int, str] = {}
+
+
+def _swap_scratch_dir(sid: int, new_dir: str) -> None:
+    """Track the per-session materialization scratch dir and delete the
+    previous one (sf_dir switches / repeated short sessions would
+    otherwise leak a parquet copy of the derived relations per
+    registration); last one removed at interpreter exit."""
+    import atexit
+    import shutil
+
+    old = _SCRATCH_DIRS.get(sid)
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    _SCRATCH_DIRS[sid] = new_dir
+    if not getattr(_swap_scratch_dir, "_atexit_registered", False):
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True)
+                     for d in _SCRATCH_DIRS.values()]
+        )
+        _swap_scratch_dir._atexit_registered = True
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -367,6 +388,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     import tempfile
 
     mat_dir = tempfile.mkdtemp(prefix="kektordb_mat_")
+    _swap_scratch_dir(sid, mat_dir)
     for vname in ("edges", "docs_tok_par"):
         path = f"{mat_dir}/{vname}"
         spark.table(vname).write.mode("overwrite").parquet(path)

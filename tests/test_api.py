@@ -210,3 +210,46 @@ def test_consolidate_merge(spark):
         assert r["meta"]["_consolidated_into"] == "consolidation_m1"
     x_meta = out.vectors.where(F.col("id") == "x").collect()[0]["meta"]
     assert "_archived" not in x_meta
+
+
+def test_readd_after_delete(idx):
+    """Reference Delete removes the id from externalToInternalID
+    (hnsw_index.go:2292-2325), so Add(id) after Delete(id) passes its
+    map probe — re-add is allowed and resolves to the new vector."""
+    deleted = api.vdelete(idx, ["a"], now=T1)
+    assert api.vget(deleted, ["a"]).count() == 0
+    readded = api.vadd_batch(
+        deleted, [{"id": "a", "vector": [0.0, 1.0], "meta": {"s": "2"}}],
+        now=T2,
+    )
+    rows = api.vget(readded, ["a"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["v"] == [0.0, 1.0] and rows[0]["meta"]["s"] == "2"
+
+
+def test_vlink_batch_merge(idx):
+    """Batched VLink: idempotent / changed-weight / new-edge rules in
+    one MERGE, duplicate keys last-wins, no per-edge collect."""
+    ix = api.vlink_batch(idx, [
+        ("a", "b", "refs", 1.0),
+        ("a", "c", "refs", 2.0),
+        ("a", "c", "refs", 3.0),   # dup key in batch: last wins
+    ], now=T1)
+    active = {(r["src"], r["dst"], r["rel"]): r["weight"] for r in
+              ix.edges.where((F.col("deleted_at") == 0) &
+                             (F.col("rel") == "refs")).collect()}
+    assert active[("a", "b", "refs")] == 1.0
+    assert active[("a", "c", "refs")] == 3.0
+    # idempotent re-link: no new version row
+    n_before = ix.edges.count()
+    ix2 = api.vlink_batch(ix, [("a", "b", "refs", 1.0)], now=T2)
+    assert ix2.edges.count() == n_before
+    # changed weight: old row soft-closed at T2, new version appended
+    ix3 = api.vlink_batch(ix2, [("a", "b", "refs", 9.0)], now=T2)
+    versions = sorted(
+        (r["weight"], r["deleted_at"]) for r in
+        ix3.edges.where((F.col("src") == "a") & (F.col("dst") == "b") &
+                        (F.col("rel") == "refs")).collect())
+    assert versions == [(1.0, T2), (9.0, 0)]
+    with pytest.raises(api.SelfLinkError):
+        api.vlink_batch(ix3, [("a", "a", "refs", 1.0)], now=T2)
