@@ -58,6 +58,16 @@ def main() -> None:
     spark.sql(
         "SELECT count(*) FROM emb WHERE aggregate(v, CAST(0.0 AS DOUBLE), (s, x) -> s + x) > -1e18"
     ).collect()
+    # zip_with folds (PQ/IVF/kNN distance kernels) — the PQ family's
+    # cold codegen alone measured ~4 s before this warm-up
+    spark.sql(
+        "SELECT count(*) FROM emb WHERE aggregate(zip_with(v, v, "
+        "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (s, p) -> s + p) >= 0"
+    ).collect()
+    spark.sql(
+        "SELECT count(*) FROM (SELECT vec_id, min_by(label, struct(norm, label)) AS m "
+        "FROM emb GROUP BY vec_id)"
+    ).collect()
     # third hot family: md5 + conv hex->int (dedup fingerprints/minhash)
     spark.sql(
         "SELECT count(*) FROM docs_tok_par "

@@ -158,8 +158,34 @@ SKIP_RELS = (
 )
 
 
+def ecur_sql(dialect: str, at_time: int | None = None) -> str:
+    """Current (latest-version) active edges — the merge body references
+    this relation four times (degree x2, out-/in-rewiring), so the
+    Spark runner materializes it ONCE as a temp view (Spark inlines
+    multiply-referenced CTEs; measured 4 windowed dedups over the full
+    edge table without it). DuckDB materializes repeated CTEs itself,
+    so the oracle keeps it inline."""
+    tt = ("deleted_at = 0" if at_time is None
+          else f"(created_at <= {at_time} AND (deleted_at = 0 OR deleted_at > {at_time}))")
+    if dialect == "spark":
+        # max_by over the lexicographic (created_at, weight) pair ==
+        # the windowed row_number(ORDER BY created_at DESC, weight
+        # DESC) pick below, but as a map-side-combined aggregate
+        # instead of a full partition sort (measured ~2.7s -> ~1s over
+        # the 1.5M-row fixture edge table).
+        return (f"SELECT src, dst, rel, "
+                f"max_by(weight, struct(created_at, weight)) AS weight "
+                f"FROM edges WHERE {tt} GROUP BY src, dst, rel")
+    return f"""SELECT src, dst, rel, weight FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY src, dst, rel
+                                   ORDER BY created_at DESC, weight DESC) AS rn
+    FROM edges e WHERE {tt}
+  ) t WHERE rn = 1"""
+
+
 def merge_body_ctes(
     dialect: str, labels_rel: str, min_size: int = 3, at_time: int | None = None,
+    ecur_rel: str | None = None,
 ) -> str:
     """A5 merge step (gardener.go:941-1110 consolidateCluster, no-LLM
     path) as one SQL statement over a (node, label) cluster relation:
@@ -187,9 +213,20 @@ def merge_body_ctes(
     per cluster are bounded (similarity clusters), so the per-label
     windows never skew."""
     s = "STRING" if dialect == "spark" else "VARCHAR"
-    tt = ("deleted_at = 0" if at_time is None
-          else f"(created_at <= {at_time} AND (deleted_at = 0 OR deleted_at > {at_time}))")
     skips = ", ".join(f"'{r}'" for r in SKIP_RELS)
+    if ecur_rel is None:
+        ecur_cte = f"ecur AS (\n  {ecur_sql(dialect, at_time)}\n),\n"
+        ecur = "ecur"
+    else:
+        ecur_cte = ""
+        ecur = ecur_rel
+    # Members-per-cluster is config-bounded, so the member relation is
+    # always the broadcast side of the edge joins; checkpointed temp
+    # views report no stats, so the hint makes it explicit (a comment
+    # to every other engine).
+    hint = "/*+ BROADCAST(n), BROADCAST(t2), BROADCAST(s2) */ " \
+        if dialect == "spark" else ""
+    hint_n = "/*+ BROADCAST(n) */ " if dialect == "spark" else ""
     if dialect == "spark":
         posex = ("SELECT c.label, t.pos, t.x FROM cl_nodes c "
                  "JOIN emb e ON e.vec_id = c.node "
@@ -209,19 +246,21 @@ cl_nodes AS (
   FROM {labels_rel} m JOIN sizes z ON z.label = m.label
   WHERE z.size >= {min_size}
 ),
-ecur AS (
-  SELECT src, dst, rel, weight FROM (
-    SELECT e.*, row_number() OVER (PARTITION BY src, dst, rel
-                                   ORDER BY created_at DESC, weight DESC) AS rn
-    FROM edges e WHERE {tt}
-  ) t WHERE rn = 1
+{ecur_cte}degm AS (
+  -- members are the broadcast side of an INNER join (hinted:
+  -- checkpointed temp views report no stats; a left-outer from the
+  -- member side could not broadcast-hash), so the 2x edge stream
+  -- probes a hash table and only member-touching rows aggregate.
+  SELECT {hint_n}n.label, n.node, count(*) AS degree
+  FROM cl_nodes n
+  JOIN (SELECT src AS a FROM {ecur}
+        UNION ALL SELECT dst AS a FROM {ecur}) e ON e.a = n.nid
+  GROUP BY n.label, n.node
 ),
 deg AS (
-  SELECT n.label, n.node, count(e.rel) AS degree
+  SELECT n.label, n.node, coalesce(d.degree, 0) AS degree
   FROM cl_nodes n
-  LEFT JOIN (SELECT src AS a, rel FROM ecur
-             UNION ALL SELECT dst AS a, rel FROM ecur) e ON e.a = n.nid
-  GROUP BY n.label, n.node
+  LEFT JOIN degm d ON d.label = n.label AND d.node = n.node
 ),
 central AS (
   SELECT label, content FROM (
@@ -240,11 +279,11 @@ avgv AS (
 ),
 rew_out AS (
   SELECT label, rel, dst, weight FROM (
-    SELECT n.label, n.node, e.rel, e.dst, e.weight,
+    SELECT {hint}n.label, n.node, e.rel, e.dst, e.weight,
            row_number() OVER (PARTITION BY n.label, e.rel, e.dst
                               ORDER BY n.node DESC) AS rn
     FROM cl_nodes n
-    JOIN ecur e ON e.src = n.nid
+    JOIN {ecur} e ON e.src = n.nid
     LEFT JOIN cl_nodes t2 ON t2.label = n.label AND t2.nid = e.dst
     WHERE e.rel NOT IN ({skips}) AND t2.nid IS NULL) t
   WHERE rn = 1
@@ -255,11 +294,11 @@ out_stats AS (
 ),
 rew_in AS (
   SELECT label, rel, src FROM (
-    SELECT n.label, n.node, e.rel, e.src,
+    SELECT {hint}n.label, n.node, e.rel, e.src,
            row_number() OVER (PARTITION BY n.label, e.rel, e.src
                               ORDER BY n.node DESC) AS rn
     FROM cl_nodes n
-    JOIN ecur e ON e.dst = n.nid
+    JOIN {ecur} e ON e.dst = n.nid
     LEFT JOIN cl_nodes s2 ON s2.label = n.label AND s2.nid = e.src
     WHERE e.rel NOT IN ({skips}) AND s2.nid IS NULL) t
   WHERE rn = 1

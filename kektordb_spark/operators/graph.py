@@ -102,10 +102,18 @@ def bfs(
     return _bfs_over_pairs(pairs, roots, max_depth)
 
 
-def _bfs_over_pairs(pairs: DataFrame, roots: DataFrame, max_depth: int) -> DataFrame:
+def _bfs_over_pairs(
+    pairs: DataFrame, roots: DataFrame, max_depth: int, key: str | None = None,
+    checkpoint_frontiers: bool = False,
+) -> DataFrame:
     """Min-depth BFS over a prepared (from_n, to_n) relation — the
-    shared core of bfs() and find_path() (the latter prepares ONE
-    materialized edge set and walks it in both directions).
+    shared core of bfs() and find_path().
+
+    ``key`` names an optional partition column present in both
+    ``pairs`` and ``roots``: independent traversals (e.g. find_path's
+    forward and backward halves) run FUSED in one loop, each round one
+    join keyed on (key, from_n) — half the Spark jobs of running them
+    as separate plans.
 
     Level d's plan recomputes levels 1..d-1 (Spark inlines shared
     subplans), but with ``pairs`` materialized each recomputed round is
@@ -115,23 +123,32 @@ def _bfs_over_pairs(pairs: DataFrame, roots: DataFrame, max_depth: int) -> DataF
     quadratic term. An unbounded traversal would need periodic frontier
     checkpoints to cut lineage; the reference clamps depth, so we keep
     the cheaper shape."""
-    levels = [roots.select(F.col("node"), F.lit(0).alias("depth"))]
+    kcols = [key] if key else []
+    levels = [roots.select(*kcols, F.col("node"), F.lit(0).alias("depth"))]
     frontier = levels[0]
     for d in range(1, max_depth + 1):
         frontier = (
             pairs.join(
-                F.broadcast(frontier.select(F.col("node").alias("from_n"))),
-                "from_n",
+                F.broadcast(
+                    frontier.select(*kcols, F.col("node").alias("from_n"))
+                ),
+                kcols + ["from_n"],
             )
-            .select(F.col("to_n").alias("node"))
+            .select(*kcols, F.col("to_n").alias("node"))
             .distinct()
             .withColumn("depth", F.lit(d))
         )
+        if checkpoint_frontiers:
+            # Frontiers are node SETS (bounded by |V|); one tiny
+            # checkpoint per round turns the O(depth^2) shared-subplan
+            # recompute into O(depth) — the right trade once the pairs
+            # relation carries both traversal directions (find_path).
+            frontier = frontier.localCheckpoint(eager=True)
         levels.append(frontier)
     visited = levels[0]
     for lvl in levels[1:]:
         visited = visited.unionAll(lvl)
-    return visited.groupBy("node").agg(F.min("depth").alias("depth"))
+    return visited.groupBy(*kcols, "node").agg(F.min("depth").alias("depth"))
 
 
 def all_relations(
@@ -230,30 +247,41 @@ def find_path(
     (node, dist_from_src, dist_to_dst) where the sum equals the
     shortest-path length. Empty result = no path within max_depth.
 
-    Two bounded BFS plans (each half the depth budget of a one-sided
-    search — the reference's reason for bidirectionality holds in the
-    join world too: frontier size grows with depth^branching, so two
-    half-depth expansions beat one full-depth one) + one broadcast-able
-    join on the meeting nodes. The active edge set is materialized ONCE
-    and walked in both directions (src->dst forward, dst->src
-    backward) — two independent bfs() calls would pay the derived-view
-    materialization twice."""
+    The two traversal halves (each half the depth budget of a
+    one-sided search — the reference's reason for bidirectionality
+    holds in the join world too: frontier size grows with
+    depth^branching) run FUSED as ONE union-keyed BFS: the edge set is
+    materialized once carrying both orientations under a direction key
+    (0 = src->dst forward, 1 = dst->src backward), so every round is a
+    single join serving both directions — half the per-round job
+    overhead of two independent bfs() plans. The visited relation is
+    checkpointed before the meet-in-the-middle join (it is referenced
+    by both sides of that join; inlining would replay the whole BFS
+    twice)."""
     spark = edges.sparkSession
     max_depth = max(1, min(max_depth, 5))
     e = active_at(edges, at_time)
     if relations:
         e = e.where(F.col("rel").isin(relations))
     base = e.select("src", "dst")
+    both = base.select(
+        F.lit(0).alias("dir"), F.col("src").alias("from_n"),
+        F.col("dst").alias("to_n"),
+    ).unionAll(base.select(
+        F.lit(1).alias("dir"), F.col("dst").alias("from_n"),
+        F.col("src").alias("to_n"),
+    ))
     if materialize_edges and max_depth > 1:
-        base = base.localCheckpoint(eager=True)
-    fwd = _bfs_over_pairs(
-        base.select(F.col("src").alias("from_n"), F.col("dst").alias("to_n")),
-        spark.createDataFrame([(src,)], "node string"), max_depth,
-    ).withColumnRenamed("depth", "dist_from_src")
-    bwd = _bfs_over_pairs(
-        base.select(F.col("dst").alias("from_n"), F.col("src").alias("to_n")),
-        spark.createDataFrame([(dst,)], "node string"), max_depth,
-    ).withColumnRenamed("depth", "dist_to_dst")
+        both = both.localCheckpoint(eager=True)
+    roots = spark.createDataFrame([(0, src), (1, dst)], "dir int, node string")
+    visited = _bfs_over_pairs(
+        both, roots, max_depth, key="dir",
+        checkpoint_frontiers=materialize_edges and max_depth > 1,
+    ).localCheckpoint(eager=True)
+    fwd = visited.where(F.col("dir") == 0).select(
+        "node", F.col("depth").alias("dist_from_src"))
+    bwd = visited.where(F.col("dir") == 1).select(
+        "node", F.col("depth").alias("dist_to_dst"))
     joined = fwd.join(bwd, "node").where(
         F.col("dist_from_src") + F.col("dist_to_dst") <= max_depth
     )

@@ -1048,7 +1048,7 @@ def graph_find_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pkg/engine/pathfinding.go:16-148); rows = nodes on shortest paths."""
     load_tables(spark, sf_dir)
     return G.find_path(spark.table("edges"), "p_1", "r_1", max_depth=4,
-                       at_time=T_MID, materialize_edges=False)
+                       at_time=T_MID)
 
 
 _SUBGRAPH_RELS = ["placed_by", "from_nation"]
@@ -1212,7 +1212,15 @@ def gardener_consolidation_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     write-side facade op is api.consolidate (test_api)."""
     load_tables(spark, sf_dir)
     CS.consolidation_labels_df(spark).createOrReplaceTempView("_cons_labels")
-    return spark.sql("WITH " + CS.merge_body_ctes("spark", "_cons_labels"))
+    # Materialize the current-edge relation once: the body references
+    # it 4x and Spark inlines repeated CTEs (ecur_sql docstring).
+    spark.sql(CS.ecur_sql("spark")).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("_cons_ecur")
+    return spark.sql(
+        "WITH " + CS.merge_body_ctes("spark", "_cons_labels",
+                                     ecur_rel="_cons_ecur")
+    )
 
 
 @register("gardener_knowledge_gaps",
