@@ -1223,6 +1223,21 @@ def gardener_consolidation_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from kektordb_spark.operators import contradictions as CT  # noqa: E402
+
+
+@register("gardener_contradictions",
+          with_oracle_ctes(CT.contradictions_oracle_sql(), ["emb"]))
+def gardener_contradictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contradiction detection (gardener.go:1310-1470) through the
+    Brain extension point (functions/brain.py): banded top-5 similar
+    pairs from the GEMM kernel, verdict via the active Brain's
+    Arrow-batched judge (default DeterministicBrain — replayed in SQL
+    by the oracle), reflection-node post-image out."""
+    load_tables(spark, sf_dir)
+    return CT.reflections_df(spark)
+
+
 @register("gardener_knowledge_gaps",
           with_oracle_ctes(CS.knowledge_gaps_sql("duckdb"), ["emb"]))
 def gardener_knowledge_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
