@@ -87,13 +87,15 @@ def consolidation_labels_df(
     Shared by the clusters query and the merge step."""
     from pyspark.sql import functions as F
 
-    from kektordb_spark.operators import blockgemm as BG
+    from kektordb_spark.operators import knn_planner as KP
 
     # Eager localCheckpoint (not persist): materializes AND truncates
     # lineage, so no later stage re-enters the Python mapInPandas kernel
     # and every round's job starts from the (tiny) checkpointed edge set.
+    # Pair generation goes through the planner flag: exact GEMM at
+    # fixture scale, LSH bucket self-join beyond GEMM_PAIRS_MAX.
     pairs = (
-        BG.cosine_pairs(spark, threshold=threshold)
+        KP.similar_pairs(spark, threshold)
         .select("u", "w")
         .localCheckpoint(eager=True)
     )

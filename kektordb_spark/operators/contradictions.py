@@ -114,9 +114,9 @@ def reflections_df(spark):
     from pyspark.sql import functions as F
 
     from kektordb_spark.functions.brain import contradiction_judge_udf
-    from kektordb_spark.operators import blockgemm as BG
+    from kektordb_spark.operators import knn_planner as KP
 
-    BG.cosine_pairs(spark, threshold=SIM_LO).select(
+    KP.similar_pairs(spark, SIM_LO).select(
         "u", "w", "sim"
     ).localCheckpoint(eager=True).createOrReplaceTempView("_contra_pairs")
     cand = spark.sql(

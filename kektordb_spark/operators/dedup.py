@@ -583,6 +583,70 @@ WHERE c / (na + nb - c) >= {threshold}
 """.strip()
 
 
+def minhash_clusters_sql(
+    dialect: str, pairs_rel: str | None = None, iters: int = 3,
+) -> str:
+    """Duplicate-cluster RESOLUTION — the pipeline step after pair
+    discovery that a training-data dedup actually ships: connected
+    components over the verified MinHash dup pairs (bounded min-label
+    propagation, same shape as consolidation), one CANONICAL document
+    kept per cluster (longest by n_chars, ties to the lowest doc_id —
+    the usual "keep the most complete copy" rule), everything else
+    counted as dropped.
+
+    ``pairs_rel`` names a pre-materialized (id_a, id_b) relation (the
+    Spark runner reuses the dedup_minhash_lsh pipeline's checkpointed
+    result); default inlines the full pair derivation (the DuckDB
+    oracle's self-contained form — DuckDB supports the nested WITH).
+
+    Scale: propagation shuffles (node, label) pairs only; the
+    canonical pick is one broadcast join against documents + a
+    per-cluster window over member counts (dup clusters are small by
+    construction — near-exact copies)."""
+    if pairs_rel is None:
+        pairs = f"pairs0 AS (\n{minhash_lsh_sql(dialect)}\n)"
+    else:
+        pairs = f"pairs0 AS (SELECT id_a, id_b FROM {pairs_rel})"
+    parts = [pairs, """und AS (
+  SELECT id_a AS u, id_b AS w FROM pairs0
+  UNION ALL SELECT id_b AS u, id_a AS w FROM pairs0
+)""", "l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)"]
+    prev = "l0"
+    for i in range(1, iters + 1):
+        parts.append(f"""l{i} AS (
+  SELECT n.node, least(n.label, coalesce(min(p.label), n.label)) AS label
+  FROM {prev} n
+  LEFT JOIN und e ON e.u = n.node
+  LEFT JOIN {prev} p ON p.node = e.w
+  GROUP BY n.node, n.label
+)""")
+        prev = f"l{i}"
+    if dialect == "spark":
+        members = ("array_join(transform(array_sort(collect_list(node)), "
+                   "x -> CAST(x AS STRING)), ',')")
+    else:
+        members = ("array_to_string(list_transform(list_sort(list(node)), "
+                   "x -> CAST(x AS VARCHAR)), ',')")
+    parts.append(f"""grp AS (
+  SELECT label, CAST(count(*) AS INT) AS size, {members} AS members
+  FROM {prev} GROUP BY label
+)""")
+    parts.append(f"""canon AS (
+  SELECT label, node AS canonical_doc FROM (
+    SELECT m.label, m.node,
+           row_number() OVER (PARTITION BY m.label
+                              ORDER BY d.n_chars DESC, m.node ASC) AS rn
+    FROM {prev} m JOIN documents d ON d.doc_id = m.node) t
+  WHERE rn = 1
+)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT c.canonical_doc, g.size, CAST(g.size - 1 AS INT) AS dropped, g.members
+FROM grp g JOIN canon c ON c.label = g.label
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # D5: embedding-cosine near-dup (exact top-k pairs)
 # ---------------------------------------------------------------------------

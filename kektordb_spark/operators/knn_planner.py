@@ -48,6 +48,7 @@ EXACT_MAX = 100_000        # per-query scan affordable below this
 GEMM_MIN_QUERIES = 64      # batch big enough to amortize tile setup
 PQ_MIN = 20_000_000        # float scan memory-prohibitive above this
 SELECTIVE = 0.05           # pre-filter selectivity that forces exact
+GEMM_PAIRS_MAX = 500_000   # N^2/2 tile work affordable below this
 
 
 @dataclass(frozen=True)
@@ -189,6 +190,143 @@ def ivf_knn_df(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def lsh_band_params(
+    threshold: float, target_recall: float = 0.9, max_tables: int = 16,
+) -> tuple[int, int]:
+    """Size the random-hyperplane LSH from the similarity threshold:
+    per-plane collision probability at cosine=threshold is
+    p = 1 - arccos(threshold)/pi; a b-plane signature collides with
+    p^b, and T tables reach recall 1-(1-p^b)^T. Pick the LARGEST b
+    (most selective buckets -> fewest candidates) whose required
+    T = ceil(ln(1-target)/ln(1-p^b)) fits max_tables. Low thresholds
+    genuinely need short signatures — a fixed (b, T) silently loses
+    recall the moment the threshold moves (measured: 10-plane/6-table
+    gave 7% recall at threshold 0.40; auto-sizing gives ~90%)."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    for b in range(16, 1, -1):
+        pb = p ** b
+        if pb >= 1.0:
+            return b, 1
+        t = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb))
+        if t <= max_tables:
+            return b, t
+    return 2, max_tables
+
+
+def lsh_pairs(
+    emb: DataFrame,
+    threshold: float,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    norm_col: str = "norm",
+) -> DataFrame:
+    """All-pairs LSH candidate generation + cosine verification:
+    random-hyperplane signatures (the same seeded lattice as
+    operators/knn.lsh_bucketed_knn), candidates from a (table,
+    signature) bucket SELF-join — never a cross product — then exact
+    cosine on the candidates, thresholded. Returns (u, w, sim) with
+    u < w. Approximate: pairs never sharing a bucket are missed;
+    (n_planes, n_tables) default to lsh_band_params' threshold-driven
+    sizing (recall gated in tests/test_knn_planner.py)."""
+    import random
+
+    if n_planes is None or n_tables is None:
+        auto_b, auto_t = lsh_band_params(threshold)
+        n_planes = n_planes or auto_b
+        n_tables = n_tables or auto_t
+    rng = random.Random(seed)
+    planes = [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+    def sig_expr(t: int):
+        bits = []
+        for p_i, plane in enumerate(planes[t]):
+            arr = "array(" + ", ".join(
+                f"CAST({x!r} AS DOUBLE)" for x in plane) + ")"
+            bits.append(
+                f"CASE WHEN aggregate(zip_with({vec_col}, {arr}, "
+                f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, p) -> s + p) "
+                f">= 0.0 THEN {1 << p_i} ELSE 0 END"
+            )
+        return F.expr(" + ".join(bits))
+
+    tables = F.array(*[
+        F.struct(F.lit(t).alias("tbl"), sig_expr(t).alias("sig"))
+        for t in range(n_tables)
+    ])
+    b = (
+        emb.withColumn("bucket", F.explode(tables))
+        .select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            F.col(norm_col).alias("norm"),
+            F.col("bucket.tbl").alias("tbl"), F.col("bucket.sig").alias("sig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        b.alias("a")
+        .join(b.alias("c"), ["tbl", "sig"])
+        .where(F.col("a.id") < F.col("c.id"))
+        .select(
+            F.col("a.id").alias("u"), F.col("c.id").alias("w"),
+            F.col("a.v").alias("va"), F.col("c.v").alias("vb"),
+            F.col("a.norm").alias("na"), F.col("c.norm").alias("nb"),
+        )
+        .dropDuplicates(["u", "w"])
+    )
+    dot = ("aggregate(zip_with(va, vb, (x, y) -> x * y), "
+           "CAST(0.0 AS DOUBLE), (s, p) -> s + p)")
+    return (
+        cand.withColumn("sim", F.expr(dot) / (F.col("na") * F.col("nb")))
+        .where(F.col("sim") >= threshold)
+        .select("u", "w", "sim")
+    )
+
+
+def similar_pairs(
+    spark,
+    threshold: float,
+    emb: DataFrame | None = None,
+    corpus_size: int | None = None,
+    strategy: str | None = None,
+) -> DataFrame:
+    """Planner flag for all-pairs similarity generation — the candidate
+    step consolidation (A5), knowledge gaps (A6), and contradiction
+    detection share. Returns (u, w, sim), u < w, sim >= threshold.
+
+    ``gemm`` (tiled numpy kernel, exact) while N^2/2 tile work is
+    affordable (corpus <= GEMM_PAIRS_MAX); ``lsh`` (bucket self-join,
+    approximate) beyond — the scale path the COVERAGE/SCALE notes
+    promise, now selected by size instead of by the caller knowing to
+    ask."""
+    from kektordb_spark.operators import blockgemm as BG
+
+    if corpus_size is None:
+        corpus_size = (emb if emb is not None else spark.table("emb")).count()
+    strat = strategy or (
+        "gemm" if corpus_size <= GEMM_PAIRS_MAX else "lsh"
+    )
+    if strat == "gemm":
+        kw = {}
+        if emb is not None:
+            kw["emb"] = emb.select(
+                F.col("vec_id"), F.col("v").alias("vec"))
+        return BG.cosine_pairs(spark, threshold=threshold, **kw).select(
+            "u", "w", "sim")
+    if strat == "lsh":
+        return lsh_pairs(
+            emb if emb is not None else spark.table("emb"), threshold)
+    raise ValueError(f"unknown pairs strategy {strat}")
 
 
 def knn_search(

@@ -1133,6 +1133,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.minhash_lsh_sql("spark", ex_source="_mh_ex", sig_source="_mh_sig"))
 
 
+@register("dedup_minhash_clusters",
+          with_oracle_ctes(DD.minhash_clusters_sql("duckdb"), ["docs_tok"]))
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution over the verified MinHash pairs:
+    connected components + canonical-doc pick (longest copy kept,
+    rest dropped) — the dedup pipeline's ship step. Reuses the
+    dedup_minhash_lsh pipeline's materialized stages for the pairs."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    pairs.createOrReplaceTempView("_mh_pairs")
+    return spark.sql(DD.minhash_clusters_sql("spark", pairs_rel="_mh_pairs"))
+
+
 @register("dedup_ngram_jaccard",
           with_oracle_ctes(DD.ngram_jaccard_sql("duckdb"), []))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1245,7 +1257,9 @@ def gardener_knowledge_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (blocked-GEMM kernel, threshold in-kernel) anti-joined against
     order co-occurrence evidence."""
     load_tables(spark, sf_dir)
-    BG.cosine_pairs(spark, threshold=0.42).createOrReplaceTempView("_sim_pairs")
+    from kektordb_spark.operators import knn_planner as KP
+
+    KP.similar_pairs(spark, 0.42).createOrReplaceTempView("_sim_pairs")
     return spark.sql("""
 SELECT s.u AS part_a, s.w AS part_b, round(s.sim, 6) AS sim
 FROM _sim_pairs s

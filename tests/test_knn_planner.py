@@ -90,3 +90,21 @@ def test_gemm_allpairs_schema(spark):
     rows = res.where(F.col("query_id") == 0).collect()
     assert len(rows) == 3
     assert all(r.neighbor_id != 0 for r in rows)  # self excluded
+
+
+def test_similar_pairs_planner_and_lsh_recall(spark):
+    from kektordb_spark.tables import load_tables
+
+    load_tables(spark, SF_MED)
+    # auto at fixture scale -> exact gemm pairs
+    exact = {(r.u, r.w) for r in
+             KP.similar_pairs(spark, 0.40).select("u", "w").collect()}
+    assert exact  # fixture has similar pairs at this threshold
+    # forced lsh: every returned pair is verified-true (sim computed
+    # exactly), and recall vs exact clears the gate
+    lsh = {(r.u, r.w) for r in
+           KP.similar_pairs(spark, 0.40, strategy="lsh")
+           .select("u", "w").collect()}
+    assert lsh <= exact
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.5, f"LSH pair recall too low: {recall:.2f}"
