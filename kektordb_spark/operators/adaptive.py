@@ -125,7 +125,44 @@ MAX_EXPANSION_NODES = 40   # config MaxExpansionNodes, sized so the cap
                            # actually binds on the fixture graph
 
 
-def adaptive_graph_sql(dialect: str, query_id: int = 0) -> str:
+def graph_edges_sql(dialect: str) -> str:
+    """Allowed-relation weighted edge relation for the graph strategy;
+    the Spark runner materializes it once (both BFS rounds reference
+    it, and Spark inlines repeated CTEs)."""
+    wt = ("CASE rel " + " ".join(
+        f"WHEN '{r}' THEN {w}" for r, w in sorted(GRAPH_RELATIONS.items())
+    ) + f" ELSE {EDGE_WEIGHT} END")
+    rels = ", ".join(f"'{r}'" for r in sorted(GRAPH_RELATIONS))
+    return (f"SELECT src, dst, {wt} AS wt FROM edges "
+            f"WHERE deleted_at = 0 AND rel IN ({rels})")
+
+
+def graph_seeds_sql(dialect: str, query_id: int = 0) -> str:
+    """Seed relation v0(node, score, depth) — the k-NN seeds mapped
+    onto the property graph. Materialized by the Spark runner: the
+    seed subtree is referenced by every BFS level plus the final
+    union, and Catalyst inlines it into each (measured ~6 copies of
+    the seed cross join in the physical plan without this)."""
+    dot_q = dot_sql(dialect, "q.v", "c.v")
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+WITH q AS (SELECT * FROM emb WHERE vec_id = {query_id}),
+seed_d AS (
+  SELECT c.vec_id,
+         1.0 / (1.0 + (1.0 - ({dot_q}) / (q.norm * c.norm))) AS score
+  FROM q CROSS JOIN emb c WHERE c.vec_id <> {query_id}
+)
+SELECT concat('p_', CAST(vec_id AS {s})) AS node, score, 0 AS depth FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rk
+  FROM seed_d
+) t WHERE rk <= {SEED_K}
+""".strip()
+
+
+def adaptive_graph_sql(
+    dialect: str, query_id: int = 0, edges_rel: str | None = None,
+    seeds_rel: str | None = None,
+) -> str:
     """``graph`` expansion strategy (expandGraphBFS,
     adaptive_retriever.go:212-297): k-NN seeds mapped onto the property
     graph, level-synchronous BFS to depth {GRAPH_DEPTH} over the
@@ -146,28 +183,17 @@ def adaptive_graph_sql(dialect: str, query_id: int = 0) -> str:
     equi-join (frontier broadcastable, edges bucketed by src) + one
     groupBy(node) dedup — the same loop-with-materialization shape as
     operators/graph.bfs; no cross join anywhere."""
-    dot_q = dot_sql(dialect, "q.v", "c.v")
-    s = "STRING" if dialect == "spark" else "VARCHAR"
-    wt = ("CASE rel " + " ".join(
-        f"WHEN '{r}' THEN {w}" for r, w in sorted(GRAPH_RELATIONS.items())
-    ) + f" ELSE {EDGE_WEIGHT} END")
-    rels = ", ".join(f"'{r}'" for r in sorted(GRAPH_RELATIONS))
-    parts = [f"""q AS (SELECT * FROM emb WHERE vec_id = {query_id}),
-seed_d AS (
-  SELECT c.vec_id,
-         1.0 / (1.0 + (1.0 - ({dot_q}) / (q.norm * c.norm))) AS score
-  FROM q CROSS JOIN emb c WHERE c.vec_id <> {query_id}
-),
-v0 AS (
-  SELECT concat('p_', CAST(vec_id AS {s})) AS node, score, 0 AS depth FROM (
-    SELECT *, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rk
-    FROM seed_d
-  ) t WHERE rk <= {SEED_K}
-),
-e AS (
-  SELECT src, dst, {wt} AS wt FROM edges
-  WHERE deleted_at = 0 AND rel IN ({rels})
-)"""]
+    e_cte = (
+        f"e AS (\n{graph_edges_sql(dialect)}\n)" if edges_rel is None
+        else f"e AS (SELECT src, dst, wt FROM {edges_rel})"
+    )
+    v0_cte = (
+        f"v0 AS (\n{graph_seeds_sql(dialect, query_id)}\n)"
+        if seeds_rel is None
+        else f"v0 AS (SELECT node, score, depth FROM {seeds_rel})"
+    )
+    parts = [f"""{v0_cte},
+{e_cte}"""]
     parts.append("vis0 AS (SELECT node FROM v0)")
     prev_frontier = "v0"
     for d in range(1, GRAPH_DEPTH + 1):

@@ -976,7 +976,22 @@ register_sql(
     token-budget assembly. Same declarative plan as
     adaptive_retrieval plus one pushed-down predicate.""",
 )
-register_sql("adaptive_retrieval_graph", AD.adaptive_graph_sql, ["emb", "edges"])
+@register("adaptive_retrieval_graph",
+          with_oracle_ctes(AD.adaptive_graph_sql("duckdb"), ["emb", "edges"]))
+def adaptive_retrieval_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph expansion strategy (see operators/adaptive.py
+    adaptive_graph_sql). Spark materializes the allowed-relation
+    weighted edge set once — both BFS rounds reference it and Spark
+    inlines repeated CTEs."""
+    load_tables(spark, sf_dir)
+    spark.sql(AD.graph_edges_sql("spark")).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("_ag_edges")
+    spark.sql(AD.graph_seeds_sql("spark")).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("_ag_seeds")
+    return spark.sql(AD.adaptive_graph_sql(
+        "spark", edges_rel="_ag_edges", seeds_rel="_ag_seeds"))
 
 
 # --------------------------------------------------------------------------

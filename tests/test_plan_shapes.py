@@ -116,3 +116,45 @@ def test_batch_gemm_knn_shuffles_candidates_not_matrix(spark):
     # structural bound, not exact count.
     assert "CartesianProduct" not in plan
     assert n_exchanges(plan) <= 4
+
+
+def test_consolidation_merge_broadcasts_members(spark):
+    """The A5 merge body's degree/rewiring joins keep the member side
+    broadcast (hinted) — a sort-merge there scans/sorts the full edge
+    relation per stage, the r3 regression this guards against."""
+    plan = plan_of(spark, "gardener_consolidation_merge")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adaptive_graph_no_cartesian_beyond_seed(spark):
+    """Graph-strategy expansion is frontier-to-edges equi-joins; the
+    only nested-loop join allowed is the 1-row query-vector seed
+    broadcast."""
+    plan = plan_of(spark, "adaptive_retrieval_graph")
+    assert "CartesianProduct" not in plan
+    import re
+    # seed kNN = 1 broadcast nested loop; BFS rounds must not add more
+    assert len(re.findall(r"BroadcastNestedLoopJoin", plan)) <= 1
+
+
+def test_lsh_pairs_is_bucket_equijoin(spark):
+    """Forced-LSH pair generation joins on (tbl, sig) — an equi-join,
+    never a cross product."""
+    from pyspark.sql import functions as F
+
+    from kektordb_spark.operators import knn_planner as KP
+    from kektordb_spark.tables import load_tables
+
+    load_tables(spark, SF_SMALL)
+    df = KP.similar_pairs(spark, 0.8, strategy="lsh")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "tbl" in plan and "sig" in plan
+
+
+def test_minhash_clusters_no_cartesian(spark):
+    plan = plan_of(spark, "dedup_minhash_clusters")
+    assert "CartesianProduct" not in plan
