@@ -122,7 +122,13 @@ def session_summary_sql(dialect: str) -> str:
     """A14 deterministic session summary: per session (user), memory
     count, first/last memory type, span in minutes. first/last via two
     row_number windows + conditional max — portable across engines and
-    tie-broken on event_id."""
+    tie-broken on event_id.
+
+    This is the reference's no-LLM fallback (gardener.go:2226-2294);
+    its LLM path is the ``synthesize`` hook of the Brain seam
+    (functions/brain.py) — a real-model deployment summarizes the
+    per-session ``collect_list`` through one Arrow batch there, and
+    this SQL remains the oracle-checked fallback."""
     ep = _epoch_ts(dialect)
     return f"""
 WITH r AS (
