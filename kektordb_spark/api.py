@@ -297,6 +297,31 @@ def vset_metadata(index: Index, id_: str, props: dict, now: int) -> Index:
     return replace(index, vectors=vectors)
 
 
+def resolve_conflict(
+    index: Index, reflection_id: str, resolution: str, now: int,
+    discard_id: str | None = None,
+) -> Index:
+    """resolve_conflict (internal/mcp/service.go:962-1002): mark the
+    reflection resolved (status/resolution/_updated_at metadata merge);
+    when the caller names a losing memory, archive it
+    (_archived=true, invalidated_by=<reflection>) and soft-delete it —
+    which cascades to its edges (S5/G11) — never a physical delete, so
+    history survives. One metadata pass + one vdelete pass; no
+    per-row driver round-trips."""
+    index = vset_metadata(index, reflection_id, {
+        "status": "resolved",
+        "resolution": resolution,
+        "_updated_at": now,
+    }, now)
+    if discard_id is not None:
+        index = vset_metadata(index, discard_id, {
+            "_archived": True,
+            "invalidated_by": reflection_id,
+        }, now)
+        index = vdelete(index, [discard_id], now)
+    return index
+
+
 def vlink_batch(
     index: Index, links: list[tuple], now: int,
 ) -> Index:

@@ -38,6 +38,23 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Temp-view name of the pre-packed block relation over the default
+# embeddings corpus (n_blocks=8), materialized once per session by
+# tables.load_tables — the persisted block layout a brute-force
+# similarity layer keeps next to the row layout at scale.
+GEMM_BLOCKS_VIEW = "gemm_blocks_8"
+
+
+def _default_blocks(spark: SparkSession, n_blocks: int) -> DataFrame | None:
+    """The session's pre-packed default-corpus blocks, if materialized
+    (only valid for the default embeddings source at n_blocks=8)."""
+    if n_blocks != 8:
+        return None
+    try:
+        return spark.table(GEMM_BLOCKS_VIEW)
+    except Exception:
+        return None
+
 
 def packed_blocks(emb: DataFrame, n_blocks: int) -> DataFrame:
     """Pack (vec_id, v, norm) rows into one row per block: ids sorted
@@ -87,13 +104,17 @@ def cosine_pairs(
     Catalyst higher-order functions (interpreted, and the dominant cost
     when concentrated into few pack tasks).
     """
+    blocks = None
     if emb is None:
-        emb = spark.table("embeddings").select(
-            "vec_id", F.col("embedding").alias("vec"))
-    # Materialize the packed blocks once (eager localCheckpoint): the
-    # tile self-join references them twice, and a plain plan would run
-    # the pack stage once per side.
-    blocks = packed_blocks(emb, n_blocks).localCheckpoint(eager=True)
+        blocks = _default_blocks(spark, n_blocks)
+        if blocks is None:
+            emb = spark.table("embeddings").select(
+                "vec_id", F.col("embedding").alias("vec"))
+    if blocks is None:
+        # Materialize the packed blocks once (eager localCheckpoint):
+        # the tile self-join references them twice, and a plain plan
+        # would run the pack stage once per side.
+        blocks = packed_blocks(emb, n_blocks).localCheckpoint(eager=True)
     bp = (
         blocks.alias("a")
         .join(blocks.alias("b"), F.col("a.blk") <= F.col("b.blk"))
@@ -157,10 +178,14 @@ def knn_all(
     Returns (query_id, neighbor_id, dist, rank<=k)."""
     from pyspark.sql import Window
 
+    blocks = None
     if emb is None:
-        emb = spark.table("embeddings").select(
-            "vec_id", F.col("embedding").alias("vec"))
-    blocks = packed_blocks(emb, n_blocks).localCheckpoint(eager=True)
+        blocks = _default_blocks(spark, n_blocks)
+        if blocks is None:
+            emb = spark.table("embeddings").select(
+                "vec_id", F.col("embedding").alias("vec"))
+    if blocks is None:
+        blocks = packed_blocks(emb, n_blocks).localCheckpoint(eager=True)
     bp = (
         blocks.alias("a")
         .join(blocks.alias("b"), F.col("a.blk") <= F.col("b.blk"))

@@ -185,6 +185,43 @@ def ecur_sql(dialect: str, at_time: int | None = None) -> str:
   ) t WHERE rn = 1"""
 
 
+def member_nids_sql(labels_rel: str, min_size: int = 3) -> str:
+    """The graph-node ids of every member of a consolidatable cluster
+    (size >= min_size) — the only endpoints the merge body ever joins
+    ecur against."""
+    return f"""
+SELECT concat('p_', CAST(m.node AS STRING)) AS nid
+FROM {labels_rel} m
+JOIN (SELECT label FROM {labels_rel} GROUP BY label HAVING count(*) >= {min_size}) z
+  ON z.label = m.label
+""".strip()
+
+
+def ecur_member_sql(nids_rel: str, at_time: int | None = None) -> str:
+    """Spark-side ecur restricted to member-touching edges BEFORE the
+    latest-version pick. Safe because the filter is on (src, dst) —
+    both part of the versioning key (src, dst, rel) — so every version
+    of a surviving edge key passes the filter together and max_by sees
+    the same candidate set. The merge body only references ecur joined
+    to member nids (degm: src/dst = nid; rew_out: src = nid; rew_in:
+    dst = nid), so dropping non-member edges is semantically free, and
+    the expensive dedup group-by runs over the member-touching subset
+    (1.37M -> 43k rows at sf0.1) instead of the whole edge table. The
+    OR of two IN-subqueries plans as two broadcast existence joins
+    (the nid set is cluster-membership-bounded). DuckDB oracle keeps
+    the unfiltered inline form — results verified identical."""
+    tt = ("deleted_at = 0" if at_time is None
+          else f"(created_at <= {at_time} AND (deleted_at = 0 OR deleted_at > {at_time}))")
+    return f"""
+SELECT src, dst, rel, max_by(weight, struct(created_at, weight)) AS weight
+FROM edges
+WHERE {tt}
+  AND (src IN (SELECT nid FROM {nids_rel})
+       OR dst IN (SELECT nid FROM {nids_rel}))
+GROUP BY src, dst, rel
+""".strip()
+
+
 def merge_body_ctes(
     dialect: str, labels_rel: str, min_size: int = 3, at_time: int | None = None,
     ecur_rel: str | None = None,

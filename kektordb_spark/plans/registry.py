@@ -1240,8 +1240,14 @@ def gardener_consolidation_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     CS.consolidation_labels_df(spark).createOrReplaceTempView("_cons_labels")
     # Materialize the current-edge relation once: the body references
-    # it 4x and Spark inlines repeated CTEs (ecur_sql docstring).
-    spark.sql(CS.ecur_sql("spark")).localCheckpoint(
+    # it 4x and Spark inlines repeated CTEs (ecur_sql docstring) —
+    # restricted to member-touching edges before the latest-version
+    # group-by (ecur_member_sql: filter on the versioning key, so
+    # identical survivors; measured 1.37M -> 43k rows into the dedup).
+    spark.sql(CS.member_nids_sql("_cons_labels")).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("_cons_nids")
+    spark.sql(CS.ecur_member_sql("_cons_nids")).localCheckpoint(
         eager=True
     ).createOrReplaceTempView("_cons_ecur")
     return spark.sql(
@@ -1822,6 +1828,118 @@ register_sql("text_lang_id", TQ.lang_id_sql, [])
 register_sql("text_quality_score", TQ.quality_score_sql, [])
 register_sql("text_token_count", TQ.token_count_sql, [])
 register_sql("text_fingerprint", TQ.fingerprint_sql, [])
+
+
+# --------------------------------------------------------------------------
+# MCP meta-knowledge surface (internal/mcp/service.go) — the agent-facing
+# composites over the meta layer: ask_meta_question, scoped_recall's
+# layer-weight re-rank, list_reflections.
+# --------------------------------------------------------------------------
+
+def _meta_question_sql(dialect: str, k: int = 5, n_queries: int = 3) -> str:
+    """ask_meta_question (internal/mcp/service.go:1004-1051): kNN
+    restricted to the meta-knowledge layer — a flat OR-of-type-equalities
+    pre-filter (the reference's roaring-bitmap intersection; here the
+    filter runs BEFORE the distance computation, V2 pre-filter
+    semantics) — then 1/(1+d) scoring (H1). Meta types anchored on the
+    fixture as event_type IN (error, signup); non-deleted only (F7)."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    dot = dot_sql(dialect, "q.v", "c.v")
+    return f"""
+WITH cand AS (
+  SELECT e.vec_id, e.v, e.norm
+  FROM emb e
+  JOIN mem m ON m.id = concat('ev_', CAST(e.vec_id AS {cast}))
+  WHERE (m.event_type = 'error' OR m.event_type = 'signup')
+    AND NOT m.deleted
+),
+d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS hit_id,
+         1.0 - ({dot}) / (q.norm * c.norm) AS dist
+  FROM emb q CROSS JOIN cand c
+  WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, hit_id, CAST(rk AS INT) AS rank,
+       round(1.0 / (1.0 + dist), 6) AS score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(dist, 6) ASC, hit_id ASC) AS rk
+  FROM d
+) t
+WHERE rk <= {k}
+""".strip()
+
+
+register_sql("meta_question_search", _meta_question_sql, ["emb", "mem"])
+
+
+def _scoped_recall_layers_sql(
+    dialect: str, seed_k: int = 20, k: int = 10, n_queries: int = 2,
+) -> str:
+    """scoped_recall layer-weight re-rank (service.go:815-888
+    applyLayerWeights): seed kNN top-``seed_k``, weight each hit by its
+    memory layer (semantic 0.5, episodic 0.4, procedural 0.1 —
+    defaults; rows with no memory row default to episodic, unknown
+    layers floor at 0.1), then stable re-sort (weight DESC, original
+    rank ASC) and truncate. The layer join is broadcast (k*Q rows)."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    dot = dot_sql(dialect, "q.v", "c.v")
+    return f"""
+WITH d AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS hit_id,
+         1.0 - ({dot}) / (q.norm * c.norm) AS dist
+  FROM emb q CROSS JOIN emb c
+  WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+),
+topk AS (
+  SELECT query_id, hit_id, rk AS orig_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY round(dist, 6) ASC, hit_id ASC) AS rk
+    FROM d
+  ) t WHERE rk <= {seed_k}
+),
+w AS (
+  SELECT t.query_id, t.hit_id, t.orig_rank,
+         CAST(CASE coalesce(m.memory_layer, 'episodic')
+                   WHEN 'semantic' THEN 0.5
+                   WHEN 'episodic' THEN 0.4
+                   WHEN 'procedural' THEN 0.1
+                   ELSE 0.1 END AS DOUBLE) AS layer_weight
+  FROM topk t
+  LEFT JOIN mem m ON m.id = concat('ev_', CAST(t.hit_id AS {cast}))
+)
+SELECT query_id, hit_id, layer_weight, CAST(rk AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY layer_weight DESC, orig_rank ASC) AS rk
+  FROM w
+) t
+WHERE rk <= {k}
+""".strip()
+
+
+register_sql("scoped_recall_layers", _scoped_recall_layers_sql, ["emb", "mem"])
+
+
+def _list_reflections_sql(dialect: str, limit: int = 20) -> str:
+    """list_reflections (service.go:2640-2725) / check_subconscious
+    (service.go:889-958): flat OR-of-type filter over the meta layer
+    (the DSL has no parens, so the reference uses one OR chain),
+    archived/historical rows dropped post-filter, newest first, capped.
+    Reflection types anchored on the fixture as event_type IN (error,
+    purchase); archived ≈ deleted; confidence ≈ value."""
+    return f"""
+SELECT id, event_type AS type, round(value, 2) AS confidence, created_at
+FROM mem
+WHERE (event_type = 'error' OR event_type = 'purchase')
+  AND NOT deleted
+  AND NOT pinned
+ORDER BY created_at DESC, id ASC
+LIMIT {limit}
+""".strip()
+
+
+register_sql("subconscious_reflections", _list_reflections_sql, ["mem"])
 
 
 # --------------------------------------------------------------------------

@@ -253,3 +253,27 @@ def test_vlink_batch_merge(idx):
     assert versions == [(1.0, T2), (9.0, 0)]
     with pytest.raises(api.SelfLinkError):
         api.vlink_batch(ix3, [("a", "a", "refs", 1.0)], now=T2)
+
+
+def test_resolve_conflict(idx):
+    # reflection row + two conflicting memories; 'a' loses
+    idx = api.vlink(idx, "c", "a", "contradicts", now=T0)
+    idx2 = api.resolve_conflict(idx, "c", "kept b, discarded a",
+                                now=T2, discard_id="a")
+    refl = idx2.vectors.where(F.col("id") == "c").collect()[0]["meta"]
+    assert refl["status"] == "resolved"
+    assert refl["resolution"] == "kept b, discarded a"
+    assert refl["_updated_at"] == str(T2)
+    # loser archived + invalidated_by, then soft-deleted with cascade
+    loser = idx2.vectors.where(F.col("id") == "a").collect()[0]
+    assert loser["meta"]["_archived"] == "True"
+    assert loser["meta"]["invalidated_by"] == "c"
+    assert loser["deleted"] is True
+    live_edges = idx2.edges.where(
+        ((F.col("src") == "a") | (F.col("dst") == "a"))
+        & (F.col("deleted_at") == 0)
+    )
+    assert live_edges.count() == 0
+    # resolve without a discard id mutates only the reflection
+    idx3 = api.resolve_conflict(idx, "c", "false alarm", now=T2)
+    assert idx3.vectors.where(F.col("deleted")).count() == 0
