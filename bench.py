@@ -73,6 +73,14 @@ def main() -> None:
         "SELECT count(*) FROM docs_tok_par "
         "WHERE CAST(conv(substr(md5(concat_ws(' ', toks)), 1, 8), 16, 10) AS BIGINT) >= 0"
     ).collect()
+    # gram-slice family (pipeline_decontaminate): transform over
+    # sequence + slice + md5 — measured ~16 s of one-time codegen/JIT
+    # before this warm-up, ~1 s warm.
+    spark.sql(
+        "SELECT count(*) FROM (SELECT transform(sequence(0, size(toks) - 5), "
+        "i -> md5(concat_ws(' ', slice(toks, i + 1, 5)))) AS g FROM docs_tok_par "
+        "WHERE size(toks) >= 5) t WHERE size(g) >= 0"
+    ).collect()
     # Streaming-engine bootstrap (state store providers, checkpoint
     # machinery) — the first streaming query otherwise absorbs it.
     from kektordb_spark.streaming.events import read_event_stream, run_to_memory

@@ -1,0 +1,293 @@
+"""Training-data pipeline operators: corpus mixing, decontamination,
+sharding, sequence packing, composite quality gating.
+
+The reference stops at per-document analysis (tokenize/BM25/compress —
+pkg/textanalyzer) and dedup-shaped maintenance (gardener clusters); a
+100 TB pretraining pipeline additionally needs the corpus-level
+mechanics implemented here. Everything is dialect-parameterized SQL
+(one source of truth for Spark and the DuckDB oracle) built on the
+same portable hash primitive as operators/dedup.py (md5 -> first 8 hex
+-> BIGINT), so every sampling / sharding / packing decision is
+deterministic and engine-independent — re-running the pipeline on a
+different cluster layout yields byte-identical corpus splits.
+
+Plan shapes (see SCALE.md):
+  * mix sampling     — scan-time hash filter, zero shuffles;
+  * shard assignment — hash projection + one window keyed on shard
+    (shard count scales with data: 16 at fixture, O(100k) at 100 TB,
+    so per-shard row counts stay executor-bounded);
+  * sequence packing — running sum per shard (one window, same key);
+  * decontamination  — gram-hash EQUI-join, eval side broadcast;
+  * quality gate     — scan-time projections + one hash-agg (dup pick).
+"""
+
+from __future__ import annotations
+
+from kektordb_spark.functions.textquality import BPE_ISH_RE, _regex_all
+from kektordb_spark.operators.dedup import _hex_to_int
+
+# ---------------------------------------------------------------------------
+# Shared hash helpers
+# ---------------------------------------------------------------------------
+
+SAMPLE_SEED = "mix42"
+N_BUCKETS = 10_000
+
+
+def _doc_bucket(dialect: str, seed: str = SAMPLE_SEED) -> str:
+    """Deterministic per-doc bucket in [0, N_BUCKETS): md5 of the
+    seeded id. Salting the seed re-draws the sample; the hash keys on
+    doc_id only, so the bucket is stable under re-partitioning."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    h = _hex_to_int(dialect, f"md5(concat('{seed}', CAST(doc_id AS {s})))")
+    return f"({h}) % {N_BUCKETS}"
+
+
+# Target mixture: per-language keep rates (fixture languages; unlisted
+# languages fall through to the default). The rates are config, the
+# mechanism (hash-gated stratified Bernoulli sampling) is the point.
+MIX_RATES: dict[str, float] = {
+    "en": 1.0, "de": 0.6, "es": 0.6, "fr": 0.6, "zh": 0.3,
+}
+MIX_DEFAULT_RATE = 0.1
+
+
+def _rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{l}' THEN {r}" for l, r in sorted(MIX_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE {MIX_DEFAULT_RATE} END"
+
+
+def mix_sample_sql(dialect: str) -> str:
+    """Stratified deterministic corpus sampling: keep a document iff
+    its seeded hash bucket clears the language's target rate.
+    Hash-gating (vs rand()) makes the sample reproducible across
+    engines, re-runs, and cluster layouts, and composable: a 0.3
+    sample is a strict subset of a 0.6 sample under the same seed.
+    Scan-time filter — no shuffle, pushes past column pruning."""
+    bucket = _doc_bucket(dialect)
+    return f"""
+SELECT doc_id, lang, source,
+       CAST({bucket} AS INT) AS sample_bucket
+FROM documents
+WHERE {bucket} < CAST(round(({_rate_case()}) * {N_BUCKETS}, 0) AS BIGINT)
+""".strip()
+
+
+def mix_summary_sql(dialect: str) -> str:
+    """Observed-vs-target mixture report over the stratified sample:
+    one aggregation pass (map-side combined) over the scan-time
+    filter — the audit a data-mixing job ships with its output."""
+    bucket = _doc_bucket(dialect)
+    rate = _rate_case()
+    return f"""
+WITH flagged AS (
+  SELECT lang,
+         CASE WHEN {bucket} < CAST(round(({rate}) * {N_BUCKETS}, 0) AS BIGINT)
+              THEN 1 ELSE 0 END AS kept,
+         {rate} AS target_rate
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS INT)  AS total_docs,
+       CAST(sum(kept) AS INT) AS kept_docs,
+       round(CAST(sum(kept) AS DOUBLE) / count(*), 4) AS observed_rate,
+       round(target_rate, 4) AS target_rate
+FROM flagged
+GROUP BY lang, target_rate
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Shard assignment + sequence packing
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+PACK_CAPACITY = 256  # BPE-ish tokens per packed training sequence
+
+
+def _shard(dialect: str) -> str:
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    h = _hex_to_int(dialect, f"md5(concat('shard', CAST(doc_id AS {s})))")
+    return f"({h}) % {N_SHARDS}"
+
+
+def shard_assign_sql(dialect: str) -> str:
+    """Deterministic shard assignment + intra-shard position for
+    training-data loading: shard = seeded hash mod N_SHARDS (a
+    hash-shuffle any engine reproduces), position = rank within the
+    shard ordered by (hash, doc_id) — i.e. a deterministic global
+    shuffle of the corpus, the thing a dataloader needs to resume
+    mid-epoch without coordination. One window keyed on shard; shard
+    count scales with data so the per-shard sort stays bounded."""
+    sh = _shard(dialect)
+    h = _hex_to_int(
+        dialect,
+        f"md5(concat('pos', CAST(doc_id AS "
+        f"{'STRING' if dialect == 'spark' else 'VARCHAR'})))",
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, CAST({sh} AS INT) AS shard, {h} AS h FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT)
+         AS position
+FROM s
+""".strip()
+
+
+def pack_sequences_sql(dialect: str) -> str:
+    """Concatenate-and-chunk sequence packing (the GPT-style pack: the
+    shard's documents form one token stream, split every
+    PACK_CAPACITY tokens; documents may straddle a boundary): per
+    shard, a running token sum in deterministic order gives each doc
+    its stream offset; pack id = offset div capacity. One window per
+    shard — the same key as shard assignment, so at scale the sort
+    reuses the shard shuffle. Emits the doc -> (pack, offset) map a
+    dataloader materializes."""
+    sh = _shard(dialect)
+    bpe = f"len({_regex_all(dialect, 'lower(text)', BPE_ISH_RE)})" \
+        if dialect != "spark" else \
+        f"size({_regex_all(dialect, 'lower(text)', BPE_ISH_RE)})"
+    return f"""
+WITH t AS (
+  SELECT doc_id, CAST({sh} AS INT) AS shard,
+         CAST({bpe} AS BIGINT) AS n_toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_toks,
+         coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS stream_off
+  FROM t
+)
+SELECT doc_id, shard, CAST(n_toks AS INT) AS n_toks,
+       CAST(shard * 1000000 + CAST(floor(stream_off / {PACK_CAPACITY}) AS BIGINT)
+            AS BIGINT) AS pack_id,
+       CAST(stream_off % {PACK_CAPACITY} AS INT) AS pack_offset
+FROM c
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+GRAM_N = 5
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0  ->  held-out eval document
+
+
+def _grams(dialect: str, toks: str) -> str:
+    """Hashes of all word GRAM_N-grams of a token array (empty when the
+    doc is shorter than GRAM_N). Matching slices: Spark slice(a,i+1,N)
+    == DuckDB a[i+1:i+N] (1-based, N elements)."""
+    n = GRAM_N
+    if dialect == "spark":
+        return (
+            f"CASE WHEN size({toks}) >= {n} THEN "
+            f"transform(sequence(0, size({toks}) - {n}), "
+            f"i -> md5(concat_ws(' ', slice({toks}, i + 1, {n})))) "
+            f"ELSE array() END"
+        )
+    return (
+        f"list_transform(generate_series(0, len({toks}) - {n}), "
+        f"i -> md5(array_to_string({toks}[i + 1:i + {n}], ' ')))"
+    )
+
+
+def decontaminate_sql(dialect: str) -> str:
+    """Benchmark decontamination: flag training documents sharing any
+    word {GRAM_N}-gram with the held-out eval slice (doc_id %
+    {EVAL_MOD} == 0). Candidate generation is a gram-hash EQUI-join —
+    never a doc x doc comparison — and the eval side of a real
+    pipeline is tiny (benchmarks), i.e. broadcast. Reports per
+    contaminated training doc the distinct shared grams and distinct
+    eval docs hit — the audit trail for dropping or masking."""
+    toks = _regex_all(dialect, "lower(text)", "[a-z0-9_]+")
+    grams = _grams(dialect, "toks")
+    if dialect == "spark":
+        ex = "LATERAL VIEW explode(grams) _g AS gram"
+        train_g = f"SELECT doc_id, gram FROM g WHERE doc_id % {EVAL_MOD} <> 0 {ex}"
+        eval_g = (f"SELECT doc_id AS eval_id, gram FROM g "
+                  f"WHERE doc_id % {EVAL_MOD} = 0 {ex}")
+    else:
+        train_g = (f"SELECT doc_id, unnest(grams) AS gram FROM g "
+                   f"WHERE doc_id % {EVAL_MOD} <> 0")
+        eval_g = (f"SELECT doc_id AS eval_id, unnest(grams) AS gram FROM g "
+                  f"WHERE doc_id % {EVAL_MOD} = 0")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+g AS (SELECT doc_id, {grams} AS grams FROM t),
+tr AS ({train_g}),
+ev AS ({eval_g})
+SELECT tr.doc_id,
+       CAST(count(DISTINCT tr.gram) AS INT) AS n_shared_grams,
+       CAST(count(DISTINCT ev.eval_id) AS INT) AS n_eval_docs
+FROM tr JOIN ev ON ev.gram = tr.gram
+GROUP BY tr.doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Composite quality gate
+# ---------------------------------------------------------------------------
+
+def quality_gate_sql(dialect: str) -> str:
+    """C4/Gopher-shaped corpus filter chain with an audit column: each
+    document gets a deterministic ordered list of rejection reasons
+    (too_short / too_long / bad_stopword_ratio / high_punct /
+    exact_dup) and kept = no reasons. Signals are the scan-time
+    expressions of functions/textquality.py; the only shuffle is the
+    exact-dup hash-agg (first occurrence by doc_id wins, matching
+    operators/dedup.py exact semantics). The reason column is what
+    separates a *pipeline* filter from a WHERE clause: every dropped
+    row is accounted for downstream."""
+    from kektordb_spark.functions.textquality import _arr_lit
+    from kektordb_spark.tables import ENGLISH_STOPWORDS
+
+    toks = _regex_all(dialect, "lower(text)", "[a-z0-9_]+")
+    stops = _arr_lit(dialect, ENGLISH_STOPWORDS)
+    punct_re = "[^a-zA-Z0-9" + chr(92) + "s]"
+    punct_arr = _regex_all(dialect, "text", punct_re)
+    if dialect == "spark":
+        n_toks = "size(toks)"
+        n_stop = f"size(filter(toks, t -> array_contains({stops}, t)))"
+        n_punct = f"size({punct_arr})"
+    else:
+        n_toks = "len(toks)"
+        n_stop = f"len(list_filter(toks, t -> list_contains({stops}, t)))"
+        n_punct = f"len({punct_arr})"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, n_chars, {toks} AS toks,
+         md5(lower(text)) AS text_hash
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text_hash,
+         {n_toks} AS n_toks,
+         CASE WHEN {n_toks} = 0 THEN 0.0
+              ELSE CAST({n_stop} AS DOUBLE) / {n_toks} END AS stop_ratio,
+         CAST({n_punct} AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)
+           AS punct_ratio,
+         row_number() OVER (PARTITION BY md5(lower(text))
+                            ORDER BY doc_id) AS occ
+  FROM t
+)
+SELECT doc_id,
+       concat_ws(',',
+         CASE WHEN n_toks < 5 THEN 'too_short' END,
+         CASE WHEN n_toks > 1000 THEN 'too_long' END,
+         CASE WHEN n_toks >= 5 AND (stop_ratio < 0.01 OR stop_ratio > 0.6)
+              THEN 'bad_stopword_ratio' END,
+         CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
+         CASE WHEN occ > 1 THEN 'exact_dup' END) AS reject_reasons,
+       CAST(CASE WHEN n_toks >= 5 AND n_toks <= 1000
+                  AND stop_ratio >= 0.01 AND stop_ratio <= 0.6
+                  AND punct_ratio <= 0.2 AND occ = 1
+             THEN 1 ELSE 0 END AS INT) AS kept
+FROM m
+""".strip()

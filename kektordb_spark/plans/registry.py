@@ -1943,6 +1943,60 @@ register_sql("subconscious_reflections", _list_reflections_sql, ["mem"])
 
 
 # --------------------------------------------------------------------------
+# Training-data pipeline layer (operators/pipeline.py) — corpus mixing,
+# sharding, packing, decontamination, quality gating. Beyond the
+# reference's per-document text layer; see module docstring for the
+# 100 TB plan shapes.
+# --------------------------------------------------------------------------
+
+from kektordb_spark.operators import pipeline as PL  # noqa: E402
+
+register_sql("pipeline_mix_sample", PL.mix_sample_sql, [])
+register_sql("pipeline_mix_summary", PL.mix_summary_sql, [])
+register_sql("pipeline_shard_assign", PL.shard_assign_sql, [])
+register_sql("pipeline_pack_sequences", PL.pack_sequences_sql, [])
+register_sql("pipeline_quality_gate", PL.quality_gate_sql, [])
+
+
+@register("pipeline_decontaminate",
+          with_oracle_ctes(PL.decontaminate_sql("duckdb"), []))
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination. The Spark side materializes
+    the gram-hash arrays BEFORE exploding them (SCALE.md rule 1:
+    GenerateExec evaluates its child interpreted, so exploding the
+    raw transform() expression re-runs the md5 chain per output row);
+    the join itself is the dialect SQL's gram equi-join."""
+    load_tables(spark, sf_dir)
+    from kektordb_spark.functions.textquality import _regex_all
+
+    toks = _regex_all("spark", "lower(text)", "[a-z0-9_]+")
+    g = (
+        spark.table("documents")
+        .selectExpr("doc_id", f"({toks}) AS toks")
+        .selectExpr("doc_id", f"{PL._grams('spark', 'toks')} AS grams")
+        .localCheckpoint(eager=True)
+    )
+    g.createOrReplaceTempView("_decon_grams")
+    return spark.sql(f"""
+WITH tr AS (
+  SELECT doc_id, gram FROM _decon_grams
+  LATERAL VIEW explode(grams) _g AS gram
+  WHERE doc_id % {PL.EVAL_MOD} <> 0
+),
+ev AS (
+  SELECT doc_id AS eval_id, gram FROM _decon_grams
+  LATERAL VIEW explode(grams) _g AS gram
+  WHERE doc_id % {PL.EVAL_MOD} = 0
+)
+SELECT tr.doc_id,
+       CAST(count(DISTINCT tr.gram) AS INT) AS n_shared_grams,
+       CAST(count(DISTINCT ev.eval_id) AS INT) AS n_eval_docs
+FROM tr JOIN ev ON ev.gram = tr.gram
+GROUP BY tr.doc_id
+""")
+
+
+# --------------------------------------------------------------------------
 # Public accessors (wired into __spark_entry__)
 # --------------------------------------------------------------------------
 

@@ -158,3 +158,49 @@ def test_lsh_pairs_is_bucket_equijoin(spark):
 def test_minhash_clusters_no_cartesian(spark):
     plan = plan_of(spark, "dedup_minhash_clusters")
     assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline layer (operators/pipeline.py)
+# --------------------------------------------------------------------------
+
+def test_mix_sample_is_scan_time_filter(spark):
+    """Stratified sampling is a zero-shuffle scan-time filter: the
+    hash gate evaluates inside the scan's projection, nothing
+    aggregates, nothing exchanges."""
+    plan = plan_of(spark, "pipeline_mix_sample")
+    assert n_exchanges(plan) == 0
+    assert "text" not in plan.split("ReadSchema")[1][:200]  # prunes the wide column
+
+
+def test_shard_assign_single_window_keyed_on_shard(spark):
+    """Shard assignment = hash projection + ONE shuffle keyed on
+    shard (the window). No joins, no second exchange."""
+    plan = plan_of(spark, "pipeline_shard_assign")
+    assert n_exchanges(plan) == 1
+    assert "row_number" in plan
+
+
+def test_pack_sequences_single_window(spark):
+    """Sequence packing: one running-sum window per shard — exactly
+    one exchange, partitioned on the shard key."""
+    plan = plan_of(spark, "pipeline_pack_sequences")
+    assert n_exchanges(plan) == 1
+
+
+def test_decontaminate_is_gram_equijoin(spark):
+    """Decontamination candidates come from a gram-hash equi-join
+    (never doc x doc), over MATERIALIZED gram arrays (the explode
+    child is a checkpointed scan, not an interpreted transform)."""
+    plan = plan_of(spark, "pipeline_decontaminate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "gram" in plan
+
+
+def test_quality_gate_one_shuffle(spark):
+    """The only shuffle in the quality gate is the exact-dup window
+    keyed on the text hash; every other signal is scan-time."""
+    plan = plan_of(spark, "pipeline_quality_gate")
+    assert n_exchanges(plan) == 1
+    assert "CartesianProduct" not in plan
