@@ -422,6 +422,144 @@ def knn_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle(nlist: int = 8, iters: int = 2, nprobe: int = 3,
+                  m: int = 8, kcb: int = 32, dim: int = 64,
+                  n_q: int = 5, k: int = 10) -> str:
+    """DuckDB oracle for ivfpq_knn: IVF coarse train/assign/probe CTEs
+    (operators/ivf.py) composed with the PQ encode/LUT/ADC CTEs
+    (deterministic init codebook, as in _knn_pq_oracle) — ADC scoring
+    restricted to the probed cells' candidates."""
+    from kektordb_spark.operators import ivf as IVF
+    from kektordb_spark.tables import l2sq_sql
+
+    w = dim // m
+    parts, cents = IVF._train_parts("duckdb", nlist, iters)
+    parts.append(IVF._assign_cte("duckdb", cents, "inv"))
+    qd = l2sq_sql("duckdb", "q.v", "c.v")
+    d_enc = l2sq_sql("duckdb", "s.sv", "c.cv")
+    d_lut = l2sq_sql("duckdb", "q.sv", "c.cv")
+    parts.append(f"""probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {qd} ASC, c.cid ASC) AS rk
+    FROM emb q CROSS JOIN {cents} c
+    WHERE q.vec_id < {n_q}
+  ) t WHERE rk <= {nprobe}
+),
+subs AS (SELECT unnest(range({m})) AS sub),
+sv AS (
+  SELECT e.vec_id AS id, s.sub,
+         list_slice(e.v, s.sub * {w} + 1, s.sub * {w} + {w}) AS sv
+  FROM emb e CROSS JOIN subs s
+),
+cent AS (
+  SELECT sub, rn - 1 AS cid, sv AS cv FROM (
+    SELECT sub, sv, row_number() OVER (PARTITION BY sub ORDER BY id ASC) AS rn
+    FROM sv) t
+  WHERE rn <= {kcb}
+),
+enc AS (
+  SELECT id, sub, cid AS code FROM (
+    SELECT s.id, s.sub, c.cid,
+           row_number() OVER (PARTITION BY s.id, s.sub
+                              ORDER BY {d_enc} ASC, c.cid ASC) AS rn
+    FROM sv s JOIN cent c ON c.sub = s.sub) t
+  WHERE rn = 1
+),
+qsv AS (
+  SELECT e.vec_id AS query_id, s.sub,
+         list_slice(e.v, s.sub * {w} + 1, s.sub * {w} + {w}) AS sv
+  FROM emb e CROSS JOIN subs s
+  WHERE e.vec_id < {n_q}
+),
+lut AS (
+  SELECT q.query_id, q.sub, c.cid AS code, {d_lut} AS pd
+  FROM qsv q JOIN cent c ON c.sub = q.sub
+),
+adc AS (
+  SELECT p.query_id, i.vec_id AS id, sum(l.pd) AS dist
+  FROM probe p
+  JOIN inv i ON i.cid = p.cid
+  JOIN enc e ON e.id = i.vec_id
+  JOIN lut l ON l.query_id = p.query_id AND l.sub = e.sub AND l.code = e.code
+  GROUP BY p.query_id, i.vec_id
+)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT query_id, id AS neighbor_id, CAST(rank AS INT) AS rank,
+       round(dist, 6) AS dist
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(dist, 6) ASC, id ASC) AS rank
+  FROM adc
+) t WHERE rank <= {k}
+""".strip()
+
+
+@register("ivfpq_knn", with_oracle_ctes(_ivfpq_oracle(), ["emb"]))
+def ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN — the 100 TB architecture (Jégou et al.
+    2011 / FAISS IVFPQ shape, minus residual encoding): the IVF coarse
+    quantizer prunes the corpus to nprobe cells (at scale: partition
+    pruning over a cell-bucketed table), then candidates are scored by
+    PQ ADC lookups (M byte-code LUT hits per vector, no float vectors
+    scanned). Both stages reuse the existing operators unchanged:
+    ivf_train_sql coarse centroids (materialized once — nlist rows),
+    pq_train/pq_encode deterministic-init codebook. Ranked by the
+    rounded distance + id (SCALE.md rule 7) so the 8-term ADC sum's
+    association order cannot flip the k-boundary across engines."""
+    from pyspark.sql.window import Window
+
+    from kektordb_spark.operators import pq as PQ
+    from kektordb_spark.tables import l2sq_sql
+
+    load_tables(spark, sf_dir)
+    emb = spark.table("emb")
+    cents = spark.sql(IVF.ivf_train_sql("spark")).localCheckpoint(eager=True)
+    cents.createOrReplaceTempView("_ivfpq_cents")
+    inv = spark.sql(
+        "WITH tc AS (SELECT cid, v FROM _ivfpq_cents),\n"
+        + IVF._assign_cte("spark", "tc", "inv")
+        + "\nSELECT vec_id, cid FROM inv"
+    )
+    probe = spark.sql(f"""
+WITH tc AS (SELECT cid, v FROM _ivfpq_cents)
+SELECT query_id, cid FROM (
+  SELECT q.vec_id AS query_id, c.cid,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {l2sq_sql('spark', 'q.v', 'c.v')} ASC,
+                                     c.cid ASC) AS rk
+  FROM emb q CROSS JOIN tc c WHERE q.vec_id < 5
+) t WHERE rk <= 3
+""")
+    codebook = PQ.pq_train(emb, m=8, k=32, iters=0)
+    codes = PQ.pq_encode(emb, codebook, m=8)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "v")
+    lut = (
+        PQ._subvectors(queries, "v", "query_id", 8, 64)
+        .join(F.broadcast(codebook), "sub")
+        .select(F.col("id").alias("query_id"), "sub",
+                F.col("cid").alias("code"), F.expr(PQ._SQDIST).alias("pd"))
+    )
+    pairs = probe.join(inv, "cid").select("query_id", "vec_id")
+    scored = (
+        pairs.join(codes, pairs.vec_id == codes.id)
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("pd").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("dist", 6).asc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", F.col("id").alias("neighbor_id"),
+                F.col("rank").cast("int"), F.round("dist", 6).alias("dist"))
+    )
+
+
 def _knn_f16_oracle(k: int = 10, n_q: int = 5) -> str:
     """DuckDB oracle for knn_f16_top10: the binary16 round-trip is
     expressed in pure SQL (tables.f16_sql — bit-exact with numpy's

@@ -87,3 +87,28 @@ def test_ivf_candidate_pruning(spark):
     n_cand = spark.sql(body + "SELECT count(*) AS n FROM cand").collect()[0]["n"]
     n_total = spark.table("emb").count() * 5
     assert n_cand < 0.7 * n_total, f"probe scanned {n_cand}/{n_total} — no pruning"
+
+
+def test_ivfpq_recall(spark, exact):
+    """IVF-PQ composite: coarse prune (nprobe=3/8 cells) + ADC scoring
+    over the deterministic-init codebook. On this synthetic corpus
+    (weak neighbor structure, max pairwise cosine ~0.5) PQ quantization
+    error dominates the neighbor gaps, so the floor matches test_pq's
+    ~0.2 gate rather than the IVF/LSH 0.5 — the production knob is the
+    Lloyd-trained codebook (pq_train iters>0, numpy-pinned)."""
+    from kektordb_spark.operators import knn as KNN
+    from kektordb_spark.plans import registry
+
+    emb = spark.table("emb")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("qnorm").alias("qnorm") if "qnorm" in emb.columns
+        else F.col("norm").alias("qnorm"),
+    )
+    exact_l2 = KNN.knn_exact(
+        emb, q, k=K, metric="euclidean", id_col="vec_id", vec_col="v",
+        norm_col="norm",
+    ).collect()
+    approx = registry._registry["ivfpq_knn"][0](spark, SF_SMALL).collect()
+    r = _recall(approx, exact_l2)
+    assert r >= 0.25, f"IVF-PQ recall@{K} too low: {r:.3f}"

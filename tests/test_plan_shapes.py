@@ -204,3 +204,12 @@ def test_quality_gate_one_shuffle(spark):
     plan = plan_of(spark, "pipeline_quality_gate")
     assert n_exchanges(plan) == 1
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_no_cartesian_beyond_centroids(spark):
+    """IVF-PQ: the only nested-loop joins are against the (nlist-row)
+    coarse-centroid relation; candidate scoring is equi-joins (inverted
+    file on cid, ADC LUT on (query_id, sub, code))."""
+    plan = plan_of(spark, "ivfpq_knn")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
