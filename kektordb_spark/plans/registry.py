@@ -1962,6 +1962,28 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("user_id", "n_events", "total_value")
     )
+
+
+@register("streaming_dedup_first", ST.dedup_first_oracle_sql("duckdb"))
+def streaming_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup with bounded state: first event per
+    (user, type) inside each tumbling event-time window + duplicate
+    count. The survivor pick is an order-independent aggregate
+    (min over (ts, event_id)) rather than dropDuplicates' arrival-order
+    "first seen", so the stream's answer equals the batch epoch-bucket
+    oracle deterministically; the watermark bounds dedup state the way
+    the reference TTLs its caches."""
+    load_tables(spark, sf_dir)
+    stream = ST.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    res = ST.run_to_memory(
+        spark, ST.dedup_first_per_window(stream), "dedup_first")
+    return res.select(
+        F.unix_timestamp("w_start").cast("bigint").alias("w_start_epoch"),
+        "user_id", "event_type", "first_event_id",
+        F.col("n_dups"),
+    )
+
+
 register_sql("text_lang_id", TQ.lang_id_sql, [])
 register_sql("text_quality_score", TQ.quality_score_sql, [])
 register_sql("text_token_count", TQ.token_count_sql, [])

@@ -121,6 +121,37 @@ def session_windows(
     )
 
 
+def dedup_first_per_window(
+    events: DataFrame, window: str = "6 hours", watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup with bounded state: first event per
+    (user, type) within each event-time window, plus the duplicate
+    count. The survivor is min(struct(ts, event_id)) — an
+    order-independent AGGREGATE, deliberately not dropDuplicates()
+    (whose "first seen" depends on arrival/partition order and so can
+    never match a batch oracle deterministically). Watermark bounds the
+    dedup state exactly like the reference's TTL'd caches; windows emit
+    on close (append mode). Works on both a stream and a batch frame —
+    the batch run is the oracle."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window).alias("w"),
+                   F.col("user_id"), F.col("event_type"))
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("first"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "user_id", "event_type",
+            F.col("first.event_id").alias("first_event_id"),
+            (F.col("n_events") - 1).alias("n_dups"),
+        )
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``
     (the brief's escape hatch for operators Spark's built-in windows
@@ -331,6 +362,32 @@ SELECT ({ep} {div} {window_s}) * {window_s} AS w_start_epoch,
        round(sum(value), 2) AS total_value
 FROM events
 GROUP BY ({ep} {div} {window_s}) * {window_s}, event_type
+""".strip()
+
+
+def dedup_first_oracle_sql(dialect: str, window_s: int = 21600) -> str:
+    """Batch oracle for the windowed streaming dedup: epoch-bucket
+    grouping + lexicographic-min survivor pick (min_by over the
+    (ts, event_id) pair — order-independent on both engines)."""
+    div = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        ep = "CAST(unix_timestamp(ts) AS BIGINT)"
+        # lexicographic (ts, event_id) as a padded string scalar —
+        # DuckDB min_by has no struct sort key, and the string key is
+        # order-isomorphic to the pair for non-negative values.
+        key = ("concat(lpad(CAST(unix_micros(ts) AS STRING), 20, '0'), "
+               "lpad(CAST(event_id AS STRING), 12, '0'))")
+    else:
+        ep = "CAST(floor(epoch(ts)) AS BIGINT)"
+        key = ("lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+               "lpad(CAST(event_id AS VARCHAR), 12, '0')")
+    return f"""
+SELECT ({ep} {div} {window_s}) * {window_s} AS w_start_epoch,
+       user_id, event_type,
+       min_by(event_id, {key}) AS first_event_id,
+       count(*) - 1 AS n_dups
+FROM events
+GROUP BY ({ep} {div} {window_s}) * {window_s}, user_id, event_type
 """.strip()
 
 
