@@ -28,9 +28,13 @@ tests/test_knn_planner.py):
     (operators/knn.lsh_bucketed_knn). Picked over IVF when the
     workload can't afford a training pass (ad-hoc one-shot searches
     over a corpus nothing was trained on).
-  * ``pq``     — byte codes + ADC LUT joins (operators/pq). Picked when
-    even scanning float vectors is memory-prohibitive:
-    corpus > PQ_MIN.
+  * ``ivfpq``  — coarse-cell prune + byte-code ADC scoring
+    (:func:`ivfpq_knn_df`, the FAISS-IVFPQ shape). Picked when even
+    scanning float vectors is memory-prohibitive (corpus > PQ_MIN)
+    and a training pass is affordable.
+  * ``pq``     — flat byte codes + ADC LUT joins over the whole corpus
+    (operators/pq). Force with ``strategy='pq'``; the planner prefers
+    ``ivfpq`` at that scale (cell prune first is strictly less work).
 
 A user who calls :func:`knn_search` gets the scale-safe path without
 knowing the menu; every threshold can be overridden with
@@ -94,33 +98,30 @@ def choose_strategy(
         return KnnPlan("gemm" if nq >= GEMM_MIN_QUERIES else "exact",
                        f"non-cosine metric {metric}: exact family only")
     if effective > PQ_MIN:
-        return KnnPlan("pq", f"corpus {effective} > {PQ_MIN}: byte codes + ADC")
+        if trained:
+            return KnnPlan(
+                "ivfpq",
+                f"corpus {effective} > {PQ_MIN}: cell prune + byte-code ADC",
+            )
+        return KnnPlan("lsh", "no training pass affordable: bucket equi-join")
     if not trained:
         return KnnPlan("lsh", "no training pass affordable: bucket equi-join")
     return KnnPlan("ivf", f"corpus {effective}: centroid prune + cell probe")
 
 
-def ivf_knn_df(
+def ivf_build(
     vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     nlist: int = 8,
     iters: int = 2,
-    nprobe: int = 2,
     id_col: str = "id",
     vec_col: str = "v",
     norm_col: str = "norm",
-    query_id_col: str = "query_id",
-    query_vec_col: str = "qv",
-    query_norm_col: str = "qnorm",
-) -> DataFrame:
-    """DataFrame twin of operators/ivf.ivf_knn_sql: md5-seeded init,
-    ``iters`` Lloyd rounds (centroids rounded to 12 dp each round so
-    assignments stay deterministic across partitionings), invert,
-    probe ``nprobe`` cells per query, exact cosine top-k on the probed
-    cells. Centroid relations are nlist rows — always broadcast; the
-    candidate step is an equi-join on cell id (partition pruning once
-    the corpus is bucketed by cell)."""
+) -> tuple[DataFrame, DataFrame]:
+    """Coarse-quantizer build shared by the IVF and IVF-PQ paths:
+    md5-seeded init, ``iters`` Lloyd rounds (centroids rounded to
+    12 dp each round so assignments stay deterministic across
+    partitionings), final inverted file. Returns (cents(cid, cv),
+    inv(id, cid, v, norm)); cents is nlist rows — always broadcast."""
     base = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         F.col(norm_col).alias("norm"),
@@ -137,9 +138,9 @@ def ivf_knn_df(
     l2 = ("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
           "CAST(0.0 AS DOUBLE), (s, p) -> s + p)")
 
-    def assign(df: DataFrame) -> DataFrame:
+    def assign(df: DataFrame, c: DataFrame) -> DataFrame:
         return (
-            df.join(F.broadcast(cents), how="cross")
+            df.join(F.broadcast(c), how="cross")
             .withColumn("d2", F.expr(l2))
             .groupBy("id")
             .agg(
@@ -149,7 +150,7 @@ def ivf_knn_df(
         )
 
     for _ in range(iters):
-        assigned = assign(base)
+        assigned = assign(base, cents)
         cents = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
             .groupBy("cid", "pos").agg(F.round(F.avg("x"), 12).alias("m"))
@@ -158,24 +159,63 @@ def ivf_knn_df(
             .select("cid", F.expr("transform(pm, s -> s.m)").alias("cv"))
             .localCheckpoint(eager=True)
         )
-    inv = assign(base)
+    return cents, assign(base, cents)
 
-    q = queries.select(
+
+def _probe_cells(
+    queries: DataFrame,
+    cents: DataFrame,
+    nprobe: int,
+    query_id_col: str,
+    query_vec_col: str,
+    query_norm_col: str | None,
+) -> DataFrame:
+    """(query_id[, qv, qnorm], cid) — the ``nprobe`` nearest coarse
+    cells per query (broadcast nested loop over nlist rows)."""
+    qcols = [
         F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("qv"), F.col(query_norm_col).alias("qnorm"),
-    )
+        F.col(query_vec_col).alias("qv"),
+    ]
+    if query_norm_col is not None:
+        qcols.append(F.col(query_norm_col).alias("qnorm"))
+    q = queries.select(*qcols)
     ql2 = ("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
            "CAST(0.0 AS DOUBLE), (s, p) -> s + p)")
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("d2").asc(), F.col("cid").asc()
     )
-    probe = (
+    keep = ["query_id", "qv"] + (["qnorm"] if query_norm_col else []) + ["cid"]
+    return (
         q.join(F.broadcast(cents), how="cross")
         .withColumn("d2", F.expr(ql2))
         .withColumn("rk", F.row_number().over(w_probe))
         .where(F.col("rk") <= nprobe)
-        .select("query_id", "qv", "qnorm", "cid")
+        .select(*keep)
     )
+
+
+def ivf_knn_df(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    id_col: str = "id",
+    vec_col: str = "v",
+    norm_col: str = "norm",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    query_norm_col: str = "qnorm",
+) -> DataFrame:
+    """DataFrame twin of operators/ivf.ivf_knn_sql: coarse build
+    (ivf_build), probe ``nprobe`` cells per query, exact cosine top-k
+    on the probed cells. The candidate step is an equi-join on cell id
+    (partition pruning once the corpus is bucketed by cell)."""
+    cents, inv = ivf_build(
+        vectors, nlist, iters, id_col, vec_col, norm_col)
+    probe = _probe_cells(
+        queries, cents, nprobe, query_id_col, query_vec_col, query_norm_col)
     dot = ("aggregate(zip_with(qv, v, (x, y) -> x * y), "
            "CAST(0.0 AS DOUBLE), (s, p) -> s + p)")
     w = Window.partitionBy("query_id").orderBy(
@@ -189,6 +229,61 @@ def ivf_knn_df(
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def ivfpq_knn_df(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 8,
+    iters: int = 2,
+    nprobe: int = 3,
+    m: int = 8,
+    kcb: int = 32,
+    dim: int = 64,
+    id_col: str = "id",
+    vec_col: str = "v",
+    norm_col: str = "norm",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """IVF-PQ composite (the registry query ivfpq_knn's reusable form):
+    coarse cells from ivf_build prune the corpus to nprobe cells per
+    query; candidates are scored by PQ ADC lookups over the
+    deterministic-init codebook — M byte-code LUT hits per candidate,
+    no float vectors scanned past the encode stage. Ranked by the
+    rounded distance + id (SCALE.md rule 7)."""
+    from kektordb_spark.operators import pq as PQ
+
+    cents, inv = ivf_build(vectors, nlist, iters, id_col, vec_col, norm_col)
+    probe = _probe_cells(
+        queries, cents, nprobe, query_id_col, query_vec_col, None)
+    codebook = PQ.pq_train(
+        vectors, m=m, k=kcb, iters=0, vec_col=vec_col, id_col=id_col)
+    codes = PQ.pq_encode(vectors, codebook, m=m, vec_col=vec_col,
+                         id_col=id_col, dim=dim)
+    lut = (
+        PQ._subvectors(
+            queries.select(F.col(query_id_col).alias("query_id"),
+                           F.col(query_vec_col).alias("qv")),
+            "qv", "query_id", m, dim)
+        .join(F.broadcast(codebook), "sub")
+        .select(F.col("id").alias("query_id"), "sub",
+                F.col("cid").alias("code"), F.expr(PQ._SQDIST).alias("pd"))
+    )
+    pairs = probe.select("query_id", "cid").join(inv, "cid").select(
+        "query_id", F.col("id").alias("cand_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("dist", 6).asc(), F.col("id").asc())
+    return (
+        pairs.join(codes, pairs.cand_id == codes.id)
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("pd").alias("dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "dist", "rank")
     )
 
 
@@ -406,6 +501,12 @@ def knn_search(
         )
     if plan.strategy == "ivf":
         return ivf_knn_df(vectors, queries, k=k, **cols)
+    if plan.strategy == "ivfpq":
+        return ivfpq_knn_df(
+            vectors, queries, k=k, id_col=id_col, vec_col=vec_col,
+            norm_col=norm_col, query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
     if plan.strategy == "pq":
         cents = PQ.pq_train(vectors, vec_col=vec_col, id_col=id_col)
         codes = PQ.pq_encode(vectors, cents, vec_col=vec_col, id_col=id_col)

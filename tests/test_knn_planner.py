@@ -29,8 +29,10 @@ def test_choose_strategy_matrix():
     assert c(5_000_000, 5).strategy == "ivf"
     # large corpus, no training pass -> lsh
     assert c(5_000_000, 5, trained=False).strategy == "lsh"
-    # beyond float-scan memory -> pq
-    assert c(100_000_000, 5).strategy == "pq"
+    # beyond float-scan memory, trained -> ivfpq (cell prune + ADC)
+    assert c(100_000_000, 5).strategy == "ivfpq"
+    # beyond float-scan memory, no training pass -> lsh
+    assert c(100_000_000, 5, trained=False).strategy == "lsh"
     # non-cosine large corpus stays in the exact family
     assert c(5_000_000, 5, metric="euclidean").strategy == "exact"
     assert c(5_000_000, 5_000, metric="euclidean").strategy == "gemm"
@@ -108,3 +110,27 @@ def test_similar_pairs_planner_and_lsh_recall(spark):
     assert lsh <= exact
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.5, f"LSH pair recall too low: {recall:.2f}"
+
+
+def test_ivfpq_path_schema_and_recall(spark):
+    """Forced ivfpq route: unified schema, per-query k rows, and
+    top-k overlap with exact euclidean above the PQ init-codebook
+    floor (see test_ann_recall.test_ivfpq_recall)."""
+    emb, queries, _ = _emb(spark)
+    res = KP.knn_search(
+        emb, queries, k=10, strategy="ivfpq",
+        id_col="vec_id", vec_col="v", norm_col="norm")
+    assert res.columns == OUT_COLS
+    rows = res.collect()
+    assert len(rows) == 5 * 10
+    exact = KNN.knn_exact(
+        emb, queries, k=10, metric="euclidean",
+        id_col="vec_id", vec_col="v", norm_col="norm").collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(want[q] & got.get(q, set())) for q in want)
+    assert hits >= len(want) * 2, f"IVF-PQ recall too low: {hits}/{len(want) * 10}"
