@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Scaling probe: measure how the document/embedding operator families
+scale as the corpus grows KxN rows, holding the similarity structure
+constant.
+
+The scaled corpora are derived from the sf0.1 fixture by replication
+with a per-replica VOCABULARY REMAP (token t -> md5(t||replica)[:6]) so
+every replica reproduces the original corpus's intra-replica similarity
+distribution while replicas stay mutually dissimilar — pair densities
+scale ~linearly with K, which is the honest scaling setup (naive
+replication makes every doc a K-way duplicate and the pair count
+quadratic by construction). Embeddings get a per-replica coordinate
+permutation + sign flips: norms and within-replica distances are
+preserved exactly; cross-replica similarities decorrelate.
+
+The non-scaled tables (TPC-H relations, events) are symlinked, so the
+registry queries run unmodified against the scaled dir. Results are
+recorded in SCALE.md's measured-scaling table.
+
+Usage: python scripts/scaling_probe.py [K ...]   (default: 1 3 10)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+OUT_ROOT = "/tmp/kektordb_scaling"
+
+# Document/embedding-family queries worth a scaling curve. Graph/event
+# queries are excluded — their inputs are the symlinked 1x tables.
+PROBE_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_clusters",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_topk",
+    "gardener_consolidation_clusters",
+    "bm25_top10",
+    "text_quality_score",
+    "text_lang_id",
+    "pipeline_mix_sample",
+    "pipeline_shard_assign",
+    "pipeline_pack_sequences",
+    "pipeline_quality_gate",
+    "pipeline_decontaminate",
+    "knn_cosine_top10",
+    "ivf_knn",
+    "lsh_knn",
+    "knn_pq_top10",
+    "ivfpq_knn",
+    "knn_batch_allpairs",
+]
+
+
+def build_scaled(k: int) -> str:
+    out = f"{OUT_ROOT}/x{k}"
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    import duckdb
+
+    con = duckdb.connect()
+    # documents: per-replica vocab remap, ids offset by replica stride
+    parts = []
+    for r in range(k):
+        # Length-preserving remap onto a LETTER alphabet: hex tokens
+        # would shrink the char-4-gram universe to ~16^4 and inflate
+        # gram collision rates far beyond the source corpus, turning
+        # the ngram probe into an artifact measurement.
+        parts.append(f"""
+SELECT doc_id + {r} * 10000000 AS doc_id,
+       array_to_string(list_transform(string_split(text, ' '),
+                       t -> translate(substr(md5(t || 'rep{r}'), 1,
+                                             greatest(length(t), 3)),
+                                      '0123456789', 'qrstuvwxyz')), ' ') AS text,
+       lang, source, CAST(0 AS BIGINT) AS n_chars
+FROM read_parquet('{BASE}/documents.parquet')""")
+    union = "\nUNION ALL\n".join(parts)
+    con.execute(f"""
+COPY (SELECT doc_id, text, lang, source,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM ({union}))
+TO '{out}/documents.parquet' (FORMAT PARQUET)
+""")
+    # embeddings: per-replica dim permutation + sign flips
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{BASE}/embeddings.parquet")
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    ids = t.column("vec_id").to_numpy()
+    labels = t.column("label").to_numpy()
+    dim = vecs.shape[1]
+    out_ids, out_vecs, out_labels = [], [], []
+    for r in range(k):
+        rs = np.random.RandomState(r)
+        perm = rs.permutation(dim)
+        signs = rs.choice([-1.0, 1.0], size=dim).astype(np.float32)
+        out_ids.append(ids + r * 10000000)
+        out_vecs.append(vecs[:, perm] * signs)
+        out_labels.append(labels)
+    tbl = pa.table({
+        "vec_id": np.concatenate(out_ids),
+        "embedding": pa.array(
+            [v.tolist() for v in np.concatenate(out_vecs)],
+            type=pa.list_(pa.float32())),
+        "label": np.concatenate(out_labels).astype(np.int32),
+    })
+    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    # everything else: symlink the 1x fixture
+    for f in os.listdir(BASE):
+        dst = f"{out}/{f}"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{f}", dst)
+    return out
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    from kektordb_spark.plans import registry
+    from kektordb_spark.session import get_spark
+    from kektordb_spark.tables import load_tables
+
+    spark = get_spark("scaling-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.queries()
+    results: dict[str, dict[int, float]] = {q: {} for q in PROBE_QUERIES}
+    for k in ks:
+        sf_dir = BASE if k == 1 else build_scaled(k)
+        load_tables(spark, sf_dir)
+        # session warm-up mirrors bench.py's preamble
+        spark.sql("SELECT count(*) FROM docs_tok_par WHERE size(toks) >= 0").collect()
+        spark.sql(
+            "SELECT count(*) FROM docs_tok_par WHERE CAST(conv(substr(md5("
+            "concat_ws(' ', toks)), 1, 8), 16, 10) AS BIGINT) >= 0").collect()
+        spark.range(8).mapInPandas(lambda it: it, "id long").collect()
+        for q in PROBE_QUERIES:
+            t0 = time.perf_counter()
+            queries[q](spark, sf_dir).collect()
+            results[q][k] = round(time.perf_counter() - t0, 2)
+            spark.catalog.clearCache()
+            for jrdd in list(
+                    spark.sparkContext._jsc.getPersistentRDDs().values()):
+                jrdd.unpersist()
+            print(f"x{k} {q}: {results[q][k]}s", flush=True)
+    print("\n| query | " + " | ".join(f"x{k}" for k in ks) +
+          " | x10/x1 |")
+    print("|---|" + "---|" * (len(ks) + 1))
+    for q in PROBE_QUERIES:
+        row = [f"{results[q].get(k, float('nan')):.2f}" for k in ks]
+        hi, lo = results[q].get(ks[-1]), results[q].get(ks[0])
+        ratio = f"{hi / lo:.1f}x" if hi and lo else "-"
+        print(f"| {q} | " + " | ".join(row) + f" | {ratio} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,10 @@ def _h32(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
 # --- Python references ------------------------------------------------------
 
 def ref_shingles(toks: list[str], n: int = 3) -> list[str]:
@@ -75,7 +79,7 @@ def ref_minhash_pairs(
     return out
 
 
-def ref_simhash(toks: list[str], n_bits: int = 32) -> int | None:
+def ref_simhash(toks: list[str], n_bits: int = 48) -> int | None:
     if not toks:
         return None
     tf: dict[str, int] = {}
@@ -83,7 +87,7 @@ def ref_simhash(toks: list[str], n_bits: int = 32) -> int | None:
         tf[t] = tf.get(t, 0) + 1
     votes = [0.0] * n_bits
     for t, f in tf.items():
-        h = _h32(t)
+        h = _h48(t)
         for i in range(n_bits):
             votes[i] += f * (2.0 * ((h >> i) & 1) - 1.0)
     return sum(1 << i for i in range(n_bits) if votes[i] >= 0.0)
