@@ -276,3 +276,51 @@ SELECT doc_id, CAST({tot} AS INT) AS n_toks,
 FROM docs_tok
 WHERE {tot} > 0
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model log-probability (perplexity-proxy quality score)
+# ---------------------------------------------------------------------------
+
+def unigram_logprob_sql(dialect: str, source: str = "docs_tok") -> str:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution, plus the perplexity proxy exp(-mean) — the
+    classic LM-based quality filter (a cheap stand-in for the KenLM
+    perplexity gate in C4/CCNet-style pipelines): documents whose token
+    mix diverges from the corpus (boilerplate, garbled text, wrong
+    language) score low-probability / high-perplexity.
+
+    Plan shape: ONE posting explode feeds both the global unigram
+    counts (tiny hash aggregate — the "model") and the per-doc scoring
+    join; the model relation is distinct-token-sized so it broadcasts
+    back, and the final pass is one doc-keyed aggregate. Two shuffles
+    total at any scale. Rounding: mean log-prob to 5 decimals, and the
+    perplexity proxy derives from the ROUNDED mean so both engines
+    exponentiate the identical value (SCALE.md rule 7 discipline)."""
+    if dialect == "spark":
+        tok_rel = f"""SELECT doc_id, tok FROM {source}
+  LATERAL VIEW explode(toks) _t AS tok"""
+        log = "ln"
+    else:
+        tok_rel = f"SELECT doc_id, unnest(toks) AS tok FROM {source}"
+        log = "ln"
+    return f"""
+WITH tok AS (
+  {tok_rel}
+),
+lm AS (
+  SELECT tok, count(*) AS c FROM tok GROUP BY tok
+),
+tot AS (
+  SELECT sum(c) AS n FROM lm
+)
+SELECT t.doc_id,
+       CAST(count(*) AS INT) AS n_toks,
+       round(avg({log}(CAST(lm.c AS DOUBLE) / tot.n)), 5) AS avg_logprob,
+       round(exp(-round(avg({log}(CAST(lm.c AS DOUBLE) / tot.n)), 5)), 3)
+         AS ppl_proxy
+FROM tok t
+JOIN lm ON lm.tok = t.tok
+CROSS JOIN tot
+GROUP BY t.doc_id
+""".strip()

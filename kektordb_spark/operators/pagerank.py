@@ -1,0 +1,148 @@
+"""Bounded PageRank over the temporal edge graph.
+
+The reference computes graph centrality as plain degree counts
+(gardener.go:2009-2101 centrality shifts, A9); PageRank is the natural
+next centrality the same background analysis would ask for, and it is
+the canonical *iterative* Spark workload — so the engine ships it as a
+first-class bounded-iteration operator with the checkpoint discipline
+the BFS family already established (operators/graph.py).
+
+Semantics (classic un-normalized power iteration, fixed rounds so the
+result is deterministic and SQL-expressible):
+
+    pr_0(v)     = 1.0                         for every node
+    pr_{i+1}(v) = (1 - d) + d * SUM over in-edges (u -> v) of
+                  pr_i(u) / outdeg(u)
+
+over the CURRENT active edge set (``deleted_at = 0``), multi-edges
+counted per edge row (both engines see the identical relation).
+Dangling nodes (no out-edges) contribute nothing — their mass exits the
+system, which is the standard simplification when ranks are only used
+for ordering.  ``iters`` is a hard bound, like the BFS depth clamp.
+
+Plan shape / 100 TB story:
+  * the (src, dst) projection and the out-degree relation materialize
+    ONCE (eager localCheckpoint) — every round joins against the same
+    tiny-schema edge set instead of re-deriving the 5-way UNION edge
+    view per round (the O(D^2) replay hazard documented in SCALE.md);
+  * each round is contributions = ranks ⨝ edges (equi-join on the edge
+    source, co-partitioned at scale if edges are bucketed by src)
+    followed by ONE groupBy(dst) sum — map-side partial aggregation,
+    one shuffle keyed on the destination node;
+  * ranks are checkpointed per round: the relation is node-sized (small
+    relative to edges) and the next round references it once, so
+    truncating lineage beats replaying i rounds of joins (measured on
+    the BFS family — SCALE.md "fused bidirectional BFS" note);
+  * the final top-k is ORDER BY + LIMIT → TakeOrderedAndProject, never
+    a global sort.
+
+Float discipline: this operator's EXACT values are terminating
+decimals (damping 17/20, small integer out-degrees), so they land
+precisely ON round-4 half-way boundaries — where each engine's
+summation-order noise (~1e-12) would decide the rounding direction
+inconsistently.  The fix is a deterministic epsilon nudge applied
+identically in both engines and the test replica: round(pr + 1e-9, 4).
+The nudge dwarfs cross-engine float noise (1e-12) and is dwarfed by
+the rounding grid (1e-4), so every boundary-adjacent value is pushed
+to the SAME side everywhere; intermediates stay unrounded (cascaded
+rounding only manufactures more boundary landings).  Node-id
+tie-break per SCALE.md rule 7.
+"""
+
+from __future__ import annotations
+
+DAMPING = 0.85
+ITERS = 3
+TOP_K = 20
+
+
+def pagerank_oracle_sql(
+    damping: float = DAMPING, iters: int = ITERS, k: int = TOP_K,
+) -> str:
+    """Self-contained DuckDB oracle: the power iteration unrolled as a
+    CTE chain (DuckDB materializes repeated CTE references itself, so
+    the unrolled form is not a replay hazard there)."""
+    parts = [
+        "e AS (SELECT src, dst FROM edges WHERE deleted_at = 0)",
+        "odeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        """nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+)""",
+        "p0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes)",
+    ]
+    prev = "p0"
+    for i in range(1, iters + 1):
+        parts.append(f"""p{i} AS (
+  SELECT n.node,
+         {1.0 - damping} + {damping} * coalesce(c.mass, 0.0) AS pr
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr / o.outdeg) AS mass
+    FROM e
+    JOIN {prev} p ON p.node = e.src
+    JOIN odeg o ON o.src = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)""")
+        prev = f"p{i}"
+    body = f"""
+SELECT node, round(pr + 1e-9, 4) AS pr
+FROM {prev}
+ORDER BY round(pr + 1e-9, 4) DESC, node ASC
+LIMIT {k}
+""".strip()
+    return "WITH " + ",\n".join(parts) + "\n" + body
+
+
+def pagerank_df(
+    spark,
+    damping: float = DAMPING,
+    iters: int = ITERS,
+    k: int | None = TOP_K,
+):
+    """Spark-side power iteration (see module docstring for the plan
+    shape).  Assumes ``load_tables`` has registered the ``edges`` view."""
+    from pyspark.sql import functions as F
+
+    e = (
+        spark.table("edges")
+        .where(F.col("deleted_at") == 0)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    odeg = (
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("pr", F.lit(1.0))
+    for _ in range(iters):
+        mass = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(odeg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(mass, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    nudged = F.round(F.col("pr") + F.lit(1e-9), 4)
+    out = ranks.select("node", nudged.alias("pr")).orderBy(
+        nudged.desc(), F.col("node").asc()
+    )
+    # k=None returns the full ranked relation (no TakeOrdered heap —
+    # its buffer is k-sized, so "no limit" must not be a huge limit).
+    return out if k is None else out.limit(k)

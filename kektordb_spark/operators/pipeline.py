@@ -291,3 +291,50 @@ SELECT doc_id,
              THEN 1 ELSE 0 END AS INT) AS kept
 FROM m
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building: adjacent-token pair counts (the BPE merge-step
+# statistic)
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_K = 32
+
+
+def vocab_pairs_sql(dialect: str, source: str = "docs_tok", k: int = VOCAB_TOP_K) -> str:
+    """Top-k most frequent ADJACENT token pairs over the analyzed
+    corpus — the statistic a BPE/WordPiece vocabulary builder computes
+    each merge round (merge the argmax pair, re-count, repeat); one
+    round is exposed as a query, the iterated builder lives in
+    tests/test_vocab.py against an independent Python reference.
+
+    Token ORDER matters (unlike every bag-of-words operator here), so
+    pairs come from positional indexing, not explode-of-set.
+
+    Plan shape: the pair relation explodes a per-doc pair ARRAY that
+    the Spark runner materializes first (SCALE.md rule 1 — the
+    generator child is evaluated interpreted, once per OUTPUT row);
+    the count is one hash aggregate keyed on the pair (map-side
+    partial), and top-k is TakeOrderedAndProject. At 100 TB this is
+    the canonical two-phase count: no shuffle ever carries more than
+    the distinct-pair relation."""
+    if dialect == "spark":
+        pairs = ("transform(sequence(0, size(toks) - 2), "
+                 "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")
+        p = f"""
+  SELECT pr.w1 AS w1, pr.w2 AS w2
+  FROM (SELECT {pairs} AS prs FROM {source} WHERE size(toks) >= 2) t
+  LATERAL VIEW explode(prs) _p AS pr"""
+    else:
+        p = f"""
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM {source}, unnest(generate_series(1, len(toks) - 1)) AS _g(i)
+  WHERE len(toks) >= 2"""
+    return f"""
+WITH p AS ({p})
+SELECT w1, w2, count(*) AS cnt
+FROM p
+GROUP BY w1, w2
+ORDER BY cnt DESC, w1 ASC, w2 ASC
+LIMIT {k}
+""".strip()

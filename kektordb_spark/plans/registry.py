@@ -1984,6 +1984,24 @@ def streaming_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_ingest_upsert", ST.ingest_upsert_oracle_sql("duckdb"))
+def streaming_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write side of ST1 (continuous VAdd-from-bus ingest):
+    readStream → foreachBatch MERGE into a versioned parquet target,
+    idempotent on batch redelivery, last-writer-wins by (ts, event_id)
+    so the final snapshot is arrival-order independent — the events
+    deliberately land as event-time-interleaved chunk files. Oracle =
+    the batch last-writer-wins group-by (streaming/events.py
+    ingest_upsert_run docstring for the full commit protocol)."""
+    load_tables(spark, sf_dir)
+    final = ST.ingest_upsert_run(spark, f"{sf_dir}/events.parquet")
+    return final.select(
+        "user_id", "event_type",
+        F.round("last_value", 6).alias("last_value"),
+        "last_event_id", F.col("n_versions").cast("bigint").alias("n_versions"),
+    )
+
+
 register_sql("text_lang_id", TQ.lang_id_sql, [])
 register_sql("text_quality_score", TQ.quality_score_sql, [])
 register_sql("text_token_count", TQ.token_count_sql, [])
@@ -2154,6 +2172,63 @@ SELECT tr.doc_id,
 FROM tr JOIN ev ON ev.gram = tr.gram
 GROUP BY tr.doc_id
 """)
+
+
+@register("pipeline_vocab_pairs",
+          with_oracle_ctes(PL.vocab_pairs_sql("duckdb"), ["docs_tok"]))
+def pipeline_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-step statistic: top-k adjacent token pairs. The pair
+    arrays materialize BEFORE the explode (SCALE.md rule 1), then one
+    pair-keyed hash aggregate + TakeOrderedAndProject."""
+    load_tables(spark, sf_dir)
+    pairs = (
+        spark.table("docs_tok_par")
+        .where(F.size("toks") >= 2)
+        .selectExpr(
+            "transform(sequence(0, size(toks) - 2), "
+            "i -> struct(toks[i] AS w1, toks[i + 1] AS w2)) AS prs"
+        )
+        .localCheckpoint(eager=True)
+    )
+    return (
+        pairs.select(F.explode("prs").alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(PL.VOCAB_TOP_K)
+    )
+
+
+@register("text_unigram_logprob",
+          with_oracle_ctes(TQ.unigram_logprob_sql("duckdb"), ["docs_tok"]))
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean log-probability
+    under the corpus unigram LM (functions/textquality.py
+    unigram_logprob_sql docstring). Spark runs the identical dialect
+    SQL over the parquet-materialized token relation (explode of a
+    stored column — no rule-1 hazard)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(TQ.unigram_logprob_sql("spark", source="docs_tok_par"))
+
+
+# --------------------------------------------------------------------------
+# Iterative graph analytics: bounded PageRank (the A9-centrality family's
+# next step and the canonical iterative-Spark plan shape).
+# --------------------------------------------------------------------------
+
+from kektordb_spark.operators import pagerank as PR  # noqa: E402
+
+
+@register("graph_pagerank", with_oracle_ctes(PR.pagerank_oracle_sql(), ["edges"]))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded PageRank (3 power-iteration rounds, d=0.85) over the
+    active edge set — edges/out-degrees/nodes materialized once, one
+    dst-keyed shuffle per round, per-round rank checkpoints, top-k via
+    TakeOrderedAndProject (operators/pagerank.py docstring for the
+    full plan-shape story)."""
+    load_tables(spark, sf_dir)
+    return PR.pagerank_df(spark)
 
 
 # --------------------------------------------------------------------------

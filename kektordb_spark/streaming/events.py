@@ -418,3 +418,154 @@ SELECT min(us) AS s_us, max(us) + {gap_us} AS e_us, user_id,
        CAST(count(*) AS INT) AS n_events, round(sum(value), 2) AS total_value
 FROM g GROUP BY user_id, sid
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest sink: foreachBatch MERGE (the write side of ST1)
+# ---------------------------------------------------------------------------
+
+def ingest_upsert_run(
+    spark: SparkSession, events_path: str, n_chunks: int = 4,
+) -> DataFrame:
+    """The WRITE side of ST1: the reference continuously upserts vectors
+    arriving on its event bus (engine.go VAdd-from-bus); the Spark-native
+    sink is readStream → foreachBatch MERGE into a versioned parquet
+    target.  This runner exercises the full loop end-to-end:
+
+      1. the fixture events land as ``n_chunks`` files in a scratch
+         landing zone, split by ``event_id % n_chunks`` so event-time
+         interleaves across files — arrival order is deliberately NOT
+         event-time order;
+      2. the landing zone streams with ``maxFilesPerTrigger=1`` → one
+         micro-batch per file; each batch MERGEs into the target:
+         batch rows pre-aggregate to one row per (user_id, event_type)
+         key (map-side, shrinking the merge input to key cardinality),
+         then union + re-aggregate with the current snapshot and write
+         a NEW version directory — last-writer-wins by the total order
+         (ts, event_id), so the final state is identical under ANY
+         arrival order / chunking (the property the test asserts);
+      3. versioned dirs + a last-applied batch-id marker make the sink
+         idempotent under foreachBatch's redelivery contract: a
+         replayed batch id is skipped, a crash between write and
+         marker replays onto the PREVIOUS version (rewriting the same
+         content), never compounding.
+
+    At 100 TB the target is a Delta/Iceberg MERGE with the same keyed
+    pre-aggregation; the versioned-parquet scheme here is the same
+    commit protocol with the table format inlined.  State per key is
+    O(1) (last value + counter), the merge shuffle is keyed on the
+    upsert key, and the snapshot rewrite is proportional to key
+    cardinality, not event volume.
+
+    Returns the final snapshot (checkpointed, so the scratch dirs can
+    be reclaimed) — equal to the batch last-writer-wins oracle
+    (ingest_upsert_oracle_sql).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from kektordb_spark.tables import event_ts_unit, ts_from_long
+
+    root = tempfile.mkdtemp(prefix="kekt_ingest_")
+    land = os.path.join(root, "landing")
+    target = os.path.join(root, "target")
+    os.makedirs(land)
+    os.makedirs(target)
+    try:
+        unit = event_ts_unit(events_path)
+        raw = spark.read.schema(EVENTS_SCHEMA).parquet(events_path)
+        for i in range(n_chunks):
+            chunk_dir = os.path.join(root, f"c{i}")
+            raw.where(F.pmod("event_id", F.lit(n_chunks)) == i).coalesce(
+                1
+            ).write.mode("overwrite").parquet(chunk_dir)
+            part = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")]
+            os.rename(
+                os.path.join(chunk_dir, part[0]),
+                os.path.join(land, f"chunk_{i}.parquet"),
+            )
+
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+            .withColumn("ts", ts_from_long(F.col("ts"), unit))
+        )
+
+        state = {"version": 0}
+        marker = os.path.join(target, "_last_batch")
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if os.path.exists(marker):
+                with open(marker) as fh:
+                    if batch_id <= int(fh.read().strip()):
+                        return  # redelivered batch: already applied
+            delta = batch_df.groupBy("user_id", "event_type").agg(
+                F.max_by(
+                    F.struct(
+                        F.col("value").alias("last_value"),
+                        F.unix_micros("ts").alias("last_ts_us"),
+                        F.col("event_id").alias("last_event_id"),
+                    ),
+                    F.struct(F.col("ts"), F.col("event_id")),
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n_versions"),
+            ).select("user_id", "event_type", "s.*", "n_versions")
+            cur_dir = os.path.join(target, f"v{state['version']}")
+            if state["version"] > 0:
+                cur = batch_df.sparkSession.read.parquet(cur_dir)
+                delta = (
+                    cur.unionByName(delta)
+                    .groupBy("user_id", "event_type")
+                    .agg(
+                        F.max_by(
+                            F.struct("last_value", "last_ts_us", "last_event_id"),
+                            F.struct("last_ts_us", "last_event_id"),
+                        ).alias("s"),
+                        F.sum("n_versions").alias("n_versions"),
+                    )
+                    .select("user_id", "event_type", "s.*", "n_versions")
+                )
+            nxt = os.path.join(target, f"v{state['version'] + 1}")
+            delta.write.mode("overwrite").parquet(nxt)
+            state["version"] += 1
+            with open(marker, "w") as fh:
+                fh.write(str(batch_id))
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream.writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination(300)
+
+        final = spark.read.parquet(
+            os.path.join(target, f"v{state['version']}")
+        ).localCheckpoint(eager=True)
+        return final
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def ingest_upsert_oracle_sql(dialect: str) -> str:
+    """Batch last-writer-wins oracle for the ingest MERGE sink: one
+    row per (user_id, event_type), latest value by (ts, event_id)."""
+    return """
+SELECT user_id, event_type, round(value, 6) AS last_value,
+       event_id AS last_event_id, CAST(cnt AS BIGINT) AS n_versions
+FROM (
+  SELECT user_id, event_type, value, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type) AS cnt
+  FROM events
+) t
+WHERE rn = 1
+""".strip()

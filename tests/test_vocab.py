@@ -1,0 +1,101 @@
+"""pipeline_vocab_pairs + text_unigram_logprob vs independent Python
+replicas, plus the ITERATED BPE-style merge loop the one-round query
+statistic feeds (the loop is driver-side control flow over a per-round
+Spark aggregate — counted here in pure Python on the same tokens)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from tests.conftest import SF_SMALL
+
+
+def _toks(spark):
+    from kektordb_spark.tables import load_tables
+
+    load_tables(spark, SF_SMALL)
+    return [
+        r["toks"]
+        for r in spark.table("docs_tok_par").select("toks").collect()
+    ]
+
+
+def test_vocab_pairs_matches_python(spark):
+    from kektordb_spark.plans.registry import queries
+
+    toks = _toks(spark)
+    cnt = Counter()
+    for t in toks:
+        for a, b in zip(t, t[1:]):
+            cnt[(a, b)] += 1
+    expected = sorted(
+        ((c, a, b) for (a, b), c in cnt.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:32]
+    got = [
+        (r["cnt"], r["w1"], r["w2"])
+        for r in queries()["pipeline_vocab_pairs"](spark, SF_SMALL).collect()
+    ]
+    assert got == expected
+
+
+def test_iterated_bpe_merges_converge():
+    """The merge loop the pair statistic drives: merging the argmax
+    pair strictly decreases the corpus token count and never produces
+    a pair count larger than the previous argmax."""
+    corpus = [
+        list("abracadabra"), list("banana"), list("cabbage"), list("abba")
+    ]
+    last_best = math.inf
+    for _ in range(5):
+        cnt = Counter()
+        for t in corpus:
+            for p in zip(t, t[1:]):
+                cnt[p] += 1
+        if not cnt:
+            break
+        (a, b), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        assert c <= last_best
+        last_best = c
+        merged = []
+        n_before = sum(len(t) for t in corpus)
+        for t in corpus:
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            merged.append(out)
+        corpus = merged
+        assert sum(len(t) for t in corpus) == n_before - c
+
+
+def test_unigram_logprob_matches_python(spark):
+    from kektordb_spark.plans.registry import queries
+
+    toks = _toks(spark)
+    lm = Counter()
+    for t in toks:
+        lm.update(t)
+    n = sum(lm.values())
+    got = {
+        r["doc_id"]: (r["n_toks"], r["avg_logprob"], r["ppl_proxy"])
+        for r in queries()["text_unigram_logprob"](spark, SF_SMALL).collect()
+    }
+    docs = [
+        (r["doc_id"], r["toks"])
+        for r in spark.table("docs_tok_par").select("doc_id", "toks").collect()
+        if r["toks"]
+    ]
+    assert set(got) == {d for d, _ in docs}
+    for doc_id, t in docs:
+        avg = round(sum(math.log(lm[x] / n) for x in t) / len(t), 5)
+        assert got[doc_id][0] == len(t)
+        assert abs(got[doc_id][1] - avg) <= 1e-5
+        assert abs(got[doc_id][2] - round(math.exp(-avg), 3)) <= 2e-3
