@@ -695,3 +695,53 @@ def kv_delete(kv: DataFrame, key: str) -> DataFrame:
 def export_parquet(index: Index, path: str) -> None:
     """S9 Export: stream the index out (df.write — the natural sink)."""
     index.vectors.where(~F.col("deleted")).write.mode("overwrite").parquet(path)
+
+
+def export_jsonl(index: Index, path: str) -> None:
+    """S9 Export, JSON-lines form — the reference's export/snapshot
+    interchange is JSON (VExport / snapshot tooling), so the facade
+    offers the same portability sink next to the parquet-native one.
+    One row per line; the meta map serializes as a JSON object, the
+    vector as a number array. Active rows only (same contract as
+    export_parquet)."""
+    index.vectors.where(~F.col("deleted")).write.mode("overwrite").json(path)
+
+
+def import_jsonl(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    now: int,
+    metric: str = "cosine",
+    precision: str = "float32",
+    auto_links: tuple = (),
+) -> Index:
+    """S4 VImport from a JSONL dump: schema-ENFORCED read (the declared
+    VECTOR_SCHEMA, never inference — a malformed line fails loudly
+    instead of silently widening types), missing system columns filled
+    with the same defaults vadd_batch injects, norm recomputed when
+    absent. The loaded relation becomes the index snapshot directly —
+    a bulk import is one MERGE, not per-row adds (the reference's
+    VImport also bypasses per-add checks for bulk restore)."""
+    raw = spark.read.schema(VECTOR_SCHEMA).json(path)
+    defaults = {
+        "norm": F.coalesce(F.col("norm"), F.expr(_NORM)),
+        "created_at": F.coalesce(F.col("created_at"), F.lit(now)),
+        "last_accessed": F.coalesce(F.col("last_accessed"), F.lit(now)),
+        "access_count": F.coalesce(F.col("access_count"), F.lit(0)),
+        "pinned": F.coalesce(F.col("pinned"), F.lit(False)),
+        "historical": F.coalesce(F.col("historical"), F.lit(False)),
+        "memory_layer": F.coalesce(F.col("memory_layer"), F.lit("episodic")),
+        "decay_model": F.coalesce(F.col("decay_model"), F.lit("default")),
+        "deleted": F.coalesce(F.col("deleted"), F.lit(False)),
+    }
+    vectors = raw.where(F.col("id").isNotNull()).select(
+        *[
+            defaults[f.name].alias(f.name) if f.name in defaults
+            else F.col(f.name)
+            for f in VECTOR_SCHEMA.fields
+        ]
+    )
+    idx = vcreate(spark, name, metric=metric, precision=precision,
+                  auto_links=auto_links)
+    return replace(idx, vectors=vectors)

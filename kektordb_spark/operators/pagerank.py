@@ -99,9 +99,15 @@ def pagerank_df(
     damping: float = DAMPING,
     iters: int = ITERS,
     k: int | None = TOP_K,
+    checkpoint_rounds: bool = True,
 ):
     """Spark-side power iteration (see module docstring for the plan
-    shape).  Assumes ``load_tables`` has registered the ``edges`` view."""
+    shape).  Assumes ``load_tables`` has registered the ``edges`` view.
+
+    ``checkpoint_rounds=False`` keeps the full unrolled lineage —
+    slower past a few rounds (each round's plan replays its
+    predecessors) but exposes the per-round join/aggregate structure
+    for plan inspection (tests/test_plan_shapes.py)."""
     from pyspark.sql import functions as F
 
     e = (
@@ -137,8 +143,9 @@ def pagerank_df(
                     + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
+        if checkpoint_rounds:
+            ranks = ranks.localCheckpoint(eager=True)
     nudged = F.round(F.col("pr") + F.lit(1e-9), 4)
     out = ranks.select("node", nudged.alias("pr")).orderBy(
         nudged.desc(), F.col("node").asc()

@@ -338,3 +338,68 @@ GROUP BY w1, w2
 ORDER BY cnt DESC, w1 ASC, w2 ASC
 LIMIT {k}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: difficulty-binned, deterministically interleaved
+# ---------------------------------------------------------------------------
+
+CURRICULUM_STEPS = (  # (name, min inclusive) over the difficulty score
+    ("easy", 0.00),
+    ("medium", 0.35),
+    ("hard", 0.65),
+)
+
+
+def curriculum_sql(dialect: str) -> str:
+    """Curriculum schedule for training-data loading: each document is
+    binned into a difficulty step by FIXED score thresholds and given a
+    deterministic position within its (step, shard) cell.
+
+    The difficulty score is a scan-time proxy — normalized length plus
+    lexical diversity (distinct-token ratio): longer, less-repetitive
+    documents train later.  Thresholds are configuration, NOT corpus
+    quantiles, deliberately: an exact quantile (ntile/percent_rank)
+    needs a global total order — a single-partition sort at 100 TB —
+    while fixed cutoffs keep the binning a zero-shuffle scan
+    expression and make the schedule stable when the corpus grows
+    (re-binning a grown corpus never reshuffles old epochs' steps).
+    Corpus-adaptive cutoffs belong in a separate tiny aggregate
+    (approx percentiles) feeding the SAME fixed-threshold form.
+
+    Position: seeded-hash rank within (step, shard) — the
+    shard_assign_sql pattern, so the per-cell window stays
+    executor-bounded at any scale; a dataloader replays
+    step ASC, shard, position.  One bounded window is the only
+    shuffle."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    toks = _regex_all(dialect, "lower(text)", "[a-z0-9_]+")
+    if dialect == "spark":
+        n_toks = "size(toks)"
+        n_uniq = "size(array_distinct(toks))"
+    else:
+        n_toks = "len(toks)"
+        n_uniq = "len(list_distinct(toks))"
+    sh = _shard(dialect)
+    h = _hex_to_int(dialect, f"md5(concat('curr', CAST(doc_id AS {s})))")
+    cuts = sorted(CURRICULUM_STEPS, key=lambda t: -t[1])
+    step_case = "CASE " + " ".join(
+        f"WHEN score >= {lo} THEN '{name}'" for name, lo in cuts
+    ) + " END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks, {sh} AS shard, {h} AS h FROM documents
+),
+m AS (
+  SELECT doc_id, shard, h,
+         round(0.5 * least(CAST({n_toks} AS DOUBLE) / 200.0, 1.0)
+               + 0.5 * (CASE WHEN {n_toks} = 0 THEN 0.0
+                        ELSE CAST({n_uniq} AS DOUBLE) / {n_toks} END),
+               6) AS score
+  FROM t
+)
+SELECT doc_id, score, {step_case} AS step, CAST(shard AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY {step_case}, shard
+                               ORDER BY h, doc_id) AS INT) AS position
+FROM m
+""".strip()

@@ -569,3 +569,45 @@ FROM (
 ) t
 WHERE rn = 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution rollup cascade (hypertable continuous-aggregate shape)
+# ---------------------------------------------------------------------------
+
+def rollup_daily_from_hourly_sql(dialect: str, rel: str = "_hourly") -> str:
+    """Daily rollup computed FROM the hourly rollup (counts and sums
+    re-aggregate losslessly; only the FINAL emission rounds)."""
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+SELECT (h_epoch {div} 86400) * 86400 AS day_epoch, event_type,
+       CAST(sum(n) AS BIGINT) AS n, round(sum(sv), 2) AS total_value
+FROM {rel}
+GROUP BY (h_epoch {div} 86400) * 86400, event_type
+""".strip()
+
+
+def rollup_hourly_sql(dialect: str) -> str:
+    """Hourly pre-aggregate over raw events — the materialized layer of
+    the cascade (unrounded partial sums: rounding belongs to the final
+    resolution only, or re-aggregation drifts)."""
+    div = "DIV" if dialect == "spark" else "//"
+    ep = (
+        "CAST(unix_timestamp(ts) AS BIGINT)" if dialect == "spark"
+        else "CAST(floor(epoch(ts)) AS BIGINT)"
+    )
+    return f"""
+SELECT ({ep} {div} 3600) * 3600 AS h_epoch, event_type,
+       count(*) AS n, sum(value) AS sv
+FROM events
+GROUP BY ({ep} {div} 3600) * 3600, event_type
+""".strip()
+
+
+def rollup_cascade_oracle_sql(dialect: str) -> str:
+    """Self-contained oracle: the daily answer from raw events through
+    the same hourly layer (one SQL text, both engines)."""
+    return (
+        f"WITH _hourly AS (\n{rollup_hourly_sql(dialect)}\n)\n"
+        + rollup_daily_from_hourly_sql(dialect)
+    )

@@ -277,3 +277,40 @@ def test_resolve_conflict(idx):
     # resolve without a discard id mutates only the reflection
     idx3 = api.resolve_conflict(idx, "c", "false alarm", now=T2)
     assert idx3.vectors.where(F.col("deleted")).count() == 0
+
+
+def test_jsonl_export_import_roundtrip(spark):
+    """S9/S4: export_jsonl -> import_jsonl preserves every active row
+    (vector values, meta map, system columns); soft-deleted rows stay
+    behind; sparse dumps (only id+v) get the vadd defaults."""
+    import json
+    import tempfile
+
+    from kektordb_spark import api
+
+    idx = api.vcreate(spark, "io", metric="cosine")
+    idx = api.vadd_batch(idx, [
+        {"id": "a", "vector": [1.0, 0.0], "meta": {"type": "fact", "k": "1"}},
+        {"id": "b", "vector": [0.0, 2.0], "meta": {"type": "note"}},
+        {"id": "c", "vector": [3.0, 4.0]},
+    ], now=100)
+    idx = api.vdelete(idx, ["c"], now=200)
+
+    with tempfile.TemporaryDirectory() as d:
+        api.export_jsonl(idx, f"{d}/dump")
+        idx2 = api.import_jsonl(spark, "io2", f"{d}/dump", now=300)
+        rows = {r["id"]: r.asDict() for r in idx2.vectors.collect()}
+        assert set(rows) == {"a", "b"}  # tombstone not exported
+        assert rows["a"]["v"] == [1.0, 0.0]
+        assert rows["a"]["meta"]["type"] == "fact"
+        assert rows["a"]["created_at"] == 100  # preserved, not re-stamped
+        assert abs(rows["b"]["norm"] - 2.0) < 1e-12
+
+        # sparse dump: only id + v -> defaults injected at import time
+        with open(f"{d}/sparse.jsonl", "w") as fh:
+            fh.write(json.dumps({"id": "z", "v": [0.0, 3.0]}) + "\n")
+        idx3 = api.import_jsonl(spark, "io3", f"{d}/sparse.jsonl", now=400)
+        z = idx3.vectors.collect()[0].asDict()
+        assert (z["created_at"], z["access_count"], z["deleted"]) == (400, 0, False)
+        assert abs(z["norm"] - 3.0) < 1e-12
+        assert z["memory_layer"] == "episodic"

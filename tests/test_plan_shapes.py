@@ -213,3 +213,62 @@ def test_ivfpq_no_cartesian_beyond_centroids(spark):
     plan = plan_of(spark, "ivfpq_knn")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_knowledge_gaps_cooc_restricted_and_broadcast(spark):
+    """The co-occurrence evidence self-join is pre-filtered by a
+    BROADCAST semi-join on the similar endpoints — the anti-join side
+    must never aggregate the full |lineitem|^2-per-order pair space."""
+    plan = plan_of(spark, "gardener_knowledge_gaps")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_round_is_one_dst_shuffle(spark):
+    """Each power-iteration round: edges ⨝ ranks ⨝ outdeg (equi-joins)
+    + ONE dst-keyed aggregate exchange. The registered query checkpoints
+    each round (shallow final plan: checkpoint scan + top-k), so the
+    round structure is asserted on the unrolled-lineage variant."""
+    from kektordb_spark.operators.pagerank import pagerank_df
+    from kektordb_spark.tables import load_tables
+
+    plan = plan_of(spark, "graph_pagerank")
+    assert "TakeOrderedAndProject" in plan
+
+    load_tables(spark, SF_SMALL)
+    df = pagerank_df(spark, iters=1, checkpoint_rounds=False)
+    rplan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in rplan
+    assert "BroadcastNestedLoopJoin" not in rplan
+    # map-side combine before the dst-keyed exchange
+    assert "partial_sum" in rplan
+
+
+def test_vocab_pairs_single_agg_shuffle(spark):
+    """Pair counting = explode of a MATERIALIZED array column + one
+    pair-keyed hash aggregate + top-k pushdown; no join at all."""
+    plan = plan_of(spark, "pipeline_vocab_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert n_exchanges(plan) == 1
+
+
+def test_unigram_logprob_two_shuffles_no_cartesian(spark):
+    """One posting explode feeds the LM aggregate and the scoring join;
+    the cross-joined corpus total is a single-row broadcast, never a
+    row-expanding cartesian."""
+    plan = plan_of(spark, "text_unigram_logprob")
+    assert "CartesianProduct" not in plan
+    # tok-keyed LM agg + doc-keyed final agg + the tiny total broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_curriculum_one_bounded_window(spark):
+    """Binning is scan-time (fixed thresholds); the only shuffle keys
+    the (step, shard) window."""
+    plan = plan_of(spark, "pipeline_curriculum")
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+    assert n_exchanges(plan) == 1
