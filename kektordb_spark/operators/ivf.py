@@ -102,6 +102,7 @@ def ivf_knn_sql(
     n_queries: int = 5,
     k: int = 10,
     cents_source: str | None = None,
+    assign_source: str | None = None,
 ) -> str:
     """Full IVF pipeline as one SQL text: train (md5-seeded init +
     ``iters`` unrolled Lloyd iterations) → invert → probe → exact
@@ -111,14 +112,24 @@ def ivf_knn_sql(
 
     ``cents_source``: name of a pre-materialized centroid relation
     (see ivf_train_sql); default trains inline (the self-contained
-    oracle text)."""
+    oracle text).  ``assign_source``: name of a pre-materialized
+    (vec_id, cid) inverted-assignment relation — the persisted IVF
+    index layer (tables.load_tables) — sparing the per-query
+    nearest-centroid pass over the whole corpus; default assigns
+    inline."""
     if cents_source is None:
         parts, cents = _train_parts(dialect, nlist, iters)
     else:
         parts = [f"tc AS (SELECT cid, v FROM {cents_source})"]
         cents = "tc"
     # final inverted file + probe
-    parts.append(_assign_cte(dialect, cents, "inv"))
+    if assign_source is None:
+        parts.append(_assign_cte(dialect, cents, "inv"))
+    else:
+        parts.append(
+            f"inv AS (SELECT e.vec_id, e.v, e.norm, a.cid "
+            f"FROM {assign_source} a JOIN emb e ON e.vec_id = a.vec_id)"
+        )
     qd = l2sq_sql(dialect, "q.v", "c.v")
     dot = dot_sql(dialect, "q.v", "e.v")
     parts.append(f"""probe AS (

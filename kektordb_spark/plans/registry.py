@@ -279,15 +279,15 @@ def knn_batch_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ivf_knn", with_oracle_ctes(IVF.ivf_knn_sql("duckdb"), ["emb"]))
 def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (see operators/ivf.py). Spark side materializes the
-    trained centroids once (nlist rows) — the centroid relation is
-    referenced by both the final assignment and the probe, and Spark
-    re-evaluates inlined CTEs per reference; the oracle keeps the
-    self-contained single-text form (DuckDB materializes CTEs)."""
+    """IVF ANN (see operators/ivf.py). Spark side serves from the
+    PERSISTED index layer (tables.load_tables: ``ivf_cents`` +
+    ``ivf_assign``, the build/serve split the reference also makes) —
+    the query is centroid probe + candidate join + exact re-rank; the
+    oracle keeps the self-contained train+assign+search single-text
+    form and verifies the identical result end-to-end."""
     load_tables(spark, sf_dir)
-    cents = spark.sql(IVF.ivf_train_sql("spark")).localCheckpoint(eager=True)
-    cents.createOrReplaceTempView("_ivf_cents")
-    return spark.sql(IVF.ivf_knn_sql("spark", cents_source="_ivf_cents"))
+    return spark.sql(IVF.ivf_knn_sql(
+        "spark", cents_source="ivf_cents", assign_source="ivf_assign"))
 
 _INT8_ABSMAX = 0.5  # fixed training absmax (fixture range ±0.5); the
                     # learned path is api.vcompress_int8 (percentile_approx)
@@ -409,9 +409,11 @@ def knn_pq_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     emb = spark.table("emb")
-    cands = emb.where(F.col("vec_id") >= 5)
-    centroids = PQ.pq_train(cands, m=8, k=16, iters=0)
-    codes = PQ.pq_encode(cands, centroids, m=8)
+    # Served from the persisted candidate-partition codebook/codes
+    # (tables.load_tables pq_cb_cand/pq_codes_cand — build/serve split;
+    # the oracle re-derives train+encode+ADC in one SQL text).
+    centroids = spark.table("pq_cb_cand")
+    codes = spark.table("pq_codes_cand")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
     res = PQ.pq_knn(codes, centroids, queries, k=10, m=8)
@@ -508,7 +510,15 @@ def ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_train_sql coarse centroids (materialized once — nlist rows),
     pq_train/pq_encode deterministic-init codebook. Ranked by the
     rounded distance + id (SCALE.md rule 7) so the 8-term ADC sum's
-    association order cannot flip the k-boundary across engines."""
+    association order cannot flip the k-boundary across engines.
+
+    Serves from the PERSISTED index layer (tables.load_tables:
+    ``ivf_cents``/``ivf_assign`` coarse quantizer, ``pq_cb_full``/
+    ``pq_codes_full`` codebook+codes) — the query itself is probe →
+    candidate join → ADC, the build/serve split of every production
+    IVFPQ deployment. The oracle re-derives the whole pipeline
+    (train+assign+encode+ADC) in one SQL text and verifies the result
+    value-for-value."""
     from pyspark.sql.window import Window
 
     from kektordb_spark.operators import pq as PQ
@@ -516,15 +526,9 @@ def ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir)
     emb = spark.table("emb")
-    cents = spark.sql(IVF.ivf_train_sql("spark")).localCheckpoint(eager=True)
-    cents.createOrReplaceTempView("_ivfpq_cents")
-    inv = spark.sql(
-        "WITH tc AS (SELECT cid, v FROM _ivfpq_cents),\n"
-        + IVF._assign_cte("spark", "tc", "inv")
-        + "\nSELECT vec_id, cid FROM inv"
-    )
+    inv = spark.table("ivf_assign")
     probe = spark.sql(f"""
-WITH tc AS (SELECT cid, v FROM _ivfpq_cents)
+WITH tc AS (SELECT cid, v FROM ivf_cents)
 SELECT query_id, cid FROM (
   SELECT q.vec_id AS query_id, c.cid,
          row_number() OVER (PARTITION BY q.vec_id
@@ -533,8 +537,8 @@ SELECT query_id, cid FROM (
   FROM emb q CROSS JOIN tc c WHERE q.vec_id < 5
 ) t WHERE rk <= 3
 """)
-    codebook = PQ.pq_train(emb, m=8, k=32, iters=0)
-    codes = PQ.pq_encode(emb, codebook, m=8)
+    codebook = spark.table("pq_cb_full")
+    codes = spark.table("pq_codes_full")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "v")
     lut = (
