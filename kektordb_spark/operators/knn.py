@@ -129,6 +129,81 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
+def _lsh_planes(seed: int, n_planes: int, n_tables: int, dim: int):
+    """The deterministic seeded hyperplane lattice shared by inline
+    bucketing and the persisted signature index (both MUST use the same
+    (seed, n_planes, n_tables, dim) or buckets are incomparable)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+def _lsh_sig_expr(planes, vcol: str, table_idx: int) -> Column:
+    bits = []
+    for p_i, plane in enumerate(planes[table_idx]):
+        arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane) + ")"
+        bit = (
+            f"CASE WHEN aggregate(zip_with({vcol}, {arr}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (s, p) -> s + p) >= 0.0 THEN {1 << p_i} ELSE 0 END"
+        )
+        bits.append(bit)
+    return F.expr(" + ".join(bits))
+
+
+def _lsh_with_buckets(df: DataFrame, vcol: str, planes) -> DataFrame:
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _lsh_sig_expr(planes, vcol, t).alias("sig"),
+            )
+            for t in range(len(planes))
+        ]
+    )
+    return df.withColumn("bucket", F.explode(tables)).select(
+        "*", F.col("bucket.tbl").alias("tbl"), F.col("bucket.sig").alias("sig")
+    ).drop("bucket")
+
+
+def lsh_signatures(
+    vectors: DataFrame,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Corpus LSH signature relation (id, tbl, sig) — the persisted
+    index side of lsh_bucketed_knn (built once at ingest; the inline
+    path recomputes 48 hyperplane folds per vector per query). The
+    signature STRUCT ARRAY materializes per row BEFORE the explode
+    (projected as a concrete column) so the generator child is a plain
+    attribute — SCALE.md rule 1."""
+    sigs = vectors.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _lsh_sig_expr(
+                        _lsh_planes(seed, n_planes, n_tables, dim),
+                        vec_col, t,
+                    ).alias("sig"),
+                )
+                for t in range(n_tables)
+            ]
+        ).alias("buckets"),
+    ).localCheckpoint(eager=True)
+    return sigs.select(id_col, F.explode("buckets").alias("b")).select(
+        id_col, F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig")
+    )
+
+
 def lsh_bucketed_knn(
     vectors: DataFrame,
     queries: DataFrame,
@@ -143,6 +218,7 @@ def lsh_bucketed_knn(
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
     query_norm_col: str = "qnorm",
+    sig_source: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine k-NN via random-hyperplane LSH.
 
@@ -151,38 +227,25 @@ def lsh_bucketed_knn(
     The cross product becomes an equi-join on the bucket key — the scale
     path for 100 TB corpora. Hyperplanes are a deterministic seeded
     lattice so the plan is reproducible.
+
+    ``sig_source``: pre-computed corpus signature relation
+    (``id_col``, tbl, sig) — the persisted LSH index
+    (tables.load_tables ``lsh_sig``; build with :func:`lsh_signatures`
+    under the SAME (n_planes, n_tables, seed, dim) lattice). Spares the
+    per-query signature pass over the whole corpus; default computes
+    signatures inline.
     """
-    import random
-
-    rng = random.Random(seed)
-    planes = [
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
-        for _ in range(n_tables)
-    ]
-
-    def sig_expr(vcol: str, table_idx: int) -> Column:
-        bits = []
-        for p_i, plane in enumerate(planes[table_idx]):
-            arr = "array(" + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane) + ")"
-            bit = (
-                f"CASE WHEN aggregate(zip_with({vcol}, {arr}, (x, y) -> x * y), "
-                f"CAST(0.0 AS DOUBLE), (s, p) -> s + p) >= 0.0 THEN {1 << p_i} ELSE 0 END"
-            )
-            bits.append(bit)
-        return F.expr(" + ".join(bits))
+    planes = _lsh_planes(seed, n_planes, n_tables, dim)
 
     def with_buckets(df: DataFrame, vcol: str) -> DataFrame:
-        tables = F.array(
-            *[
-                F.struct(F.lit(t).alias("tbl"), sig_expr(vcol, t).alias("sig"))
-                for t in range(n_tables)
-            ]
-        )
-        return df.withColumn("bucket", F.explode(tables)).select(
-            "*", F.col("bucket.tbl").alias("tbl"), F.col("bucket.sig").alias("sig")
-        ).drop("bucket")
+        return _lsh_with_buckets(df, vcol, planes)
 
-    vb = with_buckets(vectors, vec_col)
+    if sig_source is None:
+        vb = with_buckets(vectors, vec_col)
+    else:
+        vb = vectors.join(
+            sig_source.select(id_col, "tbl", "sig"), id_col
+        )
     qb = with_buckets(queries, query_vec_col)
     cand = vb.join(
         F.broadcast(qb.select(query_id_col, query_vec_col, query_norm_col, "tbl", "sig")),

@@ -441,6 +441,7 @@ def knn_search(
     query_vec_col: str = "qv",
     query_norm_col: str = "qnorm",
     exclude_self: bool = False,
+    lsh_sig: DataFrame | None = None,
 ) -> DataFrame:
     """One search entry point; output (query_id, neighbor_id, dist,
     rank) for every strategy. ``queries=None`` = all-pairs batch.
@@ -494,7 +495,8 @@ def knn_search(
             F.col(id_col).alias("neighbor_id"), "dist", "rank",
         )
     if plan.strategy == "lsh":
-        res = KNN.lsh_bucketed_knn(vectors, queries, k=k, **cols)
+        res = KNN.lsh_bucketed_knn(
+            vectors, queries, k=k, sig_source=lsh_sig, **cols)
         return res.select(
             F.col(query_id_col).alias("query_id"),
             F.col(id_col).alias("neighbor_id"), "dist", "rank",

@@ -636,7 +636,8 @@ def lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, cands = _emb_queries(spark)
     res = KP.knn_search(
         cands, queries, k=10, strategy="lsh",
-        id_col="vec_id", vec_col="v", norm_col="norm")
+        id_col="vec_id", vec_col="v", norm_col="norm",
+        lsh_sig=spark.table("lsh_sig"))
     return res.select(
         "query_id", "neighbor_id",
         F.col("rank").cast("int").alias("rank"),

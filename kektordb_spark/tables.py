@@ -439,6 +439,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     _mat("pq_cb_cand", _PQ.pq_train(cand, m=8, k=16, iters=0))
     _mat("pq_codes_cand",
          _PQ.pq_encode(cand, spark.table("pq_cb_cand"), m=8))
+    from kektordb_spark.operators.knn import lsh_signatures
+
+    _mat("lsh_sig", lsh_signatures(embv, id_col="vec_id"))
     _REGISTERED[sid] = (sf_dir, out)
     return out
 
