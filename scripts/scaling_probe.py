@@ -58,6 +58,9 @@ PROBE_QUERIES = [
     "knn_pq_top10",
     "ivfpq_knn",
     "knn_batch_allpairs",
+    "pipeline_vocab_pairs",
+    "text_unigram_logprob",
+    "pipeline_curriculum",
 ]
 
 
