@@ -681,3 +681,87 @@ FROM p
 ORDER BY round(sim, 6) DESC, id_a, id_b
 LIMIT {k}
 """.strip()
+
+
+def minhash_incremental_sql(
+    dialect: str,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    new_mod: int = 10,
+    new_rem: int = 7,
+    ex_source: str | None = None,
+    sig_source: str | None = None,
+) -> str:
+    """Incremental dedup — the production re-crawl shape: dedup a NEW
+    batch (here: doc_id % new_mod = new_rem, ~10% of the corpus)
+    against the EXISTING corpus without ever comparing old-vs-old (the
+    whole point: corpus-side work was already paid when those docs
+    landed). Candidates come from a band equi-join restricted to
+    new×old; each new doc reports its BEST corpus match at or above the
+    Jaccard threshold (round-6 score + lowest-old-id tie-break,
+    SCALE.md rule 7) — the ship decision is "drop the new copy".
+
+    At 100 TB the old side's band keys and signatures are a PERSISTED
+    index (exactly the minhash_sig relation, maintained at ingest like
+    tables.load_tables' ANN layer) and the per-batch cost is
+    O(|batch|) signature computation + an equi-join probing the band
+    index — never a corpus rescan."""
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS bkey FROM sig".format(
+            b=b, cols=", ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    ex_cte = (
+        f"ex AS (\n{minhash_ex_sql(dialect, shingle_n)}\n)"
+        if ex_source is None
+        else f"ex AS (SELECT doc_id, s FROM {ex_source})"
+    )
+    sig_cte = (
+        f"sig AS (\n{minhash_sig_sql(dialect, n_hashes)}\n)"
+        if sig_source is None
+        else f"sig AS (SELECT * FROM {sig_source})"
+    )
+    return f"""
+WITH {ex_cte},
+{sig_cte},
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM (SELECT * FROM bands WHERE doc_id % {new_mod} = {new_rem}) n
+  JOIN (SELECT * FROM bands WHERE doc_id % {new_mod} <> {new_rem}) o
+    ON n.band = o.band AND n.bkey = o.bkey
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+),
+ver AS (
+  SELECT c.new_id, c.old_id, count(*) AS shared
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.new_id
+  JOIN ex b ON b.doc_id = c.old_id AND b.s = a.s
+  GROUP BY c.new_id, c.old_id
+),
+scored AS (
+  SELECT v.new_id, v.old_id,
+         round(CAST(v.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - v.shared), 6)
+           AS jaccard
+  FROM ver v
+  JOIN sizes sa ON sa.doc_id = v.new_id
+  JOIN sizes sb ON sb.doc_id = v.old_id
+  WHERE CAST(v.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - v.shared)
+        >= {threshold}
+)
+SELECT new_id, old_id AS dup_of, jaccard
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY new_id
+                               ORDER BY jaccard DESC, old_id ASC) AS rk
+  FROM scored
+) t WHERE rk = 1
+""".strip()

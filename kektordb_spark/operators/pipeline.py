@@ -403,3 +403,44 @@ SELECT doc_id, score, {step_case} AS step, CAST(shard AS INT) AS shard,
                                ORDER BY h, doc_id) AS INT) AS position
 FROM m
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split assignment + stratification audit
+# ---------------------------------------------------------------------------
+
+SPLIT_SEED = "split42"
+SPLIT_CUTS = (("train", 9000), ("val", 9500), ("test", 10000))  # of 10000
+
+
+def split_stratified_sql(dialect: str) -> str:
+    """Deterministic train/val/test assignment + stratification audit:
+    split = seeded-hash bucket against fixed cutoffs (90/5/5 of 10000)
+    — the same zero-shuffle scan-time decision as mix_sample_sql, so a
+    document's split NEVER changes as the corpus grows and any engine
+    reproduces it bit-for-bit; the audit aggregates per-(lang, source)
+    stratum counts and observed fractions (one hash-agg pass), which is
+    how a pipeline checks the uniform hash kept each stratum's split
+    near 90/5/5 without a stratified sampler's global sort."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    h = _hex_to_int(
+        dialect, f"md5(concat('{SPLIT_SEED}', CAST(doc_id AS {s})))"
+    )
+    cases = []
+    for name, hi in SPLIT_CUTS:
+        cases.append(f"WHEN bucket < {hi} THEN '{name}'")
+    case = "CASE " + " ".join(cases) + " END"
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, source, ({h}) % {N_BUCKETS} AS bucket FROM documents
+),
+a AS (
+  SELECT doc_id, lang, source, {case} AS split FROM b
+)
+SELECT lang, source, split,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY lang, source), 4) AS frac
+FROM a
+GROUP BY lang, source, split
+""".strip()

@@ -2178,6 +2178,32 @@ register_sql("pipeline_shard_assign", PL.shard_assign_sql, [])
 register_sql("pipeline_pack_sequences", PL.pack_sequences_sql, [])
 register_sql("pipeline_quality_gate", PL.quality_gate_sql, [])
 register_sql("pipeline_curriculum", PL.curriculum_sql, [])
+register_sql("pipeline_split_stratified", PL.split_stratified_sql, [])
+
+
+@register("dedup_incremental",
+          with_oracle_ctes(DD.minhash_incremental_sql("duckdb"), ["docs_tok"]))
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: the NEW batch (doc_id % 10 = 7)
+    dedups against the EXISTING corpus via a new×old band equi-join —
+    old-vs-old is never recompared (operators/dedup.py
+    minhash_incremental_sql for the persisted-band-index scale story).
+    Reuses the minhash runner's materialized posting/signature stages."""
+    load_tables(spark, sf_dir)
+    arr = spark.sql(
+        DD.minhash_arr_sql("spark", source="docs_tok_par")
+    ).localCheckpoint(eager=True)
+    arr.createOrReplaceTempView("_mhi_arr")
+    ex = spark.sql(
+        DD.minhash_ex_from_arr_sql("spark", source="_mhi_arr")
+    ).localCheckpoint(eager=True)
+    ex.createOrReplaceTempView("_mhi_ex")
+    sig = spark.sql(
+        DD.minhash_sig_sql("spark", ex_source="_mhi_ex")
+    ).localCheckpoint(eager=True)
+    sig.createOrReplaceTempView("_mhi_sig")
+    return spark.sql(DD.minhash_incremental_sql(
+        "spark", ex_source="_mhi_ex", sig_source="_mhi_sig"))
 
 
 @register("pipeline_decontaminate",

@@ -99,3 +99,35 @@ def test_unigram_logprob_matches_python(spark):
         assert got[doc_id][0] == len(t)
         assert abs(got[doc_id][1] - avg) <= 1e-5
         assert abs(got[doc_id][2] - round(math.exp(-avg), 3)) <= 2e-3
+
+
+def test_incremental_dedup_never_compares_old_vs_old(spark):
+    """Every reported row pairs a NEW doc with a CORPUS doc; best-match
+    pick is deterministic (round-6 jaccard, lowest old id)."""
+    from kektordb_spark.plans.registry import queries
+
+    rows = queries()["dedup_incremental"](spark, SF_SMALL).collect()
+    assert rows, "fixture contains near-dup new docs"
+    seen = set()
+    for r in rows:
+        assert r["new_id"] % 10 == 7
+        assert r["dup_of"] % 10 != 7
+        assert r["jaccard"] >= 0.8
+        assert r["new_id"] not in seen  # one best match per new doc
+        seen.add(r["new_id"])
+
+
+def test_split_stratified_fractions_and_determinism(spark):
+    from kektordb_spark.plans.registry import queries
+
+    q = queries()["pipeline_split_stratified"]
+    a = sorted(map(tuple, q(spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, q(spark, SF_SMALL).collect()))
+    assert a == b  # seeded hash: bit-stable across runs
+    total = {}
+    for lang, source, split, n, frac in a:
+        total[split] = total.get(split, 0) + n
+    n_all = sum(total.values())
+    assert 0.85 <= total["train"] / n_all <= 0.95
+    assert 0.02 <= total["val"] / n_all <= 0.08
+    assert 0.02 <= total["test"] / n_all <= 0.08
