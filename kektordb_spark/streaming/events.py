@@ -475,16 +475,36 @@ def ingest_upsert_run(
     try:
         unit = event_ts_unit(events_path)
         raw = spark.read.schema(EVENTS_SCHEMA).parquet(events_path)
+        # ONE partitioned write lands every chunk (vs n_chunks filtered
+        # re-scans of the event log); the partition column is dropped
+        # from the written files, so each chunk is re-read under the
+        # plain EVENTS_SCHEMA with its chunk id restored from event_id.
+        split_dir = os.path.join(root, "split")
+        raw.withColumn(
+            "chunk", F.pmod("event_id", F.lit(n_chunks))
+        ).repartition("chunk").write.partitionBy("chunk").mode(
+            "overwrite"
+        ).parquet(split_dir)
         for i in range(n_chunks):
-            chunk_dir = os.path.join(root, f"c{i}")
-            raw.where(F.pmod("event_id", F.lit(n_chunks)) == i).coalesce(
-                1
-            ).write.mode("overwrite").parquet(chunk_dir)
-            part = [f for f in os.listdir(chunk_dir) if f.endswith(".parquet")]
-            os.rename(
-                os.path.join(chunk_dir, part[0]),
-                os.path.join(land, f"chunk_{i}.parquet"),
+            chunk_dir = os.path.join(split_dir, f"chunk={i}")
+            if not os.path.isdir(chunk_dir):
+                continue  # empty corpus: no rows hashed to this chunk
+            parts = sorted(
+                f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
             )
+            for j, part in enumerate(parts):
+                os.rename(
+                    os.path.join(chunk_dir, part),
+                    os.path.join(land, f"chunk_{i}_{j}.parquet"),
+                )
+
+        _FINAL_SCHEMA = (
+            "user_id bigint, event_type string, last_value double, "
+            "last_ts_us bigint, last_event_id bigint, n_versions bigint"
+        )
+        if not os.listdir(land):
+            # Nothing arrived: the snapshot is empty (no v1 was written).
+            return spark.createDataFrame([], _FINAL_SCHEMA)
 
         stream = (
             spark.readStream.schema(EVENTS_SCHEMA)
