@@ -168,7 +168,10 @@ def pq_knn(
     return (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .groupBy(query_id_col, "id")
-        .agg(F.sum("pd").alias("dist"))
+        # integer-grid sum — exactly associative under any partitioning
+        # (same discipline as the hyde/IVFPQ ADC sums; oracle matches).
+        .agg((F.sum(F.round(F.col("pd") * 1e12, 0).cast("bigint"))
+              .cast("double") / F.lit(1e12)).alias("dist"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )

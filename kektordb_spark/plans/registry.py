@@ -380,7 +380,8 @@ lut AS (
   FROM qsv q JOIN cent c ON c.sub = q.sub
 ),
 adc AS (
-  SELECT l.query_id, e.id, sum(l.pd) AS dist
+  SELECT l.query_id, e.id,
+         CAST(sum(CAST(round(l.pd * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12 AS dist
   FROM enc e JOIN lut l ON l.sub = e.sub AND l.code = e.code
   GROUP BY l.query_id, e.id
 )
@@ -479,7 +480,8 @@ lut AS (
   FROM qsv q JOIN cent c ON c.sub = q.sub
 ),
 adc AS (
-  SELECT p.query_id, i.vec_id AS id, sum(l.pd) AS dist
+  SELECT p.query_id, i.vec_id AS id,
+         CAST(sum(CAST(round(l.pd * 1e12, 0) AS BIGINT)) AS DOUBLE) / 1e12 AS dist
   FROM probe p
   JOIN inv i ON i.cid = p.cid
   JOIN enc e ON e.id = i.vec_id
@@ -552,7 +554,12 @@ SELECT query_id, cid FROM (
         pairs.join(codes, pairs.vec_id == codes.id)
         .join(F.broadcast(lut), ["query_id", "sub", "code"])
         .groupBy("query_id", "id")
-        .agg(F.sum("pd").alias("dist"))
+        # integer-grid sum: the 8 ADC terms arrive through a shuffled
+        # GROUP BY whose reduction order varies with partitioning —
+        # quantized terms sum exactly associatively (see the hyde
+        # docstring for the full rationale), matching the oracle SQL.
+        .agg((F.sum(F.round(F.col("pd") * 1e12, 0).cast("bigint"))
+              .cast("double") / F.lit(1e12)).alias("dist"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round("dist", 6).asc(), F.col("id").asc())
@@ -1725,6 +1732,18 @@ def _hyde_dual_rag_sql(
     grounded hits and candidates are position-exploded and the
     hyde-dot is a (query, pos) equi-join + sum, so the whole pipeline
     is joins/aggregations (co-partitioned by query at scale), no UDF.
+
+    Float discipline — every aggregate here sums via an INTEGER grid
+    (terms rounded to 1e-12/1e-15 and cast to BIGINT before summing):
+    unlike the fixed-order fold expressions the rest of the kNN family
+    uses, these sums run through shuffled GROUP BYs whose reduction
+    order varies with partitioning (AQE coalescing under load), and a
+    doubles-sum that lands within float noise of a round-6 boundary
+    flipped the oracle hash once per ~few hundred full-suite runs (the
+    r2 flake; the r2 fix only stabilized the RANK key, not the emitted
+    dist values). Integer addition is exactly associative, so the
+    quantized pipeline is bit-stable under ANY partitioning in BOTH
+    engines; the ≤1e-10 quantization error is invisible at round-6.
     """
     dot = dot_sql(dialect, "q.v", "c.v")
     if dialect == "spark":
@@ -1764,19 +1783,26 @@ hits_v AS (
   SELECT g.query_id, c.v FROM grounded g JOIN cands c ON c.vec_id = g.vec_id
 ),
 hyp AS (
-  SELECT query_id, pos, avg(x) AS h
+  SELECT query_id, pos,
+         CAST(sum(CAST(round(x * 1e12, 0) AS BIGINT)) AS DOUBLE)
+           / (count(*) * 1e12) AS h
   FROM ({hit_ex}) he
   GROUP BY query_id, pos
 ),
 hyp_norm AS (
-  SELECT query_id, sqrt(sum(h * h)) AS hnorm FROM hyp GROUP BY query_id
+  SELECT query_id,
+         sqrt(CAST(sum(CAST(round(h * h * 1e15, 0) AS BIGINT)) AS DOUBLE)
+              / 1e15) AS hnorm
+  FROM hyp GROUP BY query_id
 ),
 cand_ex AS (
 {cand_ex}
 ),
 hyde_dist AS (
   SELECT hy.query_id, ce.vec_id,
-         1.0 - sum(hy.h * ce.x) / (max(hn.hnorm) * max(c.norm)) AS dist
+         1.0 - (CAST(sum(CAST(round(hy.h * ce.x * 1e12, 0) AS BIGINT))
+                     AS DOUBLE) / 1e12)
+               / (max(hn.hnorm) * max(c.norm)) AS dist
   FROM hyp hy
   JOIN cand_ex ce ON ce.pos = hy.pos
   JOIN cands c ON c.vec_id = ce.vec_id
