@@ -324,3 +324,56 @@ JOIN lm ON lm.tok = t.tok
 CROSS JOIN tot
 GROUP BY t.doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-rule family)
+# ---------------------------------------------------------------------------
+
+def repetition_signals_sql(dialect: str, source: str = "docs_tok") -> str:
+    """Per-document repetition statistics — the Gopher repetition-rule
+    family (Rae et al. 2021 §A1.1) re-anchored on the analyzed-token
+    stream: duplicate-word mass, top-bigram mass, and the resulting
+    keep/flag decision (top-2-gram fraction > 0.18 is the published
+    Gopher cutoff; duplicate-word cutoff 0.60 is this engine's config).
+
+    Plan shape: adjacent bigrams come from positional indexing of the
+    (materialized) token arrays, the per-(doc, bigram) count and the
+    per-doc roll-up are two hash aggregates both keyed on doc_id — the
+    second reuses the first's partitioning at scale. No joins besides
+    the broadcastable per-doc size relation."""
+    if dialect == "spark":
+        bi = f"""
+  SELECT doc_id, concat(toks[i], ' ', toks[i + 1]) AS bg
+  FROM (SELECT doc_id, toks,
+               explode(sequence(0, size(toks) - 2)) AS i
+        FROM {source} WHERE size(toks) >= 2) e"""
+        n_toks = "size(toks)"
+        n_uniq = "size(array_distinct(toks))"
+    else:
+        bi = f"""
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM {source}, unnest(generate_series(1, len(toks) - 1)) AS _g(i)
+  WHERE len(toks) >= 2"""
+        n_toks = "len(toks)"
+        n_uniq = "len(list_distinct(toks))"
+    return f"""
+WITH sizes AS (
+  SELECT doc_id, {n_toks} AS n_toks, {n_uniq} AS n_uniq
+  FROM {source} WHERE {n_toks} >= 2
+),
+bi AS ({bi}),
+cnt AS (
+  SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg
+),
+agg AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM cnt GROUP BY doc_id
+)
+SELECT s.doc_id,
+       round(1.0 - CAST(s.n_uniq AS DOUBLE) / s.n_toks, 6) AS dup_word_frac,
+       round(CAST(a.top_c AS DOUBLE) / a.n_bg, 6) AS top_bigram_frac,
+       CAST(CASE WHEN CAST(a.top_c AS DOUBLE) / a.n_bg > 0.18
+                   OR 1.0 - CAST(s.n_uniq AS DOUBLE) / s.n_toks > 0.60
+             THEN 1 ELSE 0 END AS INT) AS flagged_repetitive
+FROM sizes s JOIN agg a ON a.doc_id = s.doc_id
+""".strip()

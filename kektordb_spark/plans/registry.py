@@ -2296,6 +2296,18 @@ def pipeline_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_repetition_signals",
+          with_oracle_ctes(TQ.repetition_signals_sql("duckdb"), ["docs_tok"]))
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition signals (duplicate-word mass, top-bigram
+    mass, keep/flag decision) — functions/textquality.py
+    repetition_signals_sql. Spark runs the identical dialect SQL over
+    the parquet-materialized token relation (stored column, so the
+    positional explode's generator child is cheap — no rule-1 hazard)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(TQ.repetition_signals_sql("spark", source="docs_tok_par"))
+
+
 @register("text_unigram_logprob",
           with_oracle_ctes(TQ.unigram_logprob_sql("duckdb"), ["docs_tok"]))
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
