@@ -84,9 +84,15 @@ def sentiment_shifts_sql(
         )
         epoch = "CAST(floor(epoch(e.ts)) AS BIGINT)"
     return f"""
-WITH s AS (
-  SELECT e.user_id, {epoch} AS ets, CAST({senti} AS DOUBLE) AS senti
-  FROM events e JOIN docs_tok d ON d.doc_id = e.event_id % 500
+WITH ds AS (
+  -- sentiment is DOC-level: evaluate the lexicon filters once per doc
+  -- (|docs| HOF evaluations) instead of once per joined event row
+  -- (|events| — measured ~3x the query cost at sf0.1)
+  SELECT doc_id, CAST({senti} AS DOUBLE) AS senti FROM docs_tok
+),
+s AS (
+  SELECT e.user_id, {epoch} AS ets, d.senti
+  FROM events e JOIN ds d ON d.doc_id = e.event_id % 500
 ),
 w AS (
   SELECT user_id,
