@@ -723,7 +723,7 @@ def import_jsonl(
     absent. The loaded relation becomes the index snapshot directly —
     a bulk import is one MERGE, not per-row adds (the reference's
     VImport also bypasses per-add checks for bulk restore)."""
-    raw = spark.read.schema(VECTOR_SCHEMA).json(path)
+    raw = spark.read.schema(VECTOR_SCHEMA).option("mode", "FAILFAST").json(path)
     defaults = {
         "norm": F.coalesce(F.col("norm"), F.expr(_NORM)),
         "created_at": F.coalesce(F.col("created_at"), F.lit(now)),

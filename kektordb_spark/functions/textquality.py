@@ -296,7 +296,11 @@ def unigram_logprob_sql(dialect: str, source: str = "docs_tok") -> str:
     back, and the final pass is one doc-keyed aggregate. Two shuffles
     total at any scale. Rounding: mean log-prob to 5 decimals, and the
     perplexity proxy derives from the ROUNDED mean so both engines
-    exponentiate the identical value (SCALE.md rule 7 discipline)."""
+    exponentiate the identical value (SCALE.md rule 7 discipline).
+    The mean itself sums ln terms on an integer grid (rule 7b: each
+    term quantized to 1e-12 per row, summed as BIGINT — exactly
+    associative, so the doc-keyed shuffle order can never flip a
+    rounding boundary; same fix class as hyde/PQ/IVFPQ)."""
     if dialect == "spark":
         tok_rel = f"""SELECT doc_id, tok FROM {source}
   LATERAL VIEW explode(toks) _t AS tok"""
@@ -314,15 +318,19 @@ lm AS (
 tot AS (
   SELECT sum(c) AS n FROM lm
 )
-SELECT t.doc_id,
+SELECT doc_id,
        CAST(count(*) AS INT) AS n_toks,
-       round(avg({log}(CAST(lm.c AS DOUBLE) / tot.n)), 5) AS avg_logprob,
-       round(exp(-round(avg({log}(CAST(lm.c AS DOUBLE) / tot.n)), 5)), 3)
-         AS ppl_proxy
-FROM tok t
-JOIN lm ON lm.tok = t.tok
-CROSS JOIN tot
-GROUP BY t.doc_id
+       round(sum(lp_q) / 1e12 / count(*), 5) AS avg_logprob,
+       round(exp(-round(sum(lp_q) / 1e12 / count(*), 5)), 3) AS ppl_proxy
+FROM (
+  SELECT t.doc_id,
+         CAST(round({log}(CAST(lm.c AS DOUBLE) / tot.n) * 1e12) AS BIGINT)
+           AS lp_q
+  FROM tok t
+  JOIN lm ON lm.tok = t.tok
+  CROSS JOIN tot
+) q
+GROUP BY doc_id
 """.strip()
 
 

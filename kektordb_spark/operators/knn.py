@@ -129,6 +129,14 @@ FROM ranked WHERE rank <= {k}
 """.strip()
 
 
+# Single source of truth for the default hyperplane lattice
+# (n_planes, n_tables, seed, dim). lsh_signatures (the persisted index
+# builder, tables.load_tables "lsh_sig") and lsh_bucketed_knn (the
+# query side) BOTH default from this tuple, so an independent drift of
+# either signature can't silently make buckets incomparable.
+LSH_LATTICE = (12, 4, 42, 64)
+
+
 def _lsh_planes(seed: int, n_planes: int, n_tables: int, dim: int):
     """The deterministic seeded hyperplane lattice shared by inline
     bucketing and the persisted signature index (both MUST use the same
@@ -171,10 +179,10 @@ def _lsh_with_buckets(df: DataFrame, vcol: str, planes) -> DataFrame:
 
 def lsh_signatures(
     vectors: DataFrame,
-    n_planes: int = 12,
-    n_tables: int = 4,
-    seed: int = 42,
-    dim: int = 64,
+    n_planes: int = LSH_LATTICE[0],
+    n_tables: int = LSH_LATTICE[1],
+    seed: int = LSH_LATTICE[2],
+    dim: int = LSH_LATTICE[3],
     id_col: str = "id",
     vec_col: str = "v",
 ) -> DataFrame:
@@ -208,10 +216,10 @@ def lsh_bucketed_knn(
     vectors: DataFrame,
     queries: DataFrame,
     k: int,
-    n_planes: int = 12,
-    n_tables: int = 4,
-    seed: int = 42,
-    dim: int = 64,
+    n_planes: int = LSH_LATTICE[0],
+    n_tables: int = LSH_LATTICE[1],
+    seed: int = LSH_LATTICE[2],
+    dim: int = LSH_LATTICE[3],
     id_col: str = "id",
     vec_col: str = "v",
     norm_col: str = "norm",
@@ -219,6 +227,7 @@ def lsh_bucketed_knn(
     query_vec_col: str = "qv",
     query_norm_col: str = "qnorm",
     sig_source: DataFrame | None = None,
+    sig_lattice: tuple = LSH_LATTICE,
 ) -> DataFrame:
     """Approximate cosine k-NN via random-hyperplane LSH.
 
@@ -234,7 +243,21 @@ def lsh_bucketed_knn(
     under the SAME (n_planes, n_tables, seed, dim) lattice). Spares the
     per-query signature pass over the whole corpus; default computes
     signatures inline.
+
+    ``sig_lattice``: the (n_planes, n_tables, seed, dim) tuple the
+    ``sig_source`` relation was built under (defaults to
+    :data:`LSH_LATTICE`, which is also what lsh_signatures defaults
+    to). When a persisted index is supplied, the query-side lattice
+    MUST match it — a drift would silently return wrong neighbors, so
+    it raises instead.
     """
+    if sig_source is not None and (n_planes, n_tables, seed, dim) != tuple(sig_lattice):
+        raise ValueError(
+            "lsh_bucketed_knn: query lattice "
+            f"{(n_planes, n_tables, seed, dim)} != persisted index lattice "
+            f"{tuple(sig_lattice)} — rebuild lsh_signatures or pass the "
+            "matching sig_lattice"
+        )
     planes = _lsh_planes(seed, n_planes, n_tables, dim)
 
     def with_buckets(df: DataFrame, vcol: str) -> DataFrame:

@@ -562,9 +562,17 @@ def ingest_upsert_run(
                 .trigger(availableNow=True)
                 .start()
             )
+            # Restore the conf only after the stream has drained: the
+            # micro-batches themselves must run under the 8-partition
+            # setting, and a False return (timeout) means the final
+            # snapshot would be read mid-write — fail loudly instead.
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "ingest_upsert_run: stream did not drain within 300 s"
+                )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-        q.awaitTermination(300)
 
         final = spark.read.parquet(
             os.path.join(target, f"v{state['version']}")

@@ -314,3 +314,13 @@ def test_jsonl_export_import_roundtrip(spark):
         assert (z["created_at"], z["access_count"], z["deleted"]) == (400, 0, False)
         assert abs(z["norm"] - 3.0) < 1e-12
         assert z["memory_layer"] == "episodic"
+
+        # corrupt dump: a malformed line fails LOUDLY (FAILFAST), never
+        # a silent all-null row dropped by the id filter (r3 ADVICE)
+        with open(f"{d}/corrupt.jsonl", "w") as fh:
+            fh.write(json.dumps({"id": "ok", "v": [1.0, 0.0]}) + "\n")
+            fh.write("{not json at all\n")
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="(?i)malformed|failfast|corrupt"):
+            api.import_jsonl(spark, "io4", f"{d}/corrupt.jsonl", now=500) \
+                .vectors.count()
