@@ -33,6 +33,23 @@ from kektordb_spark.session import get_spark
 HEADLINE = list(registry.queries())
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line.
+    Steal accumulated DURING the run is time the hypervisor gave to
+    other guests — wall-clock timings taken then overstate query cost
+    (the r3 committed bench was ~29% steal noise and mis-read as a
+    regression). The delta is annotated into the JSON so a loaded-host
+    run is never mistaken for a real slowdown."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except OSError:
+        return 0, 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
@@ -81,6 +98,18 @@ def main() -> None:
         "i -> md5(concat_ws(' ', slice(toks, i + 1, 5)))) AS g FROM docs_tok_par "
         "WHERE size(toks) >= 5) t WHERE size(g) >= 0"
     ).collect()
+    # localCheckpoint machinery (block-manager write path + the
+    # join+groupBy-sum shape the iterative family reuses) — pagerank /
+    # BFS otherwise absorb this one-time cost in their first timing.
+    _w = (
+        spark.range(1000)
+        .selectExpr("id % 97 AS src", "id % 89 AS dst", "CAST(1.0 AS DOUBLE) AS wt")
+        .localCheckpoint(eager=True)
+    )
+    _r = _w.selectExpr("src AS node", "wt AS pr").localCheckpoint(eager=True)
+    _w.join(_r.withColumnRenamed("node", "src"), "src") \
+        .groupBy("dst").sum("pr").collect()
+    _w.unpersist(); _r.unpersist()
     # Streaming-engine bootstrap (state store providers, checkpoint
     # machinery) — the first streaming query otherwise absorbs it.
     from kektordb_spark.streaming.events import read_event_stream, run_to_memory
@@ -92,6 +121,7 @@ def main() -> None:
         output_mode="append",
     )
 
+    steal0, total0 = _cpu_jiffies()
     queries = registry.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -108,6 +138,10 @@ def main() -> None:
         for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             jrdd.unpersist()
 
+    steal1, total1 = _cpu_jiffies()
+    steal_d, jiffies_d = steal1 - steal0, max(total1 - total0, 1)
+    steal_pct = round(100.0 * steal_d / jiffies_d, 2)
+
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
@@ -117,7 +151,17 @@ def main() -> None:
         "queries": timings,
         "n_queries": len(timings),
         "sf": sf_val,
+        "steal_jiffies": steal_d,
+        "steal_pct": steal_pct,
+        "host_loaded": steal_pct > 5.0,
     }
+    if steal_pct > 5.0:
+        print(
+            f"[bench] WARNING: hypervisor steal was {steal_pct}% of CPU time "
+            "during this run — timings overstate query cost; re-run on a "
+            "quiet host before comparing round-over-round",
+            file=sys.stderr,
+        )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1)
 

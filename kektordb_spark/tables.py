@@ -442,6 +442,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     from kektordb_spark.operators.knn import lsh_signatures
 
     _mat("lsh_sig", lsh_signatures(embv, id_col="vec_id"))
+    # PageRank transition-weight relation w(u,v) = cnt/outdeg(u): a
+    # static derivation of the immutable edge snapshot, maintained as
+    # an adjacency-layout table beside the edge log on a cluster
+    # (operators/pagerank.py transition_weights docstring).
+    from kektordb_spark.operators.pagerank import transition_weights
+
+    _mat("pr_w", transition_weights(spark.table("edges")))
     _REGISTERED[sid] = (sf_dir, out)
     return out
 
