@@ -413,6 +413,52 @@ def vunlink(
     return replace(index, edges=edges)
 
 
+def vtraverse(index: Index, start_id: str, paths: list[str]) -> dict:
+    """G5 VTraverse nested response (ops.go:594-692): hydrated
+    GraphNode tree for one root — ``{"id", "v", "meta",
+    "connections": {path: [child GraphNode, ...]}}`` with each child's
+    own ``connections`` keyed by the REMAINING dot-path, exactly the
+    reference's GraphNode/Connections shape. Unknown root raises
+    KeyError (the reference's VGet error).
+
+    The per-path tree is assembled IN SPARK (one collect_list level
+    per segment — operators.graph.traverse_tree); only the final
+    root row (one row per path) is collected here, which is the
+    point-lookup response surface, not a table scan."""
+    from kektordb_spark.operators.graph import traverse_tree
+
+    live = index.vectors.where(~F.col("deleted"))
+    root_rows = live.where(F.col("id") == start_id).select(
+        "id", "v", "meta"
+    ).collect()
+    if not root_rows:
+        raise KeyError(f"vector {start_id!r} not found")
+    r = root_rows[0]
+    out = {"id": r["id"], "v": r["v"], "meta": r["meta"], "connections": {}}
+
+    def to_dict(node, remaining: list[str]) -> dict:
+        d = {"id": node["id"], "v": node["v"], "meta": node["meta"],
+             "connections": {}}
+        kids = node["children"] if "children" in node.asDict() else None
+        if kids and remaining:
+            d["connections"][".".join(remaining)] = [
+                to_dict(c, remaining[1:]) for c in kids
+            ]
+        return d
+
+    for path_str in paths:
+        parts = [p for p in path_str.split(".") if p][:10]
+        if not parts:
+            continue
+        rows = traverse_tree(index.edges, live, start_id, parts).collect()
+        kids = rows[0]["children"] if rows else None
+        if kids:
+            out["connections"][path_str] = [
+                to_dict(c, parts[1:]) for c in kids
+            ]
+    return out
+
+
 def graph_vacuum(index: Index, now: int, retention: int) -> Index:
     """G12 (core/graph.go:367-416): purge edges soft-deleted longer
     than ``retention`` seconds ago — one pushed-down filter (Delta:

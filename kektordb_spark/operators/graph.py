@@ -213,6 +213,72 @@ def traverse(
     return cur.select(*[f"n{i}" for i in range(len(path) + 1)])
 
 
+def traverse_tree(
+    edges: DataFrame,
+    vectors: DataFrame,
+    start_id: str,
+    path: list[str],
+    at_time: int | None = None,
+) -> DataFrame:
+    """G5 VTraverse nested-tree response shape (ops.go:594-692): the
+    reference returns a hydrated GraphNode tree — per level, each node
+    carries its VectorData and a Connections map keyed by the REMAINING
+    dot-path. :func:`traverse` computes the flat relation; this
+    assembles the tree IN SPARK, deepest level first: one
+    ``collect_list(struct(...))`` aggregation per path segment, each
+    keyed on the parent coordinates, so the grouped state per key is
+    one node's children (bounded by out-degree), never the whole
+    relation. Children sort by id (``array_sort`` with an id
+    comparator — struct-with-map elements have no natural ordering,
+    so ``sort_array`` would reject the type; id-first
+    structs) for a deterministic response.
+
+    Returns a single root row (id, v, meta, children); ``children``
+    nests one level per path segment, NULL where a node has no
+    onward connections (the reference's nil Connections map).
+    :func:`kektordb_spark.api.vtraverse` converts this row to the
+    reference's response dict with the dot-path Connections keys."""
+    spark = edges.sparkSession
+    path = path[:10]  # reference maxDepth clamp (ops.go:636)
+    roots = spark.createDataFrame([(start_id,)], "node string")
+    chain = traverse(edges, roots, path, at_time=at_time)
+    vdata = vectors.select("id", "v", "meta")
+    k = len(path)
+    children = None  # keyed by (n0..n{L}) after processing level L+1
+    for lvl in range(k, 0, -1):
+        keys = [f"n{i}" for i in range(lvl)]
+        rows = chain.select(*keys, f"n{lvl}").distinct()
+        rows = rows.join(
+            F.broadcast(vdata.withColumnRenamed("id", f"n{lvl}")),
+            f"n{lvl}", "left",
+        )
+        fields = [F.col(f"n{lvl}").alias("id"), F.col("v"), F.col("meta")]
+        if children is not None:
+            rows = rows.join(children, keys + [f"n{lvl}"], "left")
+            fields.append(F.col("children"))
+        node = F.struct(*fields).alias("node")
+        children = (
+            rows.select(*keys, node)
+            .groupBy(*keys)
+            .agg(
+                F.array_sort(
+                    F.collect_list("node"),
+                    lambda l, r: F.when(l["id"] < r["id"], -1)
+                    .when(l["id"] > r["id"], 1)
+                    .otherwise(0),
+                ).alias("children")
+            )
+        )
+    root = vdata.where(F.col("id") == start_id)
+    if children is not None:
+        root = root.join(
+            children.withColumnRenamed("n0", "id"), "id", "left"
+        )
+    else:
+        root = root.withColumn("children", F.lit(None))
+    return root
+
+
 def traverse_oracle_sql(root_pred: str, path: list[str], at_time: int | None) -> str:
     """Chain-of-joins oracle for traverse(); ``root_pred`` filters the
     root nodes out of the edges' src domain (e.g. "src LIKE 'p\\_%'")."""

@@ -21,13 +21,38 @@ Spark shape:
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 DEFAULT_SEPARATORS = ["\n\n", "\n", " ", ""]
+
+# Named strategy presets — the reference's NewSplitterFactory separator
+# lists verbatim (pkg/rag/splitter.go:22-90): markdown cuts on ##/###
+# headers before paragraphs; code cuts on func/type/class declarations
+# (splitter.go lists "\nclass" twice — a no-op on re-split, collapsed
+# here); "fixed" is the [""] degenerate recursion the factory comments
+# describe, distinct from split_fixed's stride-with-overlap form.
+SPLITTER_PRESETS: dict[str, list[str]] = {
+    "recursive": DEFAULT_SEPARATORS,
+    "markdown": ["\n## ", "\n### ", "\n\n", "\n", " ", ""],
+    "md": ["\n## ", "\n### ", "\n\n", "\n", " ", ""],
+    "code": ["\nfunc", "\ntype", "\nclass", "\n\n", "\n", " ", ""],
+    "go": ["\nfunc", "\ntype", "\nclass", "\n\n", "\n", " ", ""],
+    "python": ["\nfunc", "\ntype", "\nclass", "\n\n", "\n", " ", ""],
+}
+
+
+def splitter_separators(
+    strategy: str = "recursive",
+    custom_separators: list[str] | None = None,
+) -> list[str]:
+    """NewSplitterFactory's selection rule (splitter.go:22-66): caller
+    separators win outright; otherwise the named strategy picks its
+    preset list; unknown strategies fall through to recursive."""
+    if custom_separators:
+        return list(custom_separators)
+    return list(SPLITTER_PRESETS.get(strategy, DEFAULT_SEPARATORS))
 
 
 def split_recursive(
@@ -97,10 +122,17 @@ def chunk_documents(
     separators: list[str] | None = None,
 ) -> DataFrame:
     """T5: explode documents into chunk rows
-    (doc_id, chunk_index, chunk_text, chunk_id)."""
-    if mode == "recursive":
+    (doc_id, chunk_index, chunk_text, chunk_id).
+
+    ``mode`` accepts the reference factory's strategy names
+    (recursive/markdown/md/code/go/python → preset separator recursion;
+    "fixed" → stride-with-overlap). Explicit ``separators`` override
+    the preset, like CustomSeparators in splitter.go:34-40."""
+    if mode != "fixed":
+        seps = splitter_separators(mode, separators)
+
         def fn(t, cs, ov):
-            return split_recursive(t, cs, ov, separators)
+            return split_recursive(t, cs, ov, seps)
     else:
         fn = split_fixed
 
@@ -149,24 +181,21 @@ def chunk_link_edges(chunks: DataFrame, now: int = 0) -> DataFrame:
     return nxt.unionByName(prv)
 
 
-EMBED_DIM = 16
+# One dimension constant shared with the embedder seam (re-exported
+# here for the SQL oracle builders and existing imports).
+from kektordb_spark.functions.embedder import (  # noqa: E402
+    DEFAULT_DIM as EMBED_DIM,
+    embedding_udf,
+    get_embedder,
+    set_embedder,
+)
 
-
-@F.pandas_udf(T.ArrayType(T.FloatType()))
-def embed_stub(texts):
-    """§2.10 pluggable embedder UDF — deterministic hash projection
-    standing in for an ONNX/API encoder (reference SelectEmbedder
-    factory, pkg/embeddings/). Arrow-batched; swapping in a real model
-    changes only this function body."""
-    import pandas as pd
-
-    def one(t: str):
-        if t is None:
-            return None
-        digest = hashlib.sha256(t.encode()).digest()
-        return [digest[i] / 255.0 - 0.5 for i in range(EMBED_DIM)]
-
-    return pd.Series([one(t) for t in texts])
+# §2.10 pluggable embedder UDF — bound to the DEFAULT HashEmbedder at
+# import (deterministic hash projection, oracle-checkable). Call sites
+# that must honor a swapped-in encoder (functions.embedder.
+# set_embedder) build a fresh embedding_udf() at call time instead —
+# see ingest().
+embed_stub = embedding_udf()
 
 
 def embed_sql(dialect: str, txt: str) -> str:
@@ -193,11 +222,14 @@ def ingest(docs: DataFrame, now: int = 0, chunk_size: int = 60, overlap: int = 1
     """Full S10 pipeline: chunk → embed → vector rows + prev/next
     edges. Returns (vector_rows, edge_rows) ready for api.vadd_batch /
     MERGE. One scan of docs; the only shuffle is the lag window keyed
-    on doc_id."""
+    on doc_id. The encode step resolves the CURRENT process embedder
+    (functions.embedder seam) — swap with set_embedder and re-ingest;
+    dimension drift fails the job (ops.go:338-347 contract)."""
     chunks = chunk_documents(docs, chunk_size=chunk_size, overlap=overlap)
+    embed = embedding_udf()
     vectors = chunks.select(
         F.col("chunk_id").alias("id"),
-        embed_stub(F.col("chunk_text")).alias("v"),
+        embed(F.col("chunk_text")).alias("v"),
         F.col("doc_id"), F.col("chunk_index"), F.col("chunk_text"),
     )
     return vectors, chunk_link_edges(chunks, now=now)

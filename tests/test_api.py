@@ -324,3 +324,70 @@ def test_jsonl_export_import_roundtrip(spark):
         with _pytest.raises(Exception, match="(?i)malformed|failfast|corrupt"):
             api.import_jsonl(spark, "io4", f"{d}/corrupt.jsonl", now=500) \
                 .vectors.count()
+
+
+def test_vtraverse_nested_tree(spark):
+    """G5 VTraverse response shape (ops.go:594-692): hydrated nested
+    GraphNode tree — Connections keyed by the full dot-path at the
+    root and by the REMAINING path at each level; children carry
+    their own VectorData; relation-less paths are absent, not empty;
+    unknown root raises."""
+    ix = api.vcreate(spark, "trav")
+    ix = api.vadd_batch(ix, [
+        {"id": n, "vector": [1.0, float(i)], "meta": {"n": n}}
+        for i, n in enumerate(["a", "b", "c", "d", "e"])
+    ], now=T0)
+    ix = api.vlink(ix, "a", "b", "parent", now=T0)
+    ix = api.vlink(ix, "a", "c", "parent", now=T0)
+    ix = api.vlink(ix, "b", "d", "child", now=T0)
+    ix = api.vlink(ix, "c", "e", "child", now=T0)
+
+    tree = api.vtraverse(ix, "a", ["parent.child", "sibling"])
+    assert tree["id"] == "a" and tree["meta"]["n"] == "a"
+    assert set(tree["connections"]) == {"parent.child"}  # sibling: no edges
+    lvl1 = tree["connections"]["parent.child"]
+    assert [n["id"] for n in lvl1] == ["b", "c"]  # sorted, hydrated
+    assert lvl1[0]["meta"] == {"n": "b"} and lvl1[0]["v"] == [1.0, 1.0]
+    # level-2 connections keyed by the remaining path ("child")
+    assert [c["id"] for c in lvl1[0]["connections"]["child"]] == ["d"]
+    assert [c["id"] for c in lvl1[1]["connections"]["child"]] == ["e"]
+    # leaves have no onward connections
+    assert lvl1[0]["connections"]["child"][0]["connections"] == {}
+    # single-segment path: flat hydrated children
+    flat = api.vtraverse(ix, "b", ["child"])
+    assert [n["id"] for n in flat["connections"]["child"]] == ["d"]
+    with pytest.raises(KeyError):
+        api.vtraverse(ix, "zz", ["parent"])
+
+
+def test_splitter_presets():
+    """T5 named presets (splitter.go:22-90): markdown cuts on ##/###
+    headers, code on declaration keywords; custom separators override
+    the strategy; unknown strategy falls back to recursive."""
+    from kektordb_spark.sources.rag import (
+        DEFAULT_SEPARATORS,
+        SPLITTER_PRESETS,
+        split_recursive,
+        splitter_separators,
+    )
+
+    assert splitter_separators("markdown") == SPLITTER_PRESETS["md"]
+    assert splitter_separators("go") == SPLITTER_PRESETS["code"]
+    assert splitter_separators("nonsense") == DEFAULT_SEPARATORS
+    assert splitter_separators("markdown", ["|"]) == ["|"]
+
+    md = "# T\nintro words here\n## A\nalpha body text\n## B\nbeta body text"
+    chunks = split_recursive(md, chunk_size=30, overlap=0,
+                             separators=splitter_separators("markdown"))
+    # header boundaries are the cut points (the splitter consumes the
+    # matched separator, like the reference's merge loop): each ##
+    # section stays intact in its own chunk instead of splitting on
+    # plain newlines mid-section
+    assert chunks == ["# T\nintro words here",
+                      "A\nalpha body text", "B\nbeta body text"]
+
+    code = "package x\nfunc A() {\n a()\n}\nfunc B() {\n b()\n}"
+    cchunks = split_recursive(code, chunk_size=25, overlap=0,
+                              separators=splitter_separators("code"))
+    # each func body lands whole in its own chunk (cut on \nfunc)
+    assert cchunks == ["package x", " A() {\n a()\n}", " B() {\n b()\n}"]

@@ -1,0 +1,165 @@
+"""S10 loader chain: SmartLoader CLI-first fallback, AutoLoader
+extension dispatch, stdlib DOCX parsing, directory scan rules, and the
+distributed parse → chunk → embed → link pipeline
+(reference pkg/rag/loader_smart.go / loader_auto.go / loader_cli.go /
+loader_docx.go / pipeline.go:150-205)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import zipfile
+
+import pytest
+
+from kektordb_spark.sources import loaders as L
+
+DOCX_XML = """<?xml version="1.0"?>
+<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">
+ <w:body>
+  <w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t>Title</w:t></w:r></w:p>
+  <w:p><w:r><w:t>First </w:t></w:r><w:r><w:t>paragraph.</w:t></w:r></w:p>
+  <w:p><w:pPr><w:pStyle w:val="Heading2"/></w:pPr><w:r><w:t>Section</w:t></w:r></w:p>
+  <w:p><w:r><w:t>   </w:t></w:r></w:p>
+  <w:p><w:r><w:t>Body text.</w:t></w:r></w:p>
+ </w:body>
+</w:document>"""
+
+
+def make_docx(path: str, xml: str = DOCX_XML) -> None:
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", xml)
+
+
+def test_docx_loader_headings_and_runs(tmp_path):
+    p = str(tmp_path / "doc.docx")
+    make_docx(p)
+    doc = L.DocxLoader().load(p)
+    # Heading styles render as markdown; runs concatenate; blank
+    # paragraphs are dropped (loader_docx.go:112-131)
+    assert doc.text == (
+        "# Title\n\nFirst paragraph.\n\n## Section\n\nBody text.\n\n"
+    )
+
+
+def test_docx_loader_rejects_non_zip_and_missing_xml(tmp_path):
+    bad = tmp_path / "bad.docx"
+    bad.write_text("not a zip")
+    with pytest.raises(L.LoaderError, match="zip"):
+        L.DocxLoader().load(str(bad))
+    nodoc = str(tmp_path / "nodoc.docx")
+    with zipfile.ZipFile(nodoc, "w") as zf:
+        zf.writestr("other.xml", "<x/>")
+    with pytest.raises(L.LoaderError, match="document.xml"):
+        L.DocxLoader().load(nodoc)
+
+
+def test_auto_loader_dispatch(tmp_path):
+    (tmp_path / "a.txt").write_text("plain")
+    (tmp_path / "b.unknownext").write_text("fallback as text")
+    docx = str(tmp_path / "c.docx")
+    make_docx(docx)
+    auto = L.AutoLoader()
+    assert auto.load(str(tmp_path / "a.txt")).text == "plain"
+    assert auto.load(str(tmp_path / "b.unknownext")).text == "fallback as text"
+    assert auto.load(docx).loader == "docx"
+    # PDF is the documented stub: loud error, never garbage
+    (tmp_path / "d.pdf").write_bytes(b"%PDF-1.4 fake")
+    with pytest.raises(L.LoaderError, match="CLI parser"):
+        auto.load(str(tmp_path / "d.pdf"))
+
+
+def test_cli_loader_success_failure_empty(tmp_path):
+    f = tmp_path / "x.txt"
+    f.write_text("file-content")
+    py = sys.executable
+    ok = L.CliLoader([py, "-c", "print(open('{{file_path}}').read().upper())"])
+    assert ok.load(str(f)).text == "FILE-CONTENT"
+    with pytest.raises(L.LoaderError, match="exit"):
+        L.CliLoader([py, "-c", "import sys; sys.exit(3)"]).load(str(f))
+    with pytest.raises(L.LoaderError, match="empty"):
+        L.CliLoader([py, "-c", "pass"]).load(str(f))
+
+
+def test_smart_loader_cli_first_then_fallback(tmp_path):
+    f = tmp_path / "y.txt"
+    f.write_text("internal text")
+    py = sys.executable
+    # CLI succeeds -> its output wins (loader_smart.go:63-70)
+    smart = L.SmartLoader([py, "-c", "print('cli-parsed')"])
+    assert smart.load(str(f)).text == "cli-parsed"
+    # CLI fails -> silent fallback to AutoLoader (loader_smart.go:80-88)
+    broken = L.SmartLoader([py, "-c", "import sys; sys.exit(1)"])
+    doc = broken.load(str(f))
+    assert doc.text == "internal text" and doc.loader == "text"
+    # no CLI configured -> AutoLoader directly
+    assert L.SmartLoader().load(str(f)).text == "internal text"
+
+
+def test_scan_directory_rules(tmp_path):
+    (tmp_path / "keep.md").write_text("x")
+    (tmp_path / "note.txt").write_text("x")
+    (tmp_path / ".hidden.txt").write_text("x")
+    (tmp_path / "state.aof").write_text("x")
+    sub = tmp_path / ".git"
+    sub.mkdir()
+    (sub / "config.txt").write_text("x")
+    ok = tmp_path / "docs"
+    ok.mkdir()
+    (ok / "deep.txt").write_text("x")
+    got = L.scan_directory(str(tmp_path))
+    names = [os.path.basename(p) for p in got]
+    assert names == ["deep.txt", "keep.md", "note.txt"]
+    # include whitelist / exclude blacklist fnmatch the basename
+    assert [os.path.basename(p) for p in L.scan_directory(str(tmp_path), include=["*.md"])] == ["keep.md"]
+    assert [os.path.basename(p) for p in L.scan_directory(str(tmp_path), exclude=["*.txt"])] == ["keep.md"]
+
+
+def test_ingest_directory_end_to_end(spark, tmp_path):
+    """A non-plaintext file (docx) goes through the fallback chain and
+    produces chunk rows + prev/next edges; an unparseable file becomes
+    a failure ROW, not a job failure (r3 verdict item 3's 'done')."""
+    (tmp_path / "plain.txt").write_text(
+        "alpha beta gamma delta epsilon zeta eta theta " * 4
+    )
+    make_docx(str(tmp_path / "word.docx"))
+    (tmp_path / "scan.pdf").write_bytes(b"%PDF-1.4 binary")
+    vectors, edges, failures = L.ingest_directory(
+        spark, str(tmp_path), now=100, chunk_size=40, overlap=5,
+    )
+    vrows = vectors.collect()
+    by_doc = {}
+    for r in vrows:
+        by_doc.setdefault(os.path.basename(r["doc_id"]), []).append(r)
+    assert set(by_doc) == {"plain.txt", "word.docx"}
+    assert len(by_doc["plain.txt"]) > 1  # long text actually chunked
+    # docx parsed through the zip/XML chain (markdown heading present)
+    assert any("# Title" in r["chunk_text"] for r in by_doc["word.docx"])
+    # embeddings: default hash embedder dim
+    from kektordb_spark.functions.embedder import DEFAULT_DIM
+    assert all(len(r["v"]) == DEFAULT_DIM for r in vrows)
+    # prev/next edges exist for multi-chunk docs, both directions
+    erows = edges.collect()
+    rels = {r["rel"] for r in erows}
+    assert rels == {"next_chunk", "prev_chunk"}
+    # the PDF fell out as a failure row with the stub's guidance
+    frows = failures.collect()
+    assert len(frows) == 1 and frows[0]["path"].endswith("scan.pdf")
+    assert "CLI parser" in frows[0]["error"]
+
+
+def test_ingest_directory_cli_parser_handles_pdf(spark, tmp_path):
+    """With a parser_command configured, the 'PDF' parses via the CLI
+    route (the production path loader_smart.go documents)."""
+    (tmp_path / "doc.pdf").write_bytes(b"%PDF fake")
+    py = sys.executable
+    vectors, edges, failures = L.ingest_directory(
+        spark, str(tmp_path),
+        parser_command=[py, "-c", "print('pdf text extracted by tool')"],
+        chunk_size=100,
+    )
+    assert failures.count() == 0
+    chunks = vectors.collect()
+    assert len(chunks) == 1
+    assert chunks[0]["chunk_text"] == "pdf text extracted by tool"
