@@ -29,8 +29,13 @@ from kektordb_spark.plans import registry
 from kektordb_spark.session import get_spark
 
 # Headline set: every registered query (kept in sync automatically —
-# the registry is the SURVEY.md §2 inventory).
-HEADLINE = list(registry.queries())
+# the registry is the SURVEY.md §2 inventory). Run in SOURCE order,
+# not registration order: registration order is reshuffled for the
+# driver's correctness-window sampling (registry._DRIVER_WINDOW_FIRST),
+# and benching in that order would move session-residual warm-up costs
+# onto different queries each time the window changes — source order
+# keeps per-query timings comparable round over round.
+HEADLINE = registry.source_order()
 
 
 def _cpu_jiffies() -> tuple[int, int]:

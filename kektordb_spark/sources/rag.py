@@ -136,11 +136,19 @@ def chunk_documents(
     else:
         fn = split_fixed
 
-    @F.udf(_CHUNK_SCHEMA)
-    def _chunks(text: str):
-        if text is None:
-            return []
-        return [(i, c) for i, c in enumerate(fn(text, chunk_size, overlap))]
+    # Arrow-batched (pandas_udf, not row-at-a-time): splitting is pure
+    # per-document string work, so the only per-row cost worth paying
+    # is the Python call itself — Arrow transfer amortizes the
+    # serialization across the batch (r3 advice note).
+    @F.pandas_udf(_CHUNK_SCHEMA)
+    def _chunks(texts):
+        import pandas as pd
+
+        return pd.Series([
+            [] if t is None
+            else [(i, c) for i, c in enumerate(fn(t, chunk_size, overlap))]
+            for t in texts
+        ])
 
     return (
         docs.select(F.col(id_col).alias("doc_id"), _chunks(F.col(text_col)).alias("cs"))
