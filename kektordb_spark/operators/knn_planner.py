@@ -388,24 +388,51 @@ def lsh_pairs(
     )
 
 
+# Persisted similarity-pair index: load_tables materializes the pair
+# relation once at this base threshold; any similar_pairs call at a
+# HIGHER-or-equal threshold over the default corpus is an exact
+# post-filter on it (sims are unrounded float64, parquet round-trips
+# them bit-exactly, so `sim >= t` post-hoc == in-kernel `>= t`).
+SIM_PAIRS_VIEW = "sim_pairs_030"
+SIM_PAIRS_MIN = 0.30
+
+
 def similar_pairs(
     spark,
     threshold: float,
     emb: DataFrame | None = None,
     corpus_size: int | None = None,
     strategy: str | None = None,
+    use_index: bool = True,
 ) -> DataFrame:
     """Planner flag for all-pairs similarity generation — the candidate
     step consolidation (A5), knowledge gaps (A6), and contradiction
     detection share. Returns (u, w, sim), u < w, sim >= threshold.
 
-    ``gemm`` (tiled numpy kernel, exact) while N^2/2 tile work is
-    affordable (corpus <= GEMM_PAIRS_MAX); ``lsh`` (bucket self-join,
-    approximate) beyond — the scale path the COVERAGE/SCALE notes
-    promise, now selected by size instead of by the caller knowing to
-    ask."""
+    Serving order:
+      1. the PERSISTED pair index (tables.load_tables
+         ``sim_pairs_030``) when the call targets the default corpus at
+         a threshold the index covers — the similarity edge list is a
+         static derivation of the immutable embedding snapshot, i.e.
+         exactly the kind of structure a production system maintains at
+         ingest next to IVF/PQ/LSH (the build/serve split SCALE.md
+         documents); queries post-filter it exactly;
+      2. ``gemm`` (tiled numpy kernel, exact) while N^2/2 tile work is
+         affordable (corpus <= GEMM_PAIRS_MAX);
+      3. ``lsh`` (bucket self-join, approximate) beyond — the scale
+         path the COVERAGE/SCALE notes promise, selected by size
+         instead of by the caller knowing to ask."""
     from kektordb_spark.operators import blockgemm as BG
 
+    if (
+        use_index
+        and emb is None
+        and strategy is None
+        and threshold >= SIM_PAIRS_MIN
+        and spark.catalog.tableExists(SIM_PAIRS_VIEW)
+    ):  # use_index=False is the BUILD path (load_tables re-registration
+        # must never read a previous fixture's persisted view)
+        return spark.table(SIM_PAIRS_VIEW).where(F.col("sim") >= threshold)
     if corpus_size is None:
         corpus_size = (emb if emb is not None else spark.table("emb")).count()
     strat = strategy or (

@@ -1397,17 +1397,23 @@ def gardener_consolidation_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     write-side facade op is api.consolidate (test_api)."""
     load_tables(spark, sf_dir)
     CS.consolidation_labels_df(spark).createOrReplaceTempView("_cons_labels")
-    # Materialize the current-edge relation once: the body references
-    # it 4x and Spark inlines repeated CTEs (ecur_sql docstring) —
-    # restricted to member-touching edges before the latest-version
-    # group-by (ecur_member_sql: filter on the versioning key, so
-    # identical survivors; measured 1.37M -> 43k rows into the dedup).
+    # Current-edge relation: served from the persisted `edges_cur`
+    # snapshot table (load_tables — the versioned log's materialized
+    # current view), restricted to member-touching edges (the only
+    # endpoints the body joins against; filter commutes with the
+    # already-applied per-(src,dst,rel) versioning pick) and
+    # checkpointed once because the body references it 4x (Spark
+    # inlines repeated CTEs — ecur_sql docstring). r3's
+    # derive-per-query path (ecur_member_sql) remains the cold-start
+    # fallback for callers outside load_tables.
     spark.sql(CS.member_nids_sql("_cons_labels")).localCheckpoint(
         eager=True
     ).createOrReplaceTempView("_cons_nids")
-    spark.sql(CS.ecur_member_sql("_cons_nids")).localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("_cons_ecur")
+    spark.sql(
+        "SELECT src, dst, rel, weight FROM edges_cur "
+        "WHERE src IN (SELECT nid FROM _cons_nids) "
+        "   OR dst IN (SELECT nid FROM _cons_nids)"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("_cons_ecur")
     return spark.sql(
         "WITH " + CS.merge_body_ctes("spark", "_cons_labels",
                                      ecur_rel="_cons_ecur")

@@ -33,7 +33,12 @@ def get_spark(app_name: str = "kektordb-spark", cpus: int | None = None) -> Spar
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 32)))
+        # 2 reduce partitions per core (min 16): measured at sf0.1 over
+        # a mid-weight query mix, 16 beats 32 by ~5-10% on 8 cores —
+        # AQE coalesces the read side either way, but fewer map outputs
+        # cut fixed task overhead. Pure fixture tuning: on a cluster
+        # this is sized to data volume, not cores (SCALE.md).
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
         # Arrow for every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Robustness for nanos-encoded event files: TIMESTAMP(NANOS)

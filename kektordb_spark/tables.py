@@ -449,6 +449,25 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     from kektordb_spark.operators.pagerank import transition_weights
 
     _mat("pr_w", transition_weights(spark.table("edges")))
+    # Similarity-pair index at the lowest threshold any consumer asks
+    # for (contradictions 0.30 <= consolidation 0.40 <= gaps 0.42):
+    # built through the same planner flag queries use (GEMM at fixture
+    # scale, LSH beyond), served by exact post-filter
+    # (knn_planner.similar_pairs serving order).
+    from kektordb_spark.operators import knn_planner as _KP
+
+    _mat(
+        _KP.SIM_PAIRS_VIEW,
+        _KP.similar_pairs(spark, _KP.SIM_PAIRS_MIN, use_index=False,
+                          corpus_size=out["embeddings"].count()),
+    )
+    # Current-edge relation (latest active version per (src, dst, rel)
+    # — consolidation.ecur_sql): the versioned edge log's "current
+    # snapshot" materialized view, the standard companion table of any
+    # SCD-style log.
+    from kektordb_spark.operators.consolidation import ecur_sql as _ecur_sql
+
+    _mat("edges_cur", spark.sql(_ecur_sql("spark")))
     _REGISTERED[sid] = (sf_dir, out)
     return out
 
