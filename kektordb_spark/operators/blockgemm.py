@@ -146,7 +146,25 @@ def cosine_pairs(
                     mask = np.ones(sim.shape, dtype=bool)
                 if thr is not None:
                     mask &= sim >= thr
-                i, j = np.nonzero(mask)
+                    i, j = np.nonzero(mask)
+                elif k is not None:
+                    # dense tile + top-k: select the candidate SUPERSET
+                    # by the k-th largest rounded sim (one partition
+                    # scan) instead of materializing + lexsorting all
+                    # N^2/tile pairs — ties at the boundary are kept,
+                    # so the exact trim below sees every possible
+                    # top-k member under the total order.
+                    flat = np.where(mask, np.round(sim, 6), -np.inf).ravel()
+                    if flat.size > k:
+                        kth = -np.partition(-flat, k - 1)[k - 1]
+                        sel = np.nonzero(
+                            flat >= (kth if kth > -np.inf else -np.inf)
+                        )[0] if kth > -np.inf else np.nonzero(flat > -np.inf)[0]
+                    else:
+                        sel = np.nonzero(flat > -np.inf)[0]
+                    i, j = np.unravel_index(sel, sim.shape)
+                else:
+                    i, j = np.nonzero(mask)
                 u = np.minimum(ida[i], idb[j])
                 w = np.maximum(ida[i], idb[j])
                 s = sim[i, j]
@@ -167,11 +185,12 @@ def knn_all(
 ) -> DataFrame:
     """Directed all-queries exact cosine k-NN via the same tiled GEMM:
     every vector queries the whole corpus in one plan. Per tile, each
-    query row keeps its local top-k columns under the GLOBAL order
-    (round(dist,6) ASC, neighbor ASC) — a correct prefilter because
-    the order is total — so the post-GEMM shuffle carries at most
-    N*k*B candidate rows, never the N^2 distance matrix; a final
-    ranked window merges the B tile-candidate sets per query.
+    query row keeps a SUPERSET of its local top-k columns under the
+    GLOBAL order (round(dist,6) ASC, neighbor ASC): everything at or
+    under the row's k-th smallest rounded distance (boundary ties
+    included) — a correct prefilter because the final ranked window
+    applies the exact total order. The post-GEMM shuffle carries
+    ~N*(k+ties)*B candidate rows, never the N^2 distance matrix.
 
     This is the batch-throughput answer to the reference's online QPS
     (BASELINE.md): per-query cost amortizes to one GEMM tile row.
@@ -200,22 +219,24 @@ def knn_all(
     )
 
     def _rows_topk(q_ids, c_ids, dist):
-        """Local top-k per query row under (round(dist,6), neighbor)."""
-        out_q, out_n, out_d = [], [], []
+        """Per-row candidate SUPERSET of the top-k under
+        (round(dist,6), neighbor): one vectorized partition along each
+        row picks the k-th smallest rounded distance, then every
+        column at-or-under it survives (boundary ties included, self
+        excluded). No Python per-row loop — the final ranked window
+        downstream applies the exact total order, so a superset here
+        is correctness-free and the tile emits ~rows*(k+ties), never
+        the dense matrix."""
         r = np.round(dist, 6)
-        for i in range(len(q_ids)):
-            mask = c_ids != q_ids[i]
-            cols = np.nonzero(mask)[0]
-            if not len(cols):
-                continue
-            order = np.lexsort((c_ids[cols], r[i, cols]))[:k]
-            sel = cols[order]
-            out_q.append(np.full(len(sel), q_ids[i]))
-            out_n.append(c_ids[sel])
-            out_d.append(dist[i, sel])
-        if not out_q:
+        self_mask = c_ids[None, :] == q_ids[:, None]
+        rm = np.where(self_mask, np.inf, r)
+        kk = min(k, rm.shape[1])
+        kth = np.partition(rm, kk - 1, axis=1)[:, kk - 1]
+        keep = (rm <= kth[:, None]) & ~self_mask
+        i, j = np.nonzero(keep)
+        if not len(i):
             return None
-        return (np.concatenate(out_q), np.concatenate(out_n), np.concatenate(out_d))
+        return (q_ids[i], c_ids[j], dist[i, j])
 
     def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
