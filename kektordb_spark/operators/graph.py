@@ -80,10 +80,12 @@ def bfs(
     relation a cluster would broadcast in Pregel-style BFS. The edge
     relation is materialized once when it is a DERIVED view (joins,
     windows, UDFs would otherwise re-run per round); pass
-    materialize_edges=False when ``edges`` is a plain table scan — a
-    bucketed/Delta edge table on a cluster re-scans cheaper than it
-    checkpoints (measured both ways at sf0.1: derived edges 21 s -> 4 s
-    with materialization; plain scans the reverse by ~0.5 s).
+    materialize_edges=False when ``edges`` is a plain table scan —
+    with per-frontier checkpoints each level joins exactly once, so a
+    depth-3 traversal re-scans the table 3 times, measured cheaper
+    than one eager 1.4M-row checkpoint at sf0.1 (1.24 s vs 1.48 s
+    warm; a derived view is still worth materializing because even 3
+    re-runs of joins/windows/UDFs dwarf the checkpoint).
     """
     max_depth = max(1, min(max_depth, 5))
     e = active_at(edges, at_time)
@@ -99,7 +101,8 @@ def bfs(
         )
     if materialize_edges and max_depth > 1:
         pairs = pairs.localCheckpoint(eager=True)
-    return _bfs_over_pairs(pairs, roots, max_depth)
+    return _bfs_over_pairs(pairs, roots, max_depth,
+                           checkpoint_frontiers=max_depth > 1)
 
 
 def _bfs_over_pairs(
@@ -115,14 +118,16 @@ def _bfs_over_pairs(
     join keyed on (key, from_n) — half the Spark jobs of running them
     as separate plans.
 
-    Level d's plan recomputes levels 1..d-1 (Spark inlines shared
-    subplans), but with ``pairs`` materialized each recomputed round is
-    a broadcast join over in-memory blocks — measured cheaper than
-    checkpointing every frontier (find_path at sf0.1: 4.7 s vs 8.5 s
-    with per-round checkpoints), and the bounded depth (<=5) caps the
-    quadratic term. An unbounded traversal would need periodic frontier
-    checkpoints to cut lineage; the reference clamps depth, so we keep
-    the cheaper shape."""
+    Without ``checkpoint_frontiers``, level d's plan recomputes levels
+    1..d-1 (Spark inlines shared subplans) — O(depth^2) joins. With it,
+    every level evaluates exactly once (O(depth) joins + one tiny
+    checkpoint job per round). r4 re-measure at sf0.1 (1.4M-edge
+    scratch-parquet table): frontier checkpoints win in every
+    combination — depth-3 in-BFS 1.24 s vs 1.6 s warm, 1.6 s vs 3.0 s
+    cold — reversing the r3 finding, which predated the parquet
+    materialization of the edges view (each recomputed round then
+    re-ran the derivation, making checkpoint jobs look expensive by
+    comparison)."""
     kcols = [key] if key else []
     levels = [roots.select(*kcols, F.col("node"), F.lit(0).alias("depth"))]
     frontier = levels[0]
@@ -342,7 +347,7 @@ def find_path(
     roots = spark.createDataFrame([(0, src), (1, dst)], "dir int, node string")
     visited = _bfs_over_pairs(
         both, roots, max_depth, key="dir",
-        checkpoint_frontiers=materialize_edges and max_depth > 1,
+        checkpoint_frontiers=max_depth > 1,
     ).localCheckpoint(eager=True)
     fwd = visited.where(F.col("dir") == 0).select(
         "node", F.col("depth").alias("dist_from_src"))
@@ -425,7 +430,9 @@ def extract_subgraph(
     pairs = base.select(F.col("src").alias("from_n"), F.col("dst").alias("to_n")).unionAll(
         base.select(F.col("dst").alias("from_n"), F.col("src").alias("to_n"))
     )
-    visited = _bfs_over_pairs(pairs, roots, max_depth).select("node")
+    visited = _bfs_over_pairs(
+        pairs, roots, max_depth, checkpoint_frontiers=max_depth > 1
+    ).select("node")
     return (
         base.join(F.broadcast(visited.withColumnRenamed("node", "src")), "src", "left_semi")
         .join(F.broadcast(visited.withColumnRenamed("node", "dst")), "dst", "left_semi")

@@ -794,14 +794,12 @@ def knn_graph_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bfs and knn_exact operators (allowlist semi-join between)."""
     load_tables(spark, sf_dir)
     roots = spark.createDataFrame([(_GRAPH_KNN_ROOT,)], "node string")
-    # materialize_edges=False: re-measured r4 interleaved at sf0.1 —
-    # with the edges view parquet-materialized at load, the one-way
-    # pairs projection is a plain scan+project and three re-scans beat
-    # one eager checkpoint job (median 1.9 s vs 2.6 s; flips the r3
-    # finding, which predated the scratch-parquet edges table).
+    # materialize_edges=False: with per-frontier checkpoints (bfs()
+    # default since r4) each level joins once, so depth-3 re-scans the
+    # scratch-parquet edges table 3x — measured cheaper than one eager
+    # 1.4M-row pairs checkpoint (1.24 s vs 1.48 s warm at sf0.1).
     # find_path keeps its checkpoint: its pairs relation is a 2x union
-    # of both orientations and feeds 4 fused rounds (measured 3.3 s
-    # mat+checkpointed-frontiers vs 3.9 s unmaterialized).
+    # of both orientations and feeds 4 fused rounds.
     reach = G.bfs(spark.table("edges"), roots, max_depth=3, direction="in",
                   materialize_edges=False)
     allow = (
