@@ -336,7 +336,12 @@ def run_to_memory(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            f"streaming sink {name} did not drain within 300s — "
+            "reading the memory table now would observe a partial result"
+        )
     return spark.table(name)
 
 
