@@ -74,6 +74,11 @@ class Index:
     vectors: DataFrame = None
     edges: DataFrame = None
     auto_links: tuple = ()  # (metadata_field, relation_type) pairs
+    # Metadata fields with a text index (reference DB.textIndex map,
+    # core.go:902-930) — the candidate set detect_text_field scans.
+    # Empty = no field was text-indexed; autodetect then falls back to
+    # the priority list over observed meta keys.
+    text_fields: tuple = ()
 
     def __post_init__(self):
         if self.vectors is None:
@@ -89,12 +94,14 @@ class Index:
 def vcreate(
     spark: SparkSession, name: str, metric: str = "cosine",
     precision: str = "float32", auto_links: tuple = (),
+    text_fields: tuple = (),
 ) -> Index:
     """S1 VCreate (ops.go:131-209): catalog entry + empty tables."""
     if metric not in ("cosine", "euclidean", "dot"):
         raise ValueError(f"unknown metric {metric}")
     return Index(spark=spark, name=name, metric=metric,
-                 precision=precision, auto_links=tuple(auto_links))
+                 precision=precision, auto_links=tuple(auto_links),
+                 text_fields=tuple(text_fields))
 
 
 class IndexExistsError(ValueError):
@@ -456,6 +463,229 @@ def vtraverse(index: Index, start_id: str, paths: list[str]) -> dict:
             out["connections"][path_str] = [
                 to_dict(c, parts[1:]) for c in kids
             ]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# VSearch facade — the reference's primary read entry point
+# (ops.go:524-537 VSearch / 896-1180 searchWithFusion / 0.6.0 hydrate)
+# ---------------------------------------------------------------------------
+
+TEXT_FIELD_PRIORITY = (
+    "content", "text", "page_content", "body", "description", "summary",
+)
+
+
+def detect_text_field(index: Index) -> str | None:
+    """T3 text-field autodetect (ops.go:1660-1694): walk the priority
+    list against the index's text-indexed fields; fall back to the
+    first configured text field. When the index was created without
+    ``text_fields``, the priority list is checked against the observed
+    metadata keys instead (one tiny distinct-keys aggregate — the
+    analog of the reference's in-RAM text-index map lookup; this is a
+    catalog probe, not a per-row query path)."""
+    if index.text_fields:
+        for c in TEXT_FIELD_PRIORITY:
+            if c in index.text_fields:
+                return c
+        return index.text_fields[0]
+    keys = {
+        r[0]
+        for r in index.vectors.where(~F.col("deleted"))
+        .select(F.explode(F.map_keys("meta")).alias("k"))
+        .distinct()
+        .collect()
+    }
+    for c in TEXT_FIELD_PRIORITY:
+        if c in keys:
+            return c
+    return None
+
+
+def _meta_filter_pred(filter_str: str):
+    """Filter DSL (F1-F4) over the facade's ``meta map<string,string>``
+    column — the reference evaluates the same DSL against its untyped
+    metadata maps (core.go:1836-1917). Numeric range operators CAST the
+    stored string (the B-Tree path indexes numerics); boolean literals
+    compare case-insensitively ("true"/"false", core.go:1479-1494);
+    ``!=`` includes rows missing the field."""
+    from kektordb_spark import filters as FL
+
+    or_parts = []
+    for leaves in FL.parse_filter(filter_str):
+        ands = []
+        for leaf in leaves:
+            acc = f"meta['{leaf.key.replace(chr(39), chr(39) * 2)}']"
+            val = leaf.value.replace("'", "''")
+            if leaf.op in ("=", "!="):
+                if leaf.value.lower() in ("true", "false"):
+                    eq = f"lower({acc}) = '{leaf.value.lower()}'"
+                else:
+                    eq = f"{acc} = '{val}'"
+                ands.append(eq if leaf.op == "=" else f"(NOT coalesce({eq}, false))")
+            else:
+                if not FL._is_number(leaf.value):
+                    raise ValueError(
+                        f"range operator {leaf.op} needs a numeric value, got {leaf.value!r}"
+                    )
+                ands.append(f"CAST({acc} AS DOUBLE) {leaf.op} {float(leaf.value)}")
+        or_parts.append("(" + " AND ".join(ands) + ")")
+    return F.expr(" OR ".join(or_parts))
+
+
+def _analyze_query(text: str) -> list[str]:
+    """The analyzer applied to query text (analyzer.go:17-44):
+    lowercase, word regex, stopword removal — duplicates KEPT (BM25
+    scores repeated query tokens per occurrence, core.go:2024-2031)."""
+    import re as _re
+
+    from kektordb_spark.tables import ENGLISH_STOPWORDS
+
+    return [
+        t for t in _re.findall(r"[a-z0-9_]+", text.lower())
+        if t not in ENGLISH_STOPWORDS
+    ]
+
+
+def vsearch(
+    index: Index,
+    query: list[float] | None = None,
+    k: int = 10,
+    filter: str = "",
+    query_text: str = "",
+    alpha: float = 0.5,
+    graph_query: dict | None = None,
+    with_scores: bool = False,
+    hydrate: bool = False,
+) -> DataFrame:
+    """VSearch (ops.go:524-537) — the reference's primary entry point,
+    composed from the repo's operators exactly as searchWithFusion
+    (ops.go:896-1180) chains them:
+
+      1. filter parsing: explicit ``query_text`` keeps ``filter`` pure
+         boolean; otherwise the legacy CONTAINS clause is split out
+         (F5, search_utils.go:18-43) and the text field autodetected
+         (T3);
+      2. metadata allowlist from the boolean DSL (pre-filter, V2);
+      3. graph allowlist (BFS from ``graph_query['root_id']`` over the
+         index edges, graph.go:173-246) INTERSECTED with the metadata
+         allowlist — both are semi-join reductions of the scan, so the
+         intersection is two stacked pushed-down predicates;
+      4. text-only when the query vector is empty/None: raw BM25 order
+         (CASE A, ops.go:975-995 — scores not normalized);
+      5. hybrid otherwise: exact k-NN over the filtered corpus and
+         BM25 over the same allowlist, each normalized (H1), weighted
+         by ``alpha`` (H2 — out-of-range resets to 0.5), top-k (H5).
+
+    ``hydrate`` (v0.6.0 search field) joins the full node row onto the
+    result instead of ids only; ``with_scores`` keeps the fused score
+    column (VSearchWithScores response shape). Returns a DataFrame
+    ordered by (rank): (rank, id [, score] [, node columns...]).
+
+    All branches stay declarative — one plan, no driver-side loops;
+    the only collect is in the caller when it materializes results."""
+    from kektordb_spark.functions import text as TX
+    from kektordb_spark.operators import fusion as FU
+    from kektordb_spark.operators import graph as G
+    from kektordb_spark.operators import knn as KNN
+
+    # 1. filter / text-query parsing
+    if query_text:
+        boolean_filter, text_q = filter, query_text
+        text_field = detect_text_field(index)
+        if text_field is None:
+            text_q = ""  # reference falls back to vector-only with a warning
+    else:
+        from kektordb_spark import filters as FL
+
+        boolean_filter, text_field, text_q = FL.parse_hybrid_filter(filter)
+        text_q = text_q or ""
+
+    live = index.vectors.where(~F.col("deleted"))  # F7 valid-rows
+    allowed = live
+    if boolean_filter:
+        allowed = allowed.where(_meta_filter_pred(boolean_filter))
+
+    # 3. graph allowlist intersection (resolveGraphFilter)
+    if graph_query and graph_query.get("root_id"):
+        depth = graph_query.get("max_depth", 1)
+        roots = index.spark.createDataFrame(
+            [(graph_query["root_id"],)], "node string"
+        )
+        reach = G.bfs(
+            index.edges, roots,
+            max_depth=max(1, min(depth if depth > 0 else 1, 5)),
+            relations=list(graph_query.get("relations") or []) or None,
+            direction=graph_query.get("direction", "out"),
+        ).select(F.col("node").alias("id"))
+        allowed = allowed.join(F.broadcast(reach), "id", "left_semi")
+
+    is_vector_empty = query is None or all(x == 0 for x in query)
+    if is_vector_empty and not text_q:
+        raise ValueError("vsearch needs a query vector or a text query")
+
+    q_toks = _analyze_query(text_q) if text_q else []
+
+    def _bm25(df: DataFrame) -> DataFrame:
+        docs = df.select(
+            F.col("id").alias("doc_id"),
+            TX.tokens(f"meta['{text_field}']").alias("toks"),
+        )
+        return TX.bm25_scores(docs, q_toks)
+
+    if is_vector_empty:
+        # CASE A: text only — raw BM25 order, no normalization
+        scored = _bm25(allowed)
+        out = (
+            scored.orderBy(F.col("score").desc(), F.col("doc").asc())
+            .limit(k)
+            .select(
+                F.row_number().over(
+                    Window.orderBy(F.col("score").desc(), F.col("doc").asc())
+                ).alias("rank"),
+                F.col("doc").alias("id"),
+                F.col("score"),
+            )
+        )
+    else:
+        # CASE B: vector (or hybrid)
+        import math as _math
+
+        qnorm = _math.sqrt(sum(x * x for x in query)) or 1.0
+        queries = index.spark.createDataFrame(
+            [(0, [float(x) for x in query], float(qnorm))],
+            "query_id int, qv array<double>, qnorm double",
+        )
+        knn = KNN.knn_exact(
+            allowed.where(F.col("v").isNotNull()), queries,
+            k=k, metric=index.metric,
+        )
+        vec_scored = FU.normalize_vector_scores(knn).select(
+            F.col("id"), "vec_score"
+        )
+        if text_q:
+            # alpha weights the vector branch even when the analyzed
+            # text query matches nothing (ops.go:1085-1096 — CASE B
+            # applies alpha whenever textQuery is non-empty).
+            text_scored = FU.normalize_text_scores(_bm25(allowed)).select(
+                F.col("doc").alias("id"), "text_score"
+            )
+            fused = FU.fuse(vec_scored, text_scored, alpha)
+        else:
+            # pure vector: score is the raw normalized vector score
+            # (alpha implicitly 1.0, ops.go:1081-1084).
+            fused = vec_scored.withColumn("score", F.col("vec_score"))
+        out = FU.top_k(fused, k).select(
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("id").asc())
+            ).alias("rank"),
+            "id", "score",
+        )
+
+    if not with_scores:
+        out = out.select("rank", "id")
+    if hydrate:
+        out = out.join(live, "id", "left").orderBy("rank")
     return out
 
 

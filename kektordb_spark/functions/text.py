@@ -156,7 +156,10 @@ def bm25_scores(
     score = terms[0]
     for term in terms[1:]:
         score = score + term
-    any_hit = F.greatest(*[F.col(f"tf_{i}") for i in range(len(tokens))]) > 0
+    hits = [F.col(f"tf_{i}") for i in range(len(tokens))]
+    # greatest() requires >= 2 columns — a one-token query is just that
+    # token's tf (the reference's posting union degenerates the same way)
+    any_hit = (hits[0] if len(hits) == 1 else F.greatest(*hits)) > 0
     # candidates = union of the query tokens' posting lists
     # (core.go:2005-2021) == rows with at least one matching token
     return rows.where(any_hit).select("doc", score.alias("score"))

@@ -391,3 +391,95 @@ def test_splitter_presets():
                               separators=splitter_separators("code"))
     # each func body lands whole in its own chunk (cut on \nfunc)
     assert cchunks == ["package x", " A() {\n a()\n}", " B() {\n b()\n}"]
+
+
+@pytest.fixture()
+def search_idx(spark):
+    """Corpus for the VSearch facade: text metadata + categories +
+    a small graph (ops.go:524/896 composition surface)."""
+    ix = api.vcreate(spark, "s", metric="cosine",
+                     text_fields=("content",))
+    items = [
+        {"id": "d1", "vector": [1.0, 0.0],
+         "meta": {"content": "merge sort algorithm", "category": "algo",
+                  "level": "3"}},
+        {"id": "d2", "vector": [0.9, 0.1],
+         "meta": {"content": "window functions in sql", "category": "db",
+                  "level": "5"}},
+        {"id": "d3", "vector": [0.0, 1.0],
+         "meta": {"content": "merge intervals and sort them",
+                  "category": "algo", "level": "7"}},
+        {"id": "d4", "vector": [0.5, 0.5],
+         "meta": {"content": "graph traversal", "category": "algo",
+                  "level": "9"}},
+    ]
+    ix = api.vadd_batch(ix, items, now=T0)
+    ix = api.vlink(ix, "d1", "d2", "related", now=T0)
+    ix = api.vlink(ix, "d2", "d4", "related", now=T0)
+    return ix
+
+
+def test_vsearch_vector_only(search_idx):
+    """Pure vector search: ids in exact-kNN order, rank 1..k
+    (ops.go:1081-1084 — alpha implicitly 1)."""
+    rows = api.vsearch(search_idx, query=[1.0, 0.0], k=3).collect()
+    assert [r["id"] for r in rows] == ["d1", "d2", "d4"]
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    scored = api.vsearch(search_idx, query=[1.0, 0.0], k=1,
+                         with_scores=True).collect()
+    # dist(d1)=0 -> score = 1/(1+0) = 1
+    assert abs(scored[0]["score"] - 1.0) < 1e-9
+
+
+def test_vsearch_filter_and_hybrid(search_idx):
+    """Boolean DSL pre-filter (V2) + CONTAINS hybrid clause (F5):
+    filter restricts the corpus BEFORE the search; the text branch
+    re-ranks by alpha-weighted fusion (H2)."""
+    rows = api.vsearch(search_idx, query=[1.0, 0.0], k=10,
+                       filter="category = 'algo'").collect()
+    assert [r["id"] for r in rows] == ["d1", "d4", "d3"]
+    # numeric range over the string-stored metadata (B-Tree path)
+    rows = api.vsearch(search_idx, query=[1.0, 0.0], k=10,
+                       filter="level > 4").collect()
+    assert [r["id"] for r in rows] == ["d2", "d4", "d3"]
+    # hybrid: 'merge' matches d1/d3 -> text branch lifts d3 over d4
+    hy = api.vsearch(search_idx, query=[1.0, 0.0], k=10,
+                     filter="category = 'algo' AND CONTAINS(content, 'merge')",
+                     alpha=0.5, with_scores=True).collect()
+    assert [r["id"] for r in hy][:1] == ["d1"]
+    ids = [r["id"] for r in hy]
+    assert ids.index("d3") < ids.index("d4")
+
+
+def test_vsearch_text_only_and_graph_filter(search_idx):
+    """CASE A text-only (ops.go:975-995) and the graph allowlist
+    intersection (resolveGraphFilter, graph.go:173-246)."""
+    rows = api.vsearch(search_idx, query=None,
+                       query_text="merge sort", k=10).collect()
+    assert [r["id"] for r in rows][:2] == ["d1", "d3"]  # both match; d1 denser
+    # graph filter: reachable from d1 within 1 hop = {d1, d2}
+    gq = {"root_id": "d1", "max_depth": 1, "relations": ["related"]}
+    rows = api.vsearch(search_idx, query=[1.0, 0.0], k=10,
+                       graph_query=gq).collect()
+    assert {r["id"] for r in rows} == {"d1", "d2"}
+    with pytest.raises(ValueError, match="query vector or a text query"):
+        api.vsearch(search_idx, query=None, query_text="")
+
+
+def test_vsearch_hydrate_and_text_field_detect(search_idx, spark):
+    """v0.6.0 hydrate field + T3 autodetect priority
+    (ops.go:1660-1694)."""
+    rows = api.vsearch(search_idx, query=[1.0, 0.0], k=2,
+                       hydrate=True).collect()
+    assert rows[0]["meta"]["content"] == "merge sort algorithm"
+    assert rows[0]["v"] == [1.0, 0.0]
+    assert api.detect_text_field(search_idx) == "content"
+    # no text_fields configured: priority list over observed meta keys
+    ix2 = api.vcreate(spark, "s2")
+    ix2 = api.vadd_batch(ix2, [
+        {"id": "x", "vector": [1.0], "meta": {"body": "hello world"}},
+    ], now=T0)
+    assert api.detect_text_field(ix2) == "body"
+    # configured but off-priority-list: first configured field wins
+    ix3 = api.vcreate(spark, "s3", text_fields=("notes",))
+    assert api.detect_text_field(ix3) == "notes"
