@@ -626,16 +626,27 @@ def vsearch(
 
     q_toks = _analyze_query(text_q) if text_q else []
 
-    def _bm25(df: DataFrame) -> DataFrame:
-        docs = df.select(
+    def _bm25_allowed() -> DataFrame:
+        """Text branch: scored over the FULL live corpus (idf/avgdl
+        stay corpus-wide), then post-filtered by the allowlist — the
+        reference applies the boolean/graph allowlist to textResults
+        AFTER FindIDsByTextSearch (ops.go:997-1026), unlike the vector
+        branch where the allowlist pre-filters the search."""
+        docs = live.select(
             F.col("id").alias("doc_id"),
             TX.tokens(f"meta['{text_field}']").alias("toks"),
         )
-        return TX.bm25_scores(docs, q_toks)
+        scored = TX.bm25_scores(docs, q_toks)
+        if allowed is not live:
+            scored = scored.join(
+                F.broadcast(allowed.select(F.col("id").alias("doc"))),
+                "doc", "left_semi",
+            )
+        return scored
 
     if is_vector_empty:
         # CASE A: text only — raw BM25 order, no normalization
-        scored = _bm25(allowed)
+        scored = _bm25_allowed()
         out = (
             scored.orderBy(F.col("score").desc(), F.col("doc").asc())
             .limit(k)
@@ -667,7 +678,7 @@ def vsearch(
             # alpha weights the vector branch even when the analyzed
             # text query matches nothing (ops.go:1085-1096 — CASE B
             # applies alpha whenever textQuery is non-empty).
-            text_scored = FU.normalize_text_scores(_bm25(allowed)).select(
+            text_scored = FU.normalize_text_scores(_bm25_allowed()).select(
                 F.col("doc").alias("id"), "text_score"
             )
             fused = FU.fuse(vec_scored, text_scored, alpha)

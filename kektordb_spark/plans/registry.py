@@ -1118,6 +1118,106 @@ _registry["hybrid_contains_filter"] = (
 )
 
 
+# One deterministic 64-dim query vector shared by the facade query and
+# its oracle (values in [-1, 1], non-degenerate norm).
+_VS_QV = [round(((i * 37) % 11) / 5.0 - 1.0, 2) for i in range(64)]
+_VS_QNORM = sum(x * x for x in _VS_QV) ** 0.5
+_VS_FILTER = "lang = 'en' AND CONTAINS(content, 'merge sort window')"
+
+
+def _vsearch_facade_oracle() -> str:
+    """DuckDB twin of api.vsearch's hybrid CASE B over the documents
+    corpus: vector branch PRE-filtered by the boolean allowlist, text
+    branch scored corpus-wide then POST-filtered (ops.go:926-1026),
+    each normalized, fused at alpha=0.5, rounded rank."""
+    qv = ", ".join(repr(x) for x in _VS_QV)
+    dot = dot_sql("duckdb", "q.v", "c.v")
+    bm25_inner = TX.bm25_oracle_sql("duckdb", BM25_QUERY, 500)
+    bm25_raw = (
+        bm25_inner[: bm25_inner.rindex("SELECT doc")]
+        + "SELECT doc, score FROM scored "
+        "WHERE doc IN (SELECT doc_id FROM docs_tok WHERE lang = 'en')"
+    )
+    return f"""
+WITH q AS (SELECT CAST([{qv}] AS DOUBLE[]) AS v, {_VS_QNORM!r} AS norm),
+cand AS (
+  SELECT e.vec_id, e.v, e.norm
+  FROM emb e JOIN docs_tok d ON d.doc_id = e.vec_id
+  WHERE d.lang = 'en'
+),
+vecs AS (
+  SELECT c.vec_id AS id,
+         1.0 / (1.0 + (1.0 - ({dot}) / (q.norm * c.norm))) AS vec_score
+  FROM q CROSS JOIN cand c
+),
+txt_raw AS (
+{bm25_raw}
+),
+txt AS (
+  SELECT doc AS id, score / nullif(max(score) OVER (), 0.0) AS text_score
+  FROM txt_raw
+),
+fused AS (
+  SELECT coalesce(v.id, t.id) AS id,
+         coalesce(v.vec_score, 0.0) AS vec_score,
+         coalesce(t.text_score, 0.0) AS text_score
+  FROM vecs v FULL OUTER JOIN txt t ON v.id = t.id
+)
+SELECT id AS doc_id, round(0.5 * vec_score + 0.5 * text_score, 6) AS score
+FROM fused
+ORDER BY round(0.5 * vec_score + 0.5 * text_score, 6) DESC, id
+LIMIT 15
+""".strip()
+
+
+@register("vsearch_hybrid_facade",
+          with_oracle_ctes(_vsearch_facade_oracle(), ["emb", "docs_tok"]))
+def vsearch_hybrid_facade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VSearch through the api.vsearch facade END-TO-END
+    (ops.go:524-537/896-1180): the documents corpus becomes an Index
+    (meta map carries content/lang; vectors from the embeddings view),
+    one facade call parses the DSL filter + CONTAINS clause, applies
+    the allowlist (pre-filter on the vector branch, post-filter on the
+    corpus-wide text branch), fuses at alpha=0.5. k covers the corpus
+    so the final rounded re-rank below is boundary-safe (the facade
+    ranks by raw score; both engines then order by round(.,6))."""
+    from kektordb_spark import api
+
+    load_tables(spark, sf_dir)
+    docs = spark.table("docs_tok")
+    emb = spark.table("emb")
+    vecs = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            F.col("doc_id").cast("string").alias("id"),
+            "v", "norm",
+            F.lit(0).cast("long").alias("created_at"),
+            F.lit(None).cast("long").alias("last_accessed"),
+            F.lit(0).alias("access_count"),
+            F.lit(False).alias("pinned"),
+            F.lit(False).alias("historical"),
+            F.lit("episodic").alias("memory_layer"),
+            F.lit(None).cast("string").alias("decay_model"),
+            F.lit(False).alias("deleted"),
+            F.create_map(
+                F.lit("content"), F.col("text"), F.lit("lang"), F.col("lang")
+            ).alias("meta"),
+        )
+    )
+    idx = api.Index(spark=spark, name="docs", metric="cosine", vectors=vecs,
+                    text_fields=("content",))
+    res = api.vsearch(idx, query=_VS_QV, k=10**6, filter=_VS_FILTER,
+                      alpha=0.5, with_scores=True)
+    return (
+        res.select(
+            F.col("id").cast("bigint").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
+
+
 from kektordb_spark.operators import adaptive as AD  # noqa: E402
 
 register_sql("adaptive_retrieval", AD.adaptive_retrieve_sql, ["emb", "docs_tok"])
@@ -2342,6 +2442,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_WINDOW_FIRST = [
     # r4 additions (front so the new work is always in-window)
+    "vsearch_hybrid_facade",
     # r3-era queries the driver has never value-checked
     "graph_pagerank",
     "pipeline_mix_sample",
