@@ -528,7 +528,11 @@ def _meta_filter_pred(filter_str: str):
                     raise ValueError(
                         f"range operator {leaf.op} needs a numeric value, got {leaf.value!r}"
                     )
-                ands.append(f"CAST({acc} AS DOUBLE) {leaf.op} {float(leaf.value)}")
+                # try_cast: a non-numeric stored value yields NULL and
+                # never matches a range (ANSI mode would THROW on plain
+                # CAST of a malformed string — a single bad metadata
+                # value must not fail the whole search)
+                ands.append(f"try_cast({acc} AS DOUBLE) {leaf.op} {float(leaf.value)}")
         or_parts.append("(" + " AND ".join(ands) + ")")
     return F.expr(" OR ".join(or_parts))
 

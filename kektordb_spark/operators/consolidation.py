@@ -93,12 +93,14 @@ def consolidation_labels_df(
     # lineage, so no later stage re-enters the Python mapInPandas kernel
     # and every round's job starts from the (tiny) checkpointed edge set.
     # Pair generation goes through the planner flag: exact GEMM at
-    # fixture scale, LSH bucket self-join beyond GEMM_PAIRS_MAX.
-    pairs = (
-        KP.similar_pairs(spark, threshold)
-        .select("u", "w")
-        .localCheckpoint(eager=True)
-    )
+    # fixture scale, LSH bucket self-join beyond GEMM_PAIRS_MAX. When
+    # the pairs come from the PERSISTED index the checkpoint is skipped
+    # — re-scanning the scratch parquet twice (the und union below)
+    # beats re-writing it (SCALE.md rule 3; measured ~1.15 s -> 0.98 s
+    # for the 4-round propagation at sf0.1).
+    pairs = KP.similar_pairs(spark, threshold).select("u", "w")
+    if not KP.pairs_served_from_index(spark, threshold):
+        pairs = pairs.localCheckpoint(eager=True)
     und = (
         pairs.unionAll(pairs.select(F.col("w").alias("u"), F.col("u").alias("w")))
         .repartition("u")

@@ -116,9 +116,12 @@ def reflections_df(spark):
     from kektordb_spark.functions.brain import contradiction_judge_udf
     from kektordb_spark.operators import knn_planner as KP
 
-    KP.similar_pairs(spark, SIM_LO).select(
-        "u", "w", "sim"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("_contra_pairs")
+    _sp = KP.similar_pairs(spark, SIM_LO).select("u", "w", "sim")
+    if not KP.pairs_served_from_index(spark, SIM_LO):
+        # kernel-computed pairs must materialize before the multi-ref
+        # candidate CTE; the persisted-index path re-scans its parquet
+        _sp = _sp.localCheckpoint(eager=True)
+    _sp.createOrReplaceTempView("_contra_pairs")
     cand = spark.sql(
         "WITH " + candidates_sql("spark", pairs_rel="_contra_pairs")
         + "\nSELECT * FROM cand"

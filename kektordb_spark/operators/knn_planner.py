@@ -397,6 +397,26 @@ SIM_PAIRS_VIEW = "sim_pairs_030"
 SIM_PAIRS_MIN = 0.30
 
 
+def pairs_served_from_index(
+    spark, threshold: float, emb=None, strategy: str | None = None,
+    use_index: bool = True,
+) -> bool:
+    """True when :func:`similar_pairs` with these arguments will serve
+    from the persisted pair index (a plain parquet scan). Callers that
+    materialize the pair relation before iterating over it (e.g. label
+    propagation) use this to SKIP their own checkpoint in that case —
+    re-scanning the scratch parquet is cheaper than re-writing it,
+    while a kernel-computed pair set must still be checkpointed (it is
+    referenced more than once and Spark would re-run the kernel)."""
+    return (
+        use_index
+        and emb is None
+        and strategy is None
+        and threshold >= SIM_PAIRS_MIN
+        and spark.catalog.tableExists(SIM_PAIRS_VIEW)
+    )
+
+
 def similar_pairs(
     spark,
     threshold: float,
@@ -424,13 +444,8 @@ def similar_pairs(
          instead of by the caller knowing to ask."""
     from kektordb_spark.operators import blockgemm as BG
 
-    if (
-        use_index
-        and emb is None
-        and strategy is None
-        and threshold >= SIM_PAIRS_MIN
-        and spark.catalog.tableExists(SIM_PAIRS_VIEW)
-    ):  # use_index=False is the BUILD path (load_tables re-registration
+    if pairs_served_from_index(spark, threshold, emb, strategy, use_index):
+        # use_index=False is the BUILD path (load_tables re-registration
         # must never read a previous fixture's persisted view)
         return spark.table(SIM_PAIRS_VIEW).where(F.col("sim") >= threshold)
     if corpus_size is None:

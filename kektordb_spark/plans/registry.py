@@ -1521,9 +1521,12 @@ def gardener_knowledge_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     from kektordb_spark.operators import knn_planner as KP
 
-    KP.similar_pairs(spark, 0.42).localCheckpoint(
-        eager=True
-    ).createOrReplaceTempView("_sim_pairs")
+    _sp = KP.similar_pairs(spark, 0.42)
+    if not KP.pairs_served_from_index(spark, 0.42):
+        # kernel-computed pairs are referenced 3x below — materialize;
+        # the persisted-index path is a parquet scan, re-scan instead
+        _sp = _sp.localCheckpoint(eager=True)
+    _sp.createOrReplaceTempView("_sim_pairs")
     # Evidence restriction pushed INTO the co-occurrence self-join:
     # only pairs whose BOTH endpoints appear in the (tiny) similar set
     # can affect the anti-join, so each lineitem scan pre-filters on a
