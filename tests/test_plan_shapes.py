@@ -272,3 +272,22 @@ def test_curriculum_one_bounded_window(spark):
     assert "Join" not in plan
     assert plan.count("Window") >= 1
     assert n_exchanges(plan) == 1
+
+
+def test_vsearch_facade_broadcasts_and_no_cartesian(spark):
+    """The VSearch facade's hybrid plan: query side explicitly
+    broadcast over the vector scan (never a shuffle join against 3
+    query rows), the meta-map allowlist a predicate (not a join), and
+    no CartesianProduct anywhere (the only nested-loop join is the
+    broadcast queries x scan the kNN family always uses)."""
+    plan = plan_of(spark, "vsearch_hybrid_facade")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast query x scan
+    # H2 fusion is the one sort-merge join: a FULL OUTER on id between
+    # two k-sized score relations (broadcast hash can't build full
+    # outer) — any OTHER SortMergeJoin would mean a corpus-sized
+    # shuffle join crept in
+    import re
+
+    smj = re.findall(r"SortMergeJoin (\w+)", plan)
+    assert set(smj) <= {"FullOuter"}, smj
