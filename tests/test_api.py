@@ -483,3 +483,34 @@ def test_vsearch_hydrate_and_text_field_detect(search_idx, spark):
     # configured but off-priority-list: first configured field wins
     ix3 = api.vcreate(spark, "s3", text_fields=("notes",))
     assert api.detect_text_field(ix3) == "notes"
+
+
+def test_graph_entity_nodes(spark):
+    """4.6 First-Class Graph Entities (DOCUMENTATION.md:580-584,
+    v0.4.1): a node added with NO vector is stored with NULL v/norm,
+    participates in filters (SearchNodes) and graph traversal, and
+    never surfaces in vector search. Deliberate divergence from the
+    reference's zero-vector-ranked-last behavior: a NULL vector is
+    EXCLUDED from distance ranking instead of ranked at the bottom —
+    same user outcome for any k < corpus, and no zero-norm
+    divide-by-zero special case in the cosine kernel."""
+    ix = api.vcreate(spark, "ent", text_fields=("content",))
+    ix = api.vadd_batch(ix, [
+        {"id": "doc1", "vector": [1.0, 0.0], "meta": {"content": "a doc"}},
+        {"id": "doc2", "vector": [0.0, 1.0], "meta": {"content": "b doc"}},
+        {"id": "author_john", "meta": {"kind": "author"}},
+    ], now=T0)
+    ix = api.vlink(ix, "doc1", "author_john", "written_by", now=T0)
+    row = ix.vectors.where(F.col("id") == "author_john").collect()[0]
+    assert row["v"] is None and row["norm"] is None
+    # SearchNodes: property filter selects the vectorless entity
+    flt = ix.vectors.where(api._meta_filter_pred("kind = author"))
+    assert [r["id"] for r in flt.select("id").collect()] == ["author_john"]
+    # traversal reaches it
+    tree = api.vtraverse(ix, "doc1", ["written_by"])
+    kids = tree["connections"]["written_by"]
+    assert [n["id"] for n in kids] == ["author_john"]
+    assert kids[0]["v"] is None
+    # vector search never returns it
+    got = [r["id"] for r in api.vsearch(ix, query=[1.0, 0.0], k=10).collect()]
+    assert got == ["doc1", "doc2"]
