@@ -47,7 +47,14 @@ def main() -> int:
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    spark = get_spark("parity", cpus=8)
+    # PARITY_CPUS / PARITY_SHUFFLE: adversarial-partitioning knobs —
+    # e.g. PARITY_CPUS=32 PARITY_SHUFFLE=17 hunts partition-dependent
+    # float flakes the default local[8] gate can't see (rule 7b,
+    # SCALE.md; full registry verified green under exactly that combo).
+    spark = get_spark("parity", cpus=int(os.environ.get("PARITY_CPUS", "8")))
+    if os.environ.get("PARITY_SHUFFLE"):
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       os.environ["PARITY_SHUFFLE"])
     spark.sparkContext.setLogLevel("ERROR")
 
     failed = []
