@@ -405,6 +405,79 @@ FROM m
 """.strip()
 
 
+ADAPTIVE_STEPS = ("warmup", "core", "hard", "frontier")  # quartile names
+ADAPTIVE_QS = (0.25, 0.5, 0.75)
+
+
+def curriculum_adaptive_sql(dialect: str) -> str:
+    """Corpus-ADAPTIVE curriculum binning — the companion
+    curriculum_sql's docstring promises: cutoffs come from the corpus's
+    own score distribution instead of fixed configuration, computed as
+    ONE tiny aggregate (3 doubles) that feeds the same zero-shuffle
+    CASE binning via a broadcast of the 1-row cutoff relation.
+
+    Exact `percentile` here (both engines interpolate at rank p*(n-1),
+    verified value-equal vs DuckDB quantile_cont); at 100 TB swap the
+    aggregate for `approx_percentile` — the t-digest sketch merges
+    map-side, the cutoff relation is still 1 row, and NOTHING else in
+    the plan changes (that swap-point is the whole reason the cutoffs
+    live in their own relation). Re-binning a grown corpus shifts step
+    boundaries (quartiles move) — that is the semantic difference vs
+    curriculum_sql, which trades adaptivity for growth stability; a
+    pipeline picks per epoch policy.
+
+    Everything else matches curriculum_sql: difficulty = normalized
+    length + lexical diversity, position = seeded-hash rank within
+    (step, shard), one bounded window as the only data-sized shuffle.
+    """
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    toks = _regex_all(dialect, "lower(text)", "[a-z0-9_]+")
+    if dialect == "spark":
+        n_toks = "size(toks)"
+        n_uniq = "size(array_distinct(toks))"
+        qagg = ("percentile(score, array("
+                + ", ".join(str(q) for q in ADAPTIVE_QS) + "))")
+        elem = lambda i: f"q[{i}]"  # noqa: E731 — 0-based
+    else:
+        n_toks = "len(toks)"
+        n_uniq = "len(list_distinct(toks))"
+        qagg = ("quantile_cont(score, ["
+                + ", ".join(str(q) for q in ADAPTIVE_QS) + "])")
+        elem = lambda i: f"q[{i + 1}]"  # noqa: E731 — 1-based
+    sh = _shard(dialect)
+    h = _hex_to_int(dialect, f"md5(concat('curr', CAST(doc_id AS {s})))")
+    step_case = ("CASE "
+                 + " ".join(
+                     f"WHEN m.score >= c.c{i} THEN '{name}'"
+                     for i, name in reversed(
+                         list(enumerate(ADAPTIVE_STEPS[1:])))
+                 )
+                 + f" ELSE '{ADAPTIVE_STEPS[0]}' END")
+    cut_cols = ", ".join(
+        f"round({elem(i)}, 6) AS c{i}" for i in range(len(ADAPTIVE_QS))
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {toks} AS toks, {sh} AS shard, {h} AS h FROM documents
+),
+m AS (
+  SELECT doc_id, shard, h,
+         round(0.5 * least(CAST({n_toks} AS DOUBLE) / 200.0, 1.0)
+               + 0.5 * (CASE WHEN {n_toks} = 0 THEN 0.0
+                        ELSE CAST({n_uniq} AS DOUBLE) / {n_toks} END),
+               6) AS score
+  FROM t
+),
+cuts AS (
+  SELECT {cut_cols} FROM (SELECT {qagg} AS q FROM m) t
+)
+SELECT doc_id, score, {step_case} AS step, CAST(shard AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY {step_case}, shard
+                               ORDER BY h, doc_id) AS INT) AS position
+FROM m CROSS JOIN cuts c
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # Train/val/test split assignment + stratification audit
 # ---------------------------------------------------------------------------

@@ -1418,6 +1418,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark", arr_source="ng_arr", pref_source="ng_pref"))
 
 from kektordb_spark.operators import blockgemm as BG  # noqa: E402
+from kektordb_spark.operators import semdedup as SD  # noqa: E402
+
+
+@register("dedup_semantic",
+          with_oracle_ctes(SD.semantic_dedup_sql("duckdb"), ["emb"]))
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) cluster-confined semantic dedup:
+    k-means cells partition the pair space (equi-join on cell id,
+    cost sum(|cell|^2) — never N^2), intra-cell cosine >= tau pairs
+    form duplicate groups (bounded min-label propagation), keeper =
+    least-prototypical member (max distance to own centroid). Spark
+    side serves from the PERSISTED coarse quantizer (load_tables
+    ivf_cents/ivf_assign — the same bucketed-by-cell layout the ANN
+    planner uses); pair generation is one float64 GEMM per cell
+    (applyInPandas keyed on cid — the tile never leaves the task); the
+    oracle re-derives the md5-seeded Lloyd training and the fold-left
+    pair join inline. See operators/semdedup.py for the 100 TB story."""
+    load_tables(spark, sf_dir)
+    pairs = SD.semantic_pairs(spark).localCheckpoint(eager=True)
+    pairs.createOrReplaceTempView("_sem_pairs")
+    return spark.sql(SD.semantic_dedup_sql(
+        "spark", cents_source="ivf_cents", assign_source="ivf_assign",
+        pairs_rel="_sem_pairs"))
 
 
 @register("dedup_embedding_topk",
@@ -2295,6 +2318,7 @@ register_sql("pipeline_shard_assign", PL.shard_assign_sql, [])
 register_sql("pipeline_pack_sequences", PL.pack_sequences_sql, [])
 register_sql("pipeline_quality_gate", PL.quality_gate_sql, [])
 register_sql("pipeline_curriculum", PL.curriculum_sql, [])
+register_sql("pipeline_curriculum_adaptive", PL.curriculum_adaptive_sql, [])
 register_sql("pipeline_split_stratified", PL.split_stratified_sql, [])
 
 
@@ -2446,6 +2470,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW_FIRST = [
     # r4 additions (front so the new work is always in-window)
     "vsearch_hybrid_facade",
+    "dedup_semantic",
     # r3-era queries the driver has never value-checked
     "graph_pagerank",
     "pipeline_mix_sample",
@@ -2454,6 +2479,7 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_pack_sequences",
     "pipeline_quality_gate",
     "pipeline_curriculum",
+    "pipeline_curriculum_adaptive",
     "pipeline_split_stratified",
     "pipeline_decontaminate",
     "pipeline_vocab_pairs",
