@@ -2322,6 +2322,20 @@ register_sql("pipeline_curriculum_adaptive", PL.curriculum_adaptive_sql, [])
 register_sql("pipeline_split_stratified", PL.split_stratified_sql, [])
 
 
+@register("pipeline_bpe_train",
+          with_oracle_ctes(PL.bpe_train_sql("duckdb"), ["docs_tok"]))
+def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERATED BPE vocabulary builder (pipeline_vocab_pairs is its
+    one-round statistic): BPE_ROUNDS unrolled count->argmax->merge
+    steps returning the merge table a tokenizer trainer ships. Spark
+    side checkpoints the token relation between rounds and keeps each
+    round's argmax as a 1-row broadcast relation — the data-dependent
+    loop control never passes through the driver. Oracle is the fully
+    unrolled CTE chain. See operators/pipeline.py: bpe_train_sql."""
+    load_tables(spark, sf_dir)
+    return PL.bpe_train(spark)
+
+
 @register("dedup_incremental",
           with_oracle_ctes(DD.minhash_incremental_sql("duckdb"), ["docs_tok"]))
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2483,6 +2497,7 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_split_stratified",
     "pipeline_decontaminate",
     "pipeline_vocab_pairs",
+    "pipeline_bpe_train",
     "dedup_incremental",
     "streaming_windowed_counts",
     "streaming_session_windows",

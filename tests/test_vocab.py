@@ -131,3 +131,58 @@ def test_split_stratified_fractions_and_determinism(spark):
     assert 0.85 <= total["train"] / n_all <= 0.95
     assert 0.02 <= total["val"] / n_all <= 0.08
     assert 0.02 <= total["test"] / n_all <= 0.08
+
+
+def _bpe_python(toks_list, rounds):
+    """Independent replica of the full BPE training loop: count
+    adjacent pairs, merge the (cnt DESC, w1, w2) argmax greedily
+    left-to-right, repeat."""
+    corpus = [list(t) for t in toks_list]
+    merges = []
+    for step in range(1, rounds + 1):
+        cnt = Counter()
+        for t in corpus:
+            for a, b in zip(t, t[1:]):
+                cnt[(a, b)] += 1
+        (w1, w2), c = min(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, w1, w2, c))
+        out = []
+        for t in corpus:
+            res, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == w1 and t[i + 1] == w2:
+                    res.append(w1 + " " + w2)
+                    i += 2
+                else:
+                    res.append(t[i])
+                    i += 1
+            out.append(res)
+        corpus = out
+    return merges
+
+
+def test_bpe_train_matches_python_and_fold_form(spark):
+    """Three-way pin: the Arrow-kernel Spark runner (bpe_train), the
+    pure-SQL fold form (bpe_train_sql('spark') — the dialect text the
+    DuckDB oracle mirrors), and an independent Python replica must all
+    produce the same merge table."""
+    from kektordb_spark.operators.pipeline import (
+        BPE_ROUNDS, bpe_train, bpe_train_sql)
+    from kektordb_spark.tables import load_tables
+
+    load_tables(spark, SF_SMALL)
+    toks = [
+        r["toks"] for r in spark.table("docs_tok").select("toks").collect()
+    ]
+    want = _bpe_python(toks, BPE_ROUNDS)
+    runner = [
+        (r.step, r.w1, r.w2, r.cnt) for r in bpe_train(spark).collect()
+    ]
+    fold = [
+        (r.step, r.w1, r.w2, r.cnt)
+        for r in spark.sql(bpe_train_sql("spark")).collect()
+    ]
+    assert runner == want
+    assert fold == want
