@@ -475,7 +475,8 @@ def _bpe_merge_udf():
     return merge
 
 
-def bpe_train(spark, rounds: int = BPE_ROUNDS, source: str = "docs_tok"):
+def bpe_train(spark, rounds: int = BPE_ROUNDS,
+              source: str = "docs_tok_par"):
     """Spark runner for the BPE training loop: same per-round shape as
     bpe_train_sql, with the token relation localCheckpoint'ed between
     rounds (truncating the re-derivation chain — the pagerank
@@ -518,6 +519,133 @@ ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
     return out.select(
         F.col("step").cast("int").alias("step"), "w1", "w2", "cnt"
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection: hashed-ngram importance resampling
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512
+DSIR_TARGET_LANG = "en"
+DSIR_K = 50
+DSIR_SEED = "dsir42"
+
+
+def dsir_bg_sql(source: str = "docs_tok_par") -> str:
+    """Spark-dialect (doc_id, lang, bucket) bigram-bucket relation —
+    the piece the runner materializes once (see dsir_select_sql).
+    Default source is the PRE-TOKENIZED parquet relation
+    (tables.load_tables ``docs_tok_par``): explode re-evaluates its
+    child per OUTPUT row (SCALE.md rule 1), so generating bigrams over
+    the tokenizing VIEW re-runs the regex per bigram — measured 14.2 s
+    vs 0.3 s at sf0.1."""
+    pairs = ("transform(sequence(0, size(toks) - 2), "
+             "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")
+    bucket = _hex_to_int("spark", "md5(concat(pr.w1, ' ', pr.w2))")
+    return f"""
+SELECT doc_id, lang, ({bucket}) % {DSIR_BUCKETS} AS bucket
+FROM (SELECT doc_id, lang, {pairs} AS prs
+      FROM {source} WHERE size(toks) >= 2) t
+LATERAL VIEW explode(prs) _p AS pr
+""".strip()
+
+
+def dsir_select_sql(dialect: str, bg_source: str | None = None) -> str:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how target-like its
+    hashed-ngram profile is — log w(x) = sum over the doc's bigram
+    occurrences of ln(p_target(bucket) / p_raw(bucket)) — then sample
+    top-k under per-doc Gumbel noise (Gumbel-top-k == sampling without
+    replacement proportional to w). Fixture target: the ``lang='en'``
+    slice as the in-domain corpus, whole corpus as raw; B=512 hash
+    buckets at fixture scale (the paper uses 10k).
+
+    Determinism: the Gumbel uniform is the SEEDED-HASH discipline
+    every sampler here uses (mix_sample_sql) — u = (md5-bucket + .5)/
+    1e6 per doc, g = -ln(-ln(u)) — so the "random" draw is
+    engine-reproducible and stable under growth. The importance sum
+    uses the rule-7b integer grid (each bucket's log ratio quantized
+    to 1e-12, summed as BIGINT — exactly associative under any
+    partitioning; same class as text_unigram_logprob). Docs with <2
+    tokens have no ngram profile and are deterministically excluded.
+
+    Plan shape at 100 TB: both ngram LMs are B-row relations (ONE
+    bucket-keyed aggregate each, map-side partials; B is fixed, so
+    they always broadcast); scoring is a broadcast join + one
+    doc-keyed aggregate; selection is TakeOrderedAndProject. Two
+    data-sized shuffles total, both partially aggregated map-side."""
+    B = DSIR_BUCKETS
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    if bg_source is not None:
+        # Pre-materialized (doc_id, lang, bucket) relation: bg is
+        # referenced by THREE consumers (target LM, raw LM, scoring
+        # join) and Spark inlines multiply-referenced CTEs (SCALE.md
+        # rule 2) — the runner (``dsir_select``) checkpoints it once.
+        head = (f"WITH bg AS (SELECT doc_id, lang, bucket "
+                f"FROM {bg_source}),")
+    else:
+        if dialect == "spark":
+            pairs = ("transform(sequence(0, size(toks) - 2), "
+                     "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")
+            bg_rel = f"""
+  SELECT doc_id, lang, pr.w1 AS w1, pr.w2 AS w2
+  FROM (SELECT doc_id, lang, {pairs} AS prs
+        FROM docs_tok WHERE size(toks) >= 2) t
+  LATERAL VIEW explode(prs) _p AS pr"""
+            cat = "concat(w1, ' ', w2)"
+        else:
+            bg_rel = f"""
+  SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+  FROM docs_tok, unnest(generate_series(1, len(toks) - 1)) AS _g(i)
+  WHERE len(toks) >= 2"""
+            cat = "w1 || ' ' || w2"
+        bucket = _hex_to_int(dialect, f"md5({cat})")
+        head = f"""WITH bgr AS ({bg_rel}),
+bg AS (
+  SELECT doc_id, lang, ({bucket}) % {B} AS bucket FROM bgr
+),"""
+    gu = _hex_to_int(
+        dialect, f"md5(concat('{DSIR_SEED}', CAST(doc_id AS {s})))"
+    )
+    return f"""
+{head}
+tgt AS (
+  SELECT bucket, count(*) AS c FROM bg
+  WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+),
+rawc AS (
+  SELECT bucket, count(*) AS c FROM bg GROUP BY bucket
+),
+tn AS (SELECT sum(c) AS n FROM tgt),
+rn AS (SELECT sum(c) AS n FROM rawc),
+w AS (
+  SELECT r.bucket,
+         CAST(round((ln((coalesce(t.c, 0) + 1.0) / (tn.n + {B}.0))
+                     - ln((r.c + 1.0) / (rn.n + {B}.0))) * 1e12)
+              AS BIGINT) AS lw_q
+  FROM rawc r
+  LEFT JOIN tgt t ON t.bucket = r.bucket
+  CROSS JOIN tn CROSS JOIN rn
+),
+docw AS (
+  SELECT bg.doc_id, bg.lang,
+         sum(w.lw_q) AS lw_sum, count(*) AS n_grams
+  FROM bg JOIN w ON w.bucket = bg.bucket
+  GROUP BY bg.doc_id, bg.lang
+)
+SELECT doc_id, lang, CAST(n_grams AS BIGINT) AS n_grams,
+       round(lw_sum / 1e12, 6) AS logw,
+       round(lw_sum / 1e12
+             - ln(-ln((({gu}) % 1000000 + 0.5) / 1000000.0)), 6)
+         AS sel_score,
+       CAST(row_number() OVER (
+         ORDER BY round(lw_sum / 1e12
+                        - ln(-ln((({gu}) % 1000000 + 0.5) / 1000000.0)), 6)
+                  DESC, doc_id ASC) AS INT) AS rank
+FROM docw
+ORDER BY rank
+LIMIT {DSIR_K}
+""".strip()
 
 
 # ---------------------------------------------------------------------------

@@ -2322,6 +2322,22 @@ register_sql("pipeline_curriculum_adaptive", PL.curriculum_adaptive_sql, [])
 register_sql("pipeline_split_stratified", PL.split_stratified_sql, [])
 
 
+@register("pipeline_dsir_select",
+          with_oracle_ctes(PL.dsir_select_sql("duckdb"), ["docs_tok"]))
+def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (arXiv:2302.03169): hashed-bigram
+    target/raw LMs -> per-doc log importance weight (rule-7b integer
+    grid) -> seeded-Gumbel top-k (sampling-without-replacement
+    proportional to w, engine-reproducible). The bigram-bucket
+    relation feeds three consumers, so the Spark side materializes it
+    once (SCALE.md rule 2); the oracle inlines it — see
+    operators/pipeline.py: dsir_select_sql."""
+    load_tables(spark, sf_dir)
+    bg = spark.sql(PL.dsir_bg_sql()).localCheckpoint(eager=True)
+    bg.createOrReplaceTempView("_dsir_bg")
+    return spark.sql(PL.dsir_select_sql("spark", bg_source="_dsir_bg"))
+
+
 @register("pipeline_bpe_train",
           with_oracle_ctes(PL.bpe_train_sql("duckdb"), ["docs_tok"]))
 def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2498,6 +2514,7 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_decontaminate",
     "pipeline_vocab_pairs",
     "pipeline_bpe_train",
+    "pipeline_dsir_select",
     "dedup_incremental",
     "streaming_windowed_counts",
     "streaming_session_windows",

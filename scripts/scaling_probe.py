@@ -61,6 +61,9 @@ PROBE_QUERIES = [
     "pipeline_vocab_pairs",
     "text_unigram_logprob",
     "pipeline_curriculum",
+    "pipeline_curriculum_adaptive",
+    "pipeline_bpe_train",
+    "dedup_semantic",
 ]
 
 
