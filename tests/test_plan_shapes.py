@@ -291,3 +291,66 @@ def test_vsearch_facade_broadcasts_and_no_cartesian(spark):
 
     smj = re.findall(r"SortMergeJoin (\w+)", plan)
     assert set(smj) <= {"FullOuter"}, smj
+
+
+def test_semdedup_pairs_cell_grouped_no_cartesian(spark):
+    """SemDeDup's final statement never row-joins vectors: pairs come
+    pre-materialized from the per-cell GEMM kernel, so the plan has no
+    cartesian/NL join and the propagation+keeper stages are equi-joins
+    only. The kernel's own plan is a cid-keyed FlatMapGroupsInPandas —
+    the only exchange before the tile compute."""
+    from kektordb_spark.operators import semdedup as SD
+    from kektordb_spark.tables import load_tables
+
+    plan = plan_of(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    load_tables(spark, SF_SMALL)
+    kplan = spark._jvm.PythonSQLUtils.explainString(
+        SD.semantic_pairs(spark)._jdf.queryExecution(), "formatted")
+    assert "FlatMapGroupsInPandas" in kplan
+    assert "CartesianProduct" not in kplan
+
+
+def test_curriculum_adaptive_cutoffs_broadcast(spark):
+    """The adaptive cutoffs are a 1-row relation: their join back into
+    the corpus must be a broadcast (never a shuffled join), and the
+    only data-sized exchange is the (step, shard) position window."""
+    plan = plan_of(spark, "pipeline_curriculum_adaptive")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dsir_lms_broadcast_no_cartesian(spark):
+    """DSIR's bucket LMs are fixed-B relations — the scoring join must
+    broadcast them; no cartesian anywhere; the doc aggregate is the
+    only data-sized shuffle after the materialized bucket relation."""
+    plan = plan_of(spark, "pipeline_dsir_select")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_bpe_round_is_one_agg_and_broadcast_merge(spark):
+    """One BPE round = pair hash-aggregate (map-side partials) + a
+    broadcast of the 1-row argmax into the merge projection: the merge
+    input must NOT shuffle, and the argmax must arrive broadcast."""
+    from kektordb_spark.operators.pipeline import (
+        _adj_pairs, _bpe_merge_udf)
+    from kektordb_spark.tables import load_tables
+    from pyspark.sql import functions as F
+
+    load_tables(spark, SF_SMALL)
+    t = spark.table("docs_tok_par").selectExpr("doc_id", "toks") \
+        .localCheckpoint(eager=True)
+    t.createOrReplaceTempView("_bpe_plan_t")
+    best = spark.sql(
+        "SELECT w1, w2, count(*) AS cnt FROM ("
+        + _adj_pairs("spark", "_bpe_plan_t")
+        + ") p GROUP BY w1, w2 ORDER BY cnt DESC, w1, w2 LIMIT 1")
+    merged = t.crossJoin(F.broadcast(best)).select(
+        "doc_id", _bpe_merge_udf()("toks", "w1", "w2").alias("toks"))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        merged._jdf.queryExecution(), "formatted")
+    assert "BroadcastExchange" in plan
+    # the token side itself must not be exchanged for the merge
+    assert plan.count("- Exchange (") <= 1  # only inside the argmax agg
