@@ -1052,6 +1052,64 @@ LIMIT 15
 """.strip()
 
 
+def _rrf_sql(dialect: str, k0: int = 60, k: int = 15) -> str:
+    """Reciprocal-rank fusion (Cormack et al. 2009) over the SAME dual
+    retrieval as hybrid_fusion_top15: score = sum over branches the
+    doc appears in of 1/(k0 + rank). The standard score-free
+    alternative to the reference's alpha-weighted fusion — immune to
+    scale mismatch between branch scores, needs no normalization pass.
+    Ranks use the repo's stable-boundary discipline (round the branch
+    score to 6 dp, tie-break by id) so the rank permutation — and
+    therefore every RRF term — is engine-exact. Plan shape: two branch
+    windows (each rank window partitions by nothing but the branches
+    are bounded: vector branch is the kNN result, text branch the
+    BM25 posting match) + one full-outer equi-join on id; at scale the
+    branches arrive top-N-bounded so the windows are
+    TakeOrderedAndProject-sized, never corpus-wide sorts."""
+    src = "docs_tok_par" if dialect == "spark" else "docs_tok"
+    knn = f"""SELECT c.vec_id AS id,
+         round(1.0 - ({dot_sql(dialect, 'q.v', 'c.v')}) / (q.norm * c.norm), 6) AS dist
+  FROM emb q CROSS JOIN emb c
+  WHERE q.vec_id = 0 AND c.vec_id <> 0"""
+    bm25_inner = TX.bm25_oracle_sql(dialect, BM25_QUERY, 500, source=src)
+    bm25_scored = (bm25_inner[: bm25_inner.rindex("SELECT doc")]
+                   + "SELECT doc, score FROM scored")
+    return f"""
+WITH vec_d AS ({knn}),
+vec_rk AS (
+  SELECT id, row_number() OVER (ORDER BY dist ASC, id ASC) AS rk FROM vec_d
+),
+txt_raw AS (
+{bm25_scored}
+),
+txt_rk AS (
+  SELECT doc AS id,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc ASC) AS rk
+  FROM txt_raw
+),
+fused AS (
+  SELECT coalesce(v.id, t.id) AS id,
+         coalesce(CAST(1.0 AS DOUBLE) / ({k0} + v.rk), CAST(0.0 AS DOUBLE))
+           + coalesce(CAST(1.0 AS DOUBLE) / ({k0} + t.rk),
+                      CAST(0.0 AS DOUBLE)) AS score,
+         v.rk AS vec_rank, t.rk AS txt_rank
+  FROM vec_rk v FULL OUTER JOIN txt_rk t ON v.id = t.id
+)
+SELECT id, round(score, 6) AS rrf_score,
+       CAST(vec_rank AS INT) AS vec_rank, CAST(txt_rank AS INT) AS txt_rank
+FROM fused
+ORDER BY round(score, 6) DESC, id
+LIMIT {k}
+""".strip()
+
+
+register_sql(
+    "hybrid_rrf_top15", _rrf_sql, ["emb", "docs_tok"],
+    doc="Reciprocal-rank fusion over the dual retrieval — the "
+        "score-free companion to hybrid_fusion_top15 (see _rrf_sql).",
+)
+
+
 @register("hybrid_fusion_top15",
           with_oracle_ctes(_hybrid_oracle("duckdb"), ["emb", "docs_tok"]))
 def hybrid_fusion_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2501,6 +2559,7 @@ _DRIVER_WINDOW_FIRST = [
     # r4 additions (front so the new work is always in-window)
     "vsearch_hybrid_facade",
     "dedup_semantic",
+    "hybrid_rrf_top15",
     # r3-era queries the driver has never value-checked
     "graph_pagerank",
     "pipeline_mix_sample",
