@@ -765,3 +765,86 @@ FROM (
   FROM scored
 ) t WHERE rk = 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# D7: paragraph-level exact dedup (CCNet / Dolma line dedup shape)
+# ---------------------------------------------------------------------------
+
+PARA_W = 12  # tokens per pseudo-paragraph segment
+
+
+def paragraph_dedup_sql(dialect: str, source: str | None = None) -> str:
+    """Paragraph-level exact dedup: remove repeated SEGMENTS (not whole
+    documents) across the corpus, keep-first in (doc_id, seg_idx)
+    order — the CCNet/Dolma "line dedup" pass that strips boilerplate
+    (headers, navigation, license blocks) repeated across pages while
+    keeping each document's unique remainder.
+
+    The fixture corpus is a token stream with no newline structure, so
+    a "paragraph" is a fixed window of {PARA_W} tokens (segment i =
+    toks[{PARA_W}i+1 .. {PARA_W}(i+1)]), and — like dedup_exact_sql —
+    the fixture has no natural cross-doc segment repeats, so the corpus
+    deterministically UNIONs in a boilerplate-injected copy of every
+    5th document (its first 2 segments, i.e. first 24 tokens): every
+    segment of an injected doc is a repeat of the original's prefix
+    segments, both engines construct identical rows.
+
+    Output: per-doc audit (n_segs, n_removed, kept_ratio) — the
+    accounting a corpus-cleaning job ships with its output (cf.
+    quality_gate_sql's reject-reason discipline).
+
+    At scale: segments are generated in the scan projection (array
+    slice of the pre-tokenized relation — no regexp re-run, SCALE.md
+    rule 1); first-occurrence ranking is ONE shuffle keyed on the
+    segment hash (the row carries hash + ids only, never the text);
+    the per-doc rollup is a second shuffle keyed on doc_id. Same
+    two-shuffle budget as exact whole-doc dedup plus the rollup.
+    Reference seam: the reference dedups at memory granularity via
+    gardener consolidation (gardener.go:781-937); segment-level
+    dedup is the pretraining-corpus counterpart.
+    """
+    w = PARA_W
+    if source is None:
+        source = "docs_tok_par" if dialect == "spark" else "docs_tok"
+    if dialect == "spark":
+        corpus = f"""
+  SELECT doc_id, toks FROM {source}
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, slice(toks, 1, {2 * w}) AS toks
+  FROM {source} WHERE doc_id % 5 = 0 AND size(toks) > 0"""
+        segs = f"""
+  SELECT doc_id, i,
+         md5(concat_ws(' ', slice(toks, i * {w} + 1, {w}))) AS h
+  FROM (SELECT doc_id, toks FROM corpus WHERE size(toks) > 0) t
+  LATERAL VIEW explode(
+    sequence(0, CAST(ceil(size(toks) / {w}.0) AS INT) - 1)) _s AS i"""
+    else:
+        corpus = f"""
+  SELECT doc_id, toks FROM {source}
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, toks[1:{2 * w}] AS toks
+  FROM {source} WHERE doc_id % 5 = 0 AND len(toks) > 0"""
+        segs = f"""
+  SELECT doc_id, i,
+         md5(array_to_string(toks[i * {w} + 1:(i + 1) * {w}], ' ')) AS h
+  FROM (SELECT doc_id, toks FROM corpus WHERE len(toks) > 0) t,
+       unnest(generate_series(0, CAST(ceil(len(toks) / {w}.0) AS INT) - 1))
+         AS _g(i)"""
+    return f"""
+WITH corpus AS ({corpus}),
+segs AS ({segs}),
+ranked AS (
+  SELECT doc_id, i,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_segs,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_removed,
+       round(1.0 - CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 4) AS kept_ratio
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+""".strip()

@@ -825,3 +825,270 @@ SELECT lang, source, split,
 FROM a
 GROUP BY lang, source, split
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# PII scrub / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns avoid backslash classes (\d, \b) entirely — [0-9] and [.]
+# behave identically in Java regex (Spark) and RE2 (DuckDB), so no
+# dialect-escaping is needed and no boundary-semantics drift is
+# possible. Email/IP/phone are the C4/Dolma PII triple.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+PII_IP_RE = "[0-9]{1,3}([.][0-9]{1,3}){3}"
+PII_PHONE_RE = "555-[0-9]{4}"
+
+
+def _rre(dialect: str, col: str, pattern: str, repl: str) -> str:
+    """Replace-ALL regexp across dialects (Spark replaces all by
+    default; DuckDB needs the 'g' flag)."""
+    if dialect == "spark":
+        return f"regexp_replace({col}, '{pattern}', '{repl}')"
+    return f"regexp_replace({col}, '{pattern}', '{repl}', 'g')"
+
+
+def pii_scrub_sql(dialect: str) -> str:
+    """PII detection + redaction (the C4/Dolma scrub pass): count and
+    mask emails, IPv4 addresses, and phone numbers per document,
+    emitting the per-class counts and an md5 of the fully redacted
+    text (pinning byte-exact redaction across engines without
+    shipping the text).
+
+    The fixture corpus contains no PII, so the query first derives a
+    deterministic DIRTY view — every doc gains a synthetic email,
+    every 3rd an IP, every 5th a phone, all pure functions of doc_id
+    built identically in both dialects — and the scrubber is then
+    genuinely parity-checked against it (same discipline as
+    dedup_exact_sql's injected duplicates).
+
+    At scale: pure scan-time projection — three regexp passes per
+    row, zero shuffles (the ORDER BY is presentation-only; a real run
+    writes back partition-preserving). Masking order is fixed
+    (email -> ip -> phone) so overlapping matches resolve
+    deterministically."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+
+    def c(e: str) -> str:
+        return f"CAST({e} AS {s})"
+
+    dirty = (
+        f"text || ' contact user' || {c('doc_id')} || '@mail' || "
+        f"{c('doc_id % 7')} || '.example.com'"
+        f" || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || "
+        f"{c('doc_id % 200')} || '.' || {c('doc_id % 250')} || '.' || "
+        f"{c('doc_id % 25')} ELSE '' END"
+        f" || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || "
+        f"{c('1000 + doc_id % 9000')} ELSE '' END"
+    )
+    red = _rre(dialect, "dirty", PII_EMAIL_RE, "<EMAIL>")
+    red = _rre(dialect, red, PII_IP_RE, "<IP>")
+    red = _rre(dialect, red, PII_PHONE_RE, "<PHONE>")
+    ln = "size" if dialect == "spark" else "len"
+    return f"""
+WITH dirty_docs AS (
+  SELECT doc_id, {dirty} AS dirty FROM documents
+)
+SELECT doc_id,
+       CAST({ln}({_regex_all(dialect, 'dirty', PII_EMAIL_RE)}) AS INT) AS n_emails,
+       CAST({ln}({_regex_all(dialect, 'dirty', PII_IP_RE)}) AS INT)    AS n_ips,
+       CAST({ln}({_regex_all(dialect, 'dirty', PII_PHONE_RE)}) AS INT) AS n_phones,
+       CAST(length({red}) AS INT) AS redacted_len,
+       md5({red})                 AS redacted_hash
+FROM dirty_docs
+ORDER BY doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# UniMax-style language-balanced sampling (water-filling under an
+# epoch cap — arXiv:2304.09151)
+# ---------------------------------------------------------------------------
+
+UNIMAX_EPOCHS = 2          # max repeats of any language's data
+UNIMAX_BUDGET_X10 = 14     # corpus budget = total_docs * 1.4
+UNIMAX_SEED = "unimax42"
+
+
+def lang_balance_sql(dialect: str) -> str:
+    """UniMax language balancing (Chung et al. 2023): allocate a
+    corpus budget across languages as uniformly as possible, capping
+    each language at UNIMAX_EPOCHS repeats of its data — the
+    principled alternative to temperature sampling for multilingual
+    pretraining mixes. Emits the realized sampling plan: one row per
+    (doc, epoch) drawn, with the per-language allocation as audit
+    columns.
+
+    The water-filling threshold is computed EXACTLY in integer
+    arithmetic over the (tiny) per-language size relation: sort
+    languages by cap = size * E ascending; a language is fully
+    allocated iff cap_k * (n-k+1) <= B - C_(k-1) (equal-share test
+    against the remaining budget); the rest get the uniform share
+    floor((B - C_K) / (n - K)) (the sub-budget remainder, < n-K docs,
+    is deterministically dropped). Doc selection within a language is
+    seeded-hash rank (mix_sample_sql discipline) so the plan is
+    engine- and layout-reproducible; allocations beyond one epoch
+    wrap around the rank order (doc r gets ceil((alloc - r + 1)/size)
+    copies).
+
+    At scale: language stats are ONE map-side-combined aggregate to a
+    #langs-row relation that always broadcasts; the threshold math
+    happens inside that tiny relation; selection is one rank window
+    keyed on lang (the same bounded-sort budget as curriculum
+    position assignment) plus a metadata-only epoch explode."""
+    e = UNIMAX_EPOCHS
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    h = _hex_to_int(
+        dialect, f"md5(concat('{UNIMAX_SEED}', CAST(doc_id AS {s})))"
+    )
+    if dialect == "spark":
+        copies = "LATERAL VIEW explode(sequence(1, n_copies)) _e AS epoch"
+    else:
+        copies = ", unnest(generate_series(1, n_copies)) AS _e(epoch)"
+    return f"""
+WITH sizes AS (
+  SELECT lang, count(*) AS sz FROM documents GROUP BY lang
+),
+btot AS (
+  SELECT CAST(floor(sum(sz) * {UNIMAX_BUDGET_X10} / 10.0) AS BIGINT) AS b
+  FROM sizes
+),
+ord AS (
+  SELECT lang, sz, sz * {e} AS cap,
+         row_number() OVER (ORDER BY sz * {e}, lang) AS k,
+         coalesce(sum(sz * {e}) OVER (ORDER BY sz * {e}, lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS prev_c,
+         count(*) OVER () AS n
+  FROM sizes
+),
+fl AS (
+  SELECT o.*, b.b,
+         CASE WHEN o.cap * (o.n - o.k + 1) <= b.b - o.prev_c
+              THEN 1 ELSE 0 END AS is_full
+  FROM ord o CROSS JOIN btot b
+),
+kstat AS (
+  SELECT coalesce(sum(is_full), 0) AS kf,
+         coalesce(sum(CASE WHEN is_full = 1 THEN cap ELSE 0 END), 0) AS ck,
+         max(n) AS n, max(b) AS b
+  FROM fl
+),
+alloc AS (
+  SELECT f.lang, f.sz, f.cap,
+         CASE WHEN f.is_full = 1 THEN f.cap
+              ELSE CAST(floor(CAST(k.b - k.ck AS DOUBLE)
+                              / nullif(k.n - k.kf, 0)) AS BIGINT)
+         END AS alloc
+  FROM fl f CROSS JOIN kstat k
+),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang ORDER BY {h}, doc_id) AS r
+  FROM documents d
+),
+plan AS (
+  SELECT {'/*+ BROADCAST(a) */' if dialect == 'spark' else ''}
+         r.doc_id, r.lang, r.r, a.sz, a.alloc,
+         CAST(floor(CAST(a.alloc AS DOUBLE) / a.sz) AS BIGINT)
+           + CASE WHEN r.r <= a.alloc % a.sz THEN 1 ELSE 0 END AS n_copies
+  FROM ranked r JOIN alloc a ON a.lang = r.lang
+)
+SELECT doc_id, lang,
+       CAST(r AS INT) AS sel_rank,
+       CAST(epoch AS INT) AS epoch,
+       CAST(alloc AS INT) AS lang_alloc,
+       CAST(sz AS INT) AS lang_docs
+FROM (SELECT * FROM plan WHERE n_copies > 0) p
+{copies}
+ORDER BY lang, sel_rank, epoch
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# BPE APPLY: tokenize the corpus with the trained merge table — the
+# train -> apply round trip a tokenizer pipeline actually ships
+# ---------------------------------------------------------------------------
+
+def bpe_apply_sql(dialect: str, rounds: int = BPE_ROUNDS,
+                  source: str = "docs_tok") -> str:
+    """Apply the BPE merge table trained by bpe_train_sql to the
+    corpus it was trained on, returning the per-document tokenization
+    audit: token counts before/after and an md5 of the merged token
+    stream (byte-exact pin of the tokenization without shipping it).
+
+    Same unrolled round structure as bpe_train_sql — training derives
+    the argmax pair of round i from the already-(i-1)-times-merged
+    corpus, so APPLYING the merge table in order IS the training
+    recurrence; the only difference is returning the final token
+    relation instead of the merge table. A production pipeline trains
+    on a mix_sample subcorpus and applies to everything — compose by
+    swapping ``source`` in the two calls.
+
+    Plan shape: identical to the trainer (per round: one map-side
+    pair aggregate, a 1-row argmax broadcast, a map-only merge) plus
+    one final doc-keyed projection. The Spark runner (``bpe_apply``)
+    reuses the Arrow merge kernel and per-round checkpoints."""
+    merge = _bpe_merge_expr(dialect)
+    ln = "size" if dialect == "spark" else "len"
+    joined = ("concat_ws(' ', toks)" if dialect == "spark"
+              else "array_to_string(toks, ' ')")
+    parts = [f"t0 AS (SELECT doc_id, toks FROM {source})"]
+    for i in range(rounds):
+        parts.append(f"p{i} AS ({_adj_pairs(dialect, f't{i}')})")
+        parts.append(f"""best{i} AS (
+  SELECT w1, w2, count(*) AS cnt FROM p{i}
+  GROUP BY w1, w2
+  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
+)""")
+        parts.append(f"""t{i + 1} AS (
+  SELECT doc_id, {merge} AS toks
+  FROM t{i} CROSS JOIN best{i} b
+)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT a.doc_id,
+       CAST({ln}(b.toks) AS INT) AS n_toks_before,
+       CAST({ln}(a.toks) AS INT) AS n_toks_after,
+       md5({joined.replace('toks', 'a.toks')}) AS tok_hash
+FROM t{rounds} a JOIN t0 b ON b.doc_id = a.doc_id
+ORDER BY a.doc_id
+""".strip()
+
+
+def bpe_apply(spark, rounds: int = BPE_ROUNDS,
+              source: str = "docs_tok_par"):
+    """Spark runner for BPE apply: the bpe_train loop (Arrow merge
+    kernel, one checkpoint job per round, argmax as a broadcast 1-row
+    relation) returning the tokenized corpus audit instead of the
+    merge table."""
+    from pyspark.sql import functions as F
+
+    # The before-count rides along through every round as a small int
+    # column, so the final audit needs NO corpus x corpus join back to
+    # the untokenized relation (a join both of whose sides are
+    # data-sized at 100 TB).
+    t = spark.table(source).selectExpr(
+        "doc_id", "toks", "CAST(size(toks) AS INT) AS n_toks_before")
+    merge = _bpe_merge_udf()
+    for i in range(rounds):
+        t = t.localCheckpoint(eager=True)
+        t.createOrReplaceTempView(f"_bpea_t{i}")
+        best = spark.sql(f"""
+SELECT w1, w2, count(*) AS cnt
+FROM ({_adj_pairs('spark', f'_bpea_t{i}')}) p
+GROUP BY w1, w2
+ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
+""")
+        t = (
+            t.crossJoin(F.broadcast(best))
+            .select("doc_id", merge("toks", "w1", "w2").alias("toks"),
+                    "n_toks_before")
+        )
+    return t.select(
+        "doc_id",
+        "n_toks_before",
+        F.size("toks").cast("int").alias("n_toks_after"),
+        F.md5(F.concat_ws(" ", "toks")).alias("tok_hash"),
+    ).orderBy("doc_id")

@@ -2410,6 +2410,23 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return PL.bpe_train(spark)
 
 
+@register("pipeline_bpe_apply",
+          with_oracle_ctes(PL.bpe_apply_sql("duckdb"), ["docs_tok"]))
+def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the merge table pipeline_bpe_train
+    just built — the train->apply round trip a tokenizer pipeline
+    ships. Returns the per-doc audit (counts before/after + md5 of
+    the merged stream). Same loop/kernel as the trainer; see
+    operators/pipeline.py: bpe_apply_sql."""
+    load_tables(spark, sf_dir)
+    return PL.bpe_apply(spark)
+
+
+register_sql("pipeline_pii_scrub", PL.pii_scrub_sql, [])
+register_sql("pipeline_lang_balance", PL.lang_balance_sql, [])
+register_sql("dedup_paragraph", DD.paragraph_dedup_sql, ["docs_tok"])
+
+
 @register("dedup_incremental",
           with_oracle_ctes(DD.minhash_incremental_sql("duckdb"), ["docs_tok"]))
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2560,6 +2577,10 @@ _DRIVER_WINDOW_FIRST = [
     "vsearch_hybrid_facade",
     "dedup_semantic",
     "hybrid_rrf_top15",
+    "dedup_paragraph",
+    "pipeline_pii_scrub",
+    "pipeline_lang_balance",
+    "pipeline_bpe_apply",
     # r3-era queries the driver has never value-checked
     "graph_pagerank",
     "pipeline_mix_sample",

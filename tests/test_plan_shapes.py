@@ -354,3 +354,45 @@ def test_bpe_round_is_one_agg_and_broadcast_merge(spark):
     assert "BroadcastExchange" in plan
     # the token side itself must not be exchanged for the merge
     assert plan.count("- Exchange (") <= 1  # only inside the argmax agg
+
+
+def test_pii_scrub_is_map_only(spark):
+    # three regexp passes in the scan projection; the only exchange is
+    # the presentation ORDER BY — no join, no aggregate, no cartesian
+    plan = plan_of(spark, "pipeline_pii_scrub")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert n_exchanges(plan) == 1
+
+
+def test_paragraph_dedup_two_data_shuffles(spark):
+    # segment hash window + per-doc rollup + presentation sort: three
+    # exchanges, NO join anywhere (first-occurrence via window rank,
+    # not a self-join), segments generated in the scan projection
+    plan = plan_of(spark, "dedup_paragraph")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert n_exchanges(plan) == 3
+
+
+def test_lang_balance_alloc_broadcast(spark):
+    # the #langs-row allocation relation is explicitly broadcast
+    # (BuildRight) against the rank-windowed corpus — without the hint
+    # the estimator picked BuildLeft, i.e. broadcast the DATA side
+    plan = plan_of(spark, "pipeline_lang_balance")
+    assert "BroadcastHashJoin Inner BuildRight" in plan
+    assert "SortMergeJoin" not in plan
+    # the corpus contributes exactly two data-sized exchanges: the
+    # per-lang rank window and the final presentation sort
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_apply_no_corpus_join(spark):
+    # the before-count rides through the rounds as a column: the final
+    # audit projects straight off the merged relation — the ONLY join
+    # is the 1-row argmax broadcast into the Arrow merge kernel
+    plan = plan_of(spark, "pipeline_bpe_apply")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan  # no corpus x corpus equi-join
+    assert "ArrowEvalPython" in plan
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan  # argmax
