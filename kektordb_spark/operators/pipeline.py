@@ -26,7 +26,7 @@ from __future__ import annotations
 import pandas as pd
 
 from kektordb_spark.functions.textquality import BPE_ISH_RE, _regex_all
-from kektordb_spark.operators.dedup import _hex_to_int
+from kektordb_spark.operators.dedup import _hex_to_int, _unnest
 
 # ---------------------------------------------------------------------------
 # Shared hash helpers
@@ -1092,3 +1092,74 @@ ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
         F.size("toks").cast("int").alias("n_toks_after"),
         F.md5(F.concat_ws(" ", "toks")).alias("tok_hash"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics audit (vocab size, TTR, Zipf slope, heavy hitters)
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_K = 64
+
+
+def corpus_stats_sql(dialect: str, source: str | None = None) -> str:
+    """Corpus-level statistics audit: total/unique token counts,
+    type-token ratio, the top-{ZIPF_TOP_K} heavy hitters, and the
+    Zipf slope (least-squares fit of ln freq on ln rank over the
+    head) — the one-page sanity report a corpus build ships next to
+    its output (a slope far from -1 or a heavy-hitter mass spike is
+    the classic symptom of boilerplate contamination or a broken
+    extractor upstream).
+
+    Output: one row per heavy hitter, with the corpus-level stats as
+    repeated columns (single result, both granularities).
+
+    Determinism: the regression terms are per-row doubles over the
+    top-k relation quantized onto the rule-7b integer grid (BIGINT
+    sums are exactly associative under any partitioning); ln/round on
+    identical double inputs agree across engines.
+
+    At scale: the frequency relation is ONE hash aggregate keyed on
+    the token (map-side partials — the shuffle carries the distinct
+    vocabulary, not the corpus); top-k is TakeOrderedAndProject; the
+    regression runs inside the 64-row head. Same two-phase-count
+    budget as vocab_pairs."""
+    if source is None:
+        source = "docs_tok_par" if dialect == "spark" else "docs_tok"
+    un = _unnest(dialect, "toks", "tok")
+    k = ZIPF_TOP_K
+    return f"""
+WITH tf AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT toks FROM {source}) t
+  {un}
+  GROUP BY tok
+),
+tot AS (
+  SELECT sum(c) AS n_tokens, count(*) AS n_types FROM tf
+),
+topk AS (
+  SELECT tok, c,
+         row_number() OVER (ORDER BY c DESC, tok ASC) AS rk
+  FROM tf
+  ORDER BY c DESC, tok ASC
+  LIMIT {k}
+),
+reg AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(ln(rk) * 1e6) AS BIGINT))           AS sx,
+         sum(CAST(round(ln(c) * 1e6) AS BIGINT))            AS sy,
+         sum(CAST(round(ln(rk) * ln(c) * 1e12) AS BIGINT))  AS sxy,
+         sum(CAST(round(ln(rk) * ln(rk) * 1e12) AS BIGINT)) AS sxx
+  FROM topk
+)
+SELECT t.rk AS rank, t.tok, CAST(t.c AS BIGINT) AS freq,
+       CAST(o.n_tokens AS BIGINT) AS n_tokens,
+       CAST(o.n_types AS BIGINT)  AS n_types,
+       round(CAST(o.n_types AS DOUBLE) / o.n_tokens, 6) AS type_token_ratio,
+       round((r.n * (r.sxy / 1e12) - (r.sx / 1e6) * (r.sy / 1e6))
+             / (r.n * (r.sxx / 1e12) - (r.sx / 1e6) * (r.sx / 1e6)), 6)
+         AS zipf_slope,
+       round(CAST(t.c AS DOUBLE) / o.n_tokens, 6) AS head_mass
+FROM topk t CROSS JOIN tot o CROSS JOIN reg r
+ORDER BY t.rk
+""".strip()

@@ -2424,6 +2424,7 @@ def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register_sql("pipeline_pii_scrub", PL.pii_scrub_sql, [])
 register_sql("pipeline_lang_balance", PL.lang_balance_sql, [])
+register_sql("pipeline_corpus_stats", PL.corpus_stats_sql, ["docs_tok"])
 register_sql("dedup_paragraph", DD.paragraph_dedup_sql, ["docs_tok"])
 
 
@@ -2581,6 +2582,7 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_pii_scrub",
     "pipeline_lang_balance",
     "pipeline_bpe_apply",
+    "pipeline_corpus_stats",
     # r3-era queries the driver has never value-checked
     "graph_pagerank",
     "pipeline_mix_sample",

@@ -64,6 +64,10 @@ PROBE_QUERIES = [
     "pipeline_curriculum_adaptive",
     "pipeline_bpe_train",
     "dedup_semantic",
+    "dedup_paragraph",
+    "pipeline_pii_scrub",
+    "pipeline_lang_balance",
+    "pipeline_bpe_apply",
 ]
 
 

@@ -273,3 +273,58 @@ def test_bpe_apply_matches_python(spark):
             len(corpus[d]),
             hashlib.md5(merged.encode()).hexdigest(),
         ), d
+
+
+# ---------------------------------------------------------------------------
+# Corpus stats (Zipf audit)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(list("abcdefgh")),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_corpus_stats_matches_replica(tok_lists):
+    from collections import Counter
+
+    from kektordb_spark.operators.pipeline import ZIPF_TOP_K, corpus_stats_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ctoks(doc_id BIGINT, toks VARCHAR[])")
+    con.executemany(
+        "INSERT INTO ctoks VALUES (?, ?)", list(enumerate(tok_lists))
+    )
+    out = con.execute(corpus_stats_sql("duckdb", source="ctoks")).fetchall()
+
+    cnt = Counter(t for toks in tok_lists for t in toks)
+    n_tokens = sum(cnt.values())
+    n_types = len(cnt)
+    head = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP_K]
+    # replica regression on the same integer grid
+    n = len(head)
+    sx = sum(round(math.log(rk) * 1e6) for rk in range(1, n + 1))
+    sy = sum(round(math.log(c) * 1e6) for _, c in head)
+    sxy = sum(
+        round(math.log(rk) * math.log(c) * 1e12)
+        for rk, (_, c) in enumerate(head, 1)
+    )
+    sxx = sum(round(math.log(rk) ** 2 * 1e12) for rk in range(1, n + 1))
+    denom = n * (sxx / 1e12) - (sx / 1e6) ** 2
+    slope = ((n * (sxy / 1e12) - (sx / 1e6) * (sy / 1e6)) / denom
+             if denom else float("nan"))
+
+    assert len(out) == n
+    for rank, tok, freq, nt, ny, ttr, zs, hm in out:
+        assert (tok, freq) == head[rank - 1]
+        assert nt == n_tokens and ny == n_types
+        assert ttr == round(n_types / n_tokens, 6)
+        if not math.isnan(slope):
+            assert zs == pytest.approx(round(slope, 6), abs=2e-6)
+        assert hm == round(freq / n_tokens, 6)

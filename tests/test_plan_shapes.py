@@ -396,3 +396,14 @@ def test_bpe_apply_no_corpus_join(spark):
     assert "BroadcastHashJoin" not in plan  # no corpus x corpus equi-join
     assert "ArrowEvalPython" in plan
     assert "BroadcastNestedLoopJoin Cross BuildRight" in plan  # argmax
+
+
+def test_corpus_stats_vocab_shuffle_only(spark):
+    # the frequency relation is the only data-sized shuffle (explode ->
+    # hash agg keyed on token, map-side partials); the head is
+    # TakeOrderedAndProject; the regression runs in the 64-row relation
+    plan = plan_of(spark, "pipeline_corpus_stats")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "SortMergeJoin" not in plan
