@@ -1,0 +1,251 @@
+"""Corpus / event / graph analytics beyond the reference surface.
+
+The reference's stats endpoint (pkg/server/handlers.go `/stats`) reports
+exact engine counters; at 100 TB the interesting statistics (distinct
+users, value quantiles, per-doc keywords, graph clustering) need
+shuffle-light formulations. Four operators, each dialect-parameterized
+(one SQL text runs verbatim on Spark and, with syntax swaps only, on the
+DuckDB oracle):
+
+* ``kmv_distinct_sql`` — distinct-count sketch via k independent
+  min-hashes (the KMV / "k minimums" estimator, Bar-Yossef et al. 2002):
+  ``min`` is a map-side-combinable aggregate and duplicates cannot move
+  a minimum, so the shuffle carries ``n_groups x K`` BIGINTs no matter
+  how many rows scanned — the exact reason sketches exist at scale. The
+  exact distinct count rides along as the calibration audit column.
+* ``grid_quantiles_sql`` — p50/p90/p99 on a quantized value grid:
+  ONE hash aggregate keyed on (group, grid cell) with map-side partials,
+  then a window over the bounded grid relation. Exact-on-grid (error
+  bounded by cell width), fully deterministic, never sorts raw rows —
+  the honest alternative to ``percentile`` (which collects every value
+  per group) and to ``approx_percentile`` (t-digest; not reproducible
+  across engines).
+* ``tfidf_keywords_sql`` — top-k terms per document by tf-idf. The
+  document-frequency relation is derived FROM the tf relation (one
+  explode feeds both; SCALE.md rule 1), idf joins back on the token key
+  (vocabulary-sized — broadcast-able), rank quantized onto the rule-7b
+  integer grid so the per-doc ordering is exactly associative.
+* ``triangle_sql`` — triangle census on the part co-purchase graph
+  (parts sharing an order; the market-basket item graph every
+  recommender build derives). Degree-oriented edge direction (each
+  undirected edge points from the lower-(degree, id) endpoint) bounds
+  wedge fan-out by sqrt(m) — the standard trick that keeps distributed
+  triangle counting near-linear (Suri & Vassilvitskii, WWW'11) — then
+  triangles close with one more equi-join. No step is ever doc x doc or
+  part x part unkeyed.
+
+Determinism: every ranking/regression quantity is integer-grid
+quantized (BIGINT sums/mins are exactly associative under any
+partitioning); hash-derived values use md5 prefixes which agree
+byte-for-byte across engines.
+"""
+
+from __future__ import annotations
+
+from kektordb_spark.operators.dedup import _hex_to_int, _unnest
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+# 14 hex chars: values < 16^14 = 7.2e16, so a sum of 64 minimums stays
+# far inside signed int64 (max 4.6e18 < 9.2e18).
+_KMV_HEX = 14
+_KMV_SCALE = 16 ** _KMV_HEX
+
+
+def kmv_distinct_sql(dialect: str) -> str:
+    """Distinct users per event type, estimated with {KMV_K} independent
+    min-hashes: for n distinct uniform hashes in [0,1), E[min] = 1/(n+1),
+    so n_hat = K / sum_of_mins - 1 (harmonic estimator, rel. error
+    ~1/sqrt(K) ~= 12%). Duplicated user_ids cannot move a minimum, which
+    is the whole point: the scan never deduplicates, and the shuffle
+    after map-side partial ``min`` carries n_types x K BIGINTs at ANY
+    corpus size. The exact count (one extra distinct aggregate — the
+    thing the sketch replaces at 100 TB) rides along as the calibration
+    audit; rel_error is asserted < 3/sqrt(K) in tests.
+
+    Reference parity note: the reference reports exact counters from its
+    in-memory maps (pkg/server/handlers.go /stats); this is the
+    scale-out formulation of the same report."""
+    uid = "CAST(user_id AS STRING)" if dialect == "spark" else "CAST(user_id AS VARCHAR)"
+    sstr = "CAST(s AS STRING)" if dialect == "spark" else "CAST(s AS VARCHAR)"
+    seq = f"sequence(1, {KMV_K})" if dialect == "spark" else f"generate_series(1, {KMV_K})"
+    un = _unnest(dialect, seq, "s")
+    h = _hex_to_int(dialect, f"md5(concat({uid}, ':', {sstr}))", _KMV_HEX)
+    return f"""
+WITH mins AS (
+  SELECT event_type, s, min({h}) AS m
+  FROM (SELECT event_type, user_id FROM events) e
+  {un}
+  GROUP BY event_type, s
+),
+est AS (
+  SELECT event_type,
+         CAST(round({KMV_K} / (sum(m) / {_KMV_SCALE}.0) - 1) AS BIGINT) AS est_distinct
+  FROM mins GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.est_distinct,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+       round(abs(CAST(e.est_distinct AS DOUBLE) / x.exact_distinct - 1), 4)
+         AS rel_error
+FROM est e JOIN ex x ON x.event_type = e.event_type
+ORDER BY e.event_type
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Grid quantiles
+# ---------------------------------------------------------------------------
+
+def grid_quantiles_sql(dialect: str) -> str:
+    """p50/p90/p99 of event value per event type on a 0.01-wide value
+    grid. ``floor(value*100)`` is exact IEEE in both engines (no
+    round-half semantics in play); the first aggregate's shuffle carries
+    (type, cell) pairs — bounded by the value RANGE, not the row count —
+    and the cumulative window sorts only that grid. Quantile picks are
+    pure integer comparisons (cc*2 >= tot etc.), so the result is exact
+    on the grid and identical under any partitioning. At 100 TB nothing
+    changes: the grid relation is still tiny, and map-side partial
+    counts do the heavy lifting at the scan."""
+    return f"""
+WITH g AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vq, count(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type, CAST(floor(value * 100) AS BIGINT)
+),
+cum AS (
+  SELECT event_type, vq, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY vq) AS cc,
+         sum(c) OVER (PARTITION BY event_type) AS tot
+  FROM g
+)
+SELECT event_type,
+       CAST(max(tot) AS BIGINT) AS n_rows,
+       round(min(CASE WHEN cc * 2 >= tot THEN vq END) / 1e2, 2)        AS p50,
+       round(min(CASE WHEN cc * 10 >= tot * 9 THEN vq END) / 1e2, 2)   AS p90,
+       round(min(CASE WHEN cc * 100 >= tot * 99 THEN vq END) / 1e2, 2) AS p99
+FROM cum GROUP BY event_type ORDER BY event_type
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keywords
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_keywords_sql(dialect: str, source: str | None = None) -> str:
+    """Top-{TFIDF_TOP_K} keywords per document by tf-idf with the
+    smoothed idf ln((N+1)/(df+1)). One explode feeds the term-frequency
+    relation; document frequency is GROUP BY tok over that SAME relation
+    (tf rows are already (doc, tok)-distinct), so the corpus is scanned
+    once. The idf join is keyed on the token — a vocabulary-sized
+    relation, broadcast-able at any corpus size. Ranking uses
+    tf * round(ln(idf)*1e6)::BIGINT (integer grid → exactly associative;
+    ties broken on token) and the per-doc window sorts only that doc's
+    vocabulary."""
+    if source is None:
+        source = "docs_tok_par" if dialect == "spark" else "docs_tok"
+    un = _unnest(dialect, "toks", "tok")
+    return f"""
+WITH tfr AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, toks FROM {source}) t
+  {un}
+  GROUP BY doc_id, tok
+),
+dfr AS (
+  SELECT tok, count(*) AS df FROM tfr GROUP BY tok
+),
+nd AS (
+  SELECT count(*) AS n_docs FROM {source}
+),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+         t.tf * CAST(round(ln((n.n_docs + 1.0) / (d.df + 1.0)) * 1e6) AS BIGINT)
+           AS sq
+  FROM tfr t JOIN dfr d ON d.tok = t.tok CROSS JOIN nd n
+),
+ranked AS (
+  SELECT doc_id, tok, tf, df, sq,
+         row_number() OVER (PARTITION BY doc_id ORDER BY sq DESC, tok ASC)
+           AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rank, tok,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(sq / 1e6, 6) AS tfidf
+FROM ranked WHERE rk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Triangle census on the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+TRIANGLE_TOP_N = 20
+
+
+def triangle_sql(dialect: str) -> str:
+    """Triangle census of the part co-purchase graph (undirected edge =
+    two parts share at least one order). Pipeline: (1) pair generation
+    is ONE self-equi-join of lineitem on the order key with pa < pb —
+    work bounded by sum(parts-per-order^2), never part x part; (2) each
+    edge is ORIENTED from its lower-(degree, id) endpoint, which bounds
+    every node's out-degree by O(sqrt(m)) (Suri & Vassilvitskii, WWW'11
+    — the standard MapReduce triangle trick); (3) wedges close via one
+    equi-join on the oriented edge set (broadcast-able: 2 ints per
+    edge). Output: the {TRIANGLE_TOP_N} most triangle-central parts with
+    the global census, tie-broken on part id. Every count is an integer
+    aggregate — exactly associative under any partitioning."""
+    return f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b
+    ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+),
+deg AS (
+  SELECT p, count(*) AS d
+  FROM (SELECT pa AS p FROM e UNION ALL SELECT pb AS p FROM e) n
+  GROUP BY p
+),
+o AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+              THEN e.pa ELSE e.pb END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+              THEN e.pb ELSE e.pa END AS v
+  FROM e
+  JOIN deg da ON da.p = e.pa
+  JOIN deg db ON db.p = e.pb
+),
+tri AS (
+  SELECT o1.u AS a, o1.v AS b, o2.v AS c
+  FROM o o1
+  JOIN o o2 ON o2.u = o1.v
+  JOIN o o3 ON o3.u = o1.u AND o3.v = o2.v
+),
+pn AS (
+  SELECT p, count(*) AS tri_cnt
+  FROM (SELECT a AS p FROM tri
+        UNION ALL SELECT b AS p FROM tri
+        UNION ALL SELECT c AS p FROM tri) x
+  GROUP BY p
+),
+tot AS (
+  SELECT count(*) AS n_triangles FROM tri
+)
+SELECT CAST(pn.p AS BIGINT) AS part_id,
+       CAST(pn.tri_cnt AS BIGINT) AS triangles,
+       CAST(t.n_triangles AS BIGINT) AS total_triangles
+FROM pn CROSS JOIN tot t
+ORDER BY pn.tri_cnt DESC, pn.p ASC
+LIMIT {TRIANGLE_TOP_N}
+""".strip()

@@ -2427,6 +2427,13 @@ register_sql("pipeline_lang_balance", PL.lang_balance_sql, [])
 register_sql("pipeline_corpus_stats", PL.corpus_stats_sql, ["docs_tok"])
 register_sql("dedup_paragraph", DD.paragraph_dedup_sql, ["docs_tok"])
 
+from kektordb_spark.operators import analytics as AN  # noqa: E402
+
+register_sql("sketch_distinct_kmv", AN.kmv_distinct_sql, [])
+register_sql("events_grid_quantiles", AN.grid_quantiles_sql, [])
+register_sql("text_keywords_tfidf", AN.tfidf_keywords_sql, ["docs_tok"])
+register_sql("graph_triangle_count", AN.triangle_sql, [])
+
 
 @register("dedup_incremental",
           with_oracle_ctes(DD.minhash_incremental_sql("duckdb"), ["docs_tok"]))
@@ -2583,6 +2590,10 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_lang_balance",
     "pipeline_bpe_apply",
     "pipeline_corpus_stats",
+    "sketch_distinct_kmv",
+    "events_grid_quantiles",
+    "text_keywords_tfidf",
+    "graph_triangle_count",
     # r3-era queries the driver has never value-checked
     "graph_pagerank",
     "pipeline_mix_sample",
