@@ -61,6 +61,19 @@ def _raw_tokens(dialect: str, col: str) -> str:
     return _regex_all(dialect, f"lower({col})", "[a-z0-9_]+")
 
 
+def _grid6(expr: str) -> str:
+    """Quantize a non-negative DOUBLE onto the 1e-6 integer grid,
+    tie-free (SCALE.md rule 7b). `floor` never ties, so unlike
+    `round(x, 6)` — scaled-multiply HALF_UP in Spark vs C-lib rint in
+    DuckDB, 1-ulp divergent on exact .5 micro-boundaries (e.g. any
+    ratio with denominator 128: x*1e6 lands exactly on .5) — both
+    engines emit the bit-identical double. All inputs here are single
+    IEEE divisions of exact integers, so `expr` itself is already
+    bit-identical cross-engine; the final BIGINT/1e6 division is one
+    more exactly-rounded IEEE op. Dialect-free: same text both sides."""
+    return f"CAST(floor(({expr}) * 1e6) AS BIGINT) / 1e6"
+
+
 def lang_id_sql(dialect: str) -> str:
     """Language ID by stopword-profile hits; argmax with alphabetical
     tie-break; 'und' (undetermined) when no profile hits."""
@@ -120,20 +133,17 @@ WITH t AS (SELECT doc_id, text, n_chars, {toks} AS toks FROM documents),
 m AS (
   SELECT doc_id,
          CAST({n_toks} AS INT)                                   AS n_toks,
-         round(CASE WHEN {n_toks} = 0 THEN 0.0
-               ELSE CAST({n_stop} AS DOUBLE) / {n_toks} END, 6)  AS stopword_ratio,
-         round(CAST({n_punct} AS DOUBLE)
-               / greatest(CAST(n_chars AS DOUBLE), 1.0), 6)      AS punct_ratio,
-         round({mean_len}, 6)                                    AS mean_tok_len
+         {_grid6(f"CASE WHEN {n_toks} = 0 THEN 0.0 ELSE CAST({n_stop} AS DOUBLE) / {n_toks} END")}  AS stopword_ratio,
+         {_grid6(f"CAST({n_punct} AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)")}            AS punct_ratio,
+         {_grid6(mean_len)}                                      AS mean_tok_len
   FROM t
 )
 SELECT doc_id, n_toks, stopword_ratio, punct_ratio, mean_tok_len,
-       round(
-         0.25 * (CASE WHEN n_toks BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.0 END)
+       0.25 * (CASE WHEN n_toks BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.0 END)
        + 0.25 * (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)
        + 0.25 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
        + 0.25 * (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-       , 6) AS quality
+         AS quality
 FROM m
 """.strip()
 
@@ -148,8 +158,7 @@ def token_count_sql(dialect: str) -> str:
 SELECT doc_id,
        CAST({ws} AS INT)  AS ws_tokens,
        CAST({bpe} AS INT) AS bpe_tokens,
-       round(CASE WHEN {bpe} = 0 THEN 0.0
-             ELSE CAST(n_chars AS DOUBLE) / {bpe} END, 6) AS chars_per_token
+       {_grid6(f"CASE WHEN {bpe} = 0 THEN 0.0 ELSE CAST(n_chars AS DOUBLE) / {bpe} END")} AS chars_per_token
 FROM documents
 """.strip()
 

@@ -55,6 +55,13 @@ _KMV_HEX = 14
 _KMV_SCALE = 16 ** _KMV_HEX
 
 
+def _hex_slice_int(dialect: str, hexpr: str, pos: int, n_hex: int) -> str:
+    """Hex chars [pos, pos+n_hex) of a hex string -> BIGINT."""
+    if dialect == "spark":
+        return f"CAST(conv(substr({hexpr}, {pos}, {n_hex}), 16, 10) AS BIGINT)"
+    return f"CAST(concat('0x', substr({hexpr}, {pos}, {n_hex})) AS BIGINT)"
+
+
 def kmv_distinct_sql(dialect: str) -> str:
     """Distinct users per event type, estimated with {KMV_K} independent
     min-hashes: for n distinct uniform hashes in [0,1), E[min] = 1/(n+1),
@@ -62,29 +69,55 @@ def kmv_distinct_sql(dialect: str) -> str:
     ~1/sqrt(K) ~= 12%). Duplicated user_ids cannot move a minimum, which
     is the whole point: the scan never deduplicates, and the shuffle
     after map-side partial ``min`` carries n_types x K BIGINTs at ANY
-    corpus size. The exact count (one extra distinct aggregate — the
-    thing the sketch replaces at 100 TB) rides along as the calibration
-    audit; rel_error is asserted < 3/sqrt(K) in tests.
+    corpus size.
+
+    Plan shape (r5): the K mins are K ``min()`` AGGREGATE COLUMNS over
+    the un-exploded scan — r4's ``unnest(sequence(1,64))`` was a 64x
+    map-side row blowup of the events scan feeding the hash-agg, 64x
+    the scan rows at 100 TB; no Generate node remains. Scan-side
+    compute is {KMV_K // 2} md5 digests per row (not K): each 32-hex
+    digest yields TWO independent 14-hex uniform values (chars 1-14 and
+    15-28). md5 is the cross-engine hash (Spark xxhash64 has no DuckDB
+    analog). NOTE the md5-per-row cost is the sketch's price at scale —
+    one pass, map-only, no shuffle growth; halve K to halve it.
+
+    A bucketed single-hash variant (one md5/row, bucket from high hex
+    digits) was measured and REJECTED: per-bucket occupancy n/K makes
+    E[1/(n_b+1)] convexity-bias the estimate ~35% low at the test
+    corpus's n=150 (Poisson occupancy, Jensen) — independent full-view
+    hashes stay unbiased at every n.
+
+    The exact count (one extra distinct aggregate — the thing the
+    sketch replaces at 100 TB) rides along as the calibration audit;
+    rel_error is asserted < 3/sqrt(K) in tests/test_degenerate.py.
+    Determinism: est rounds via floor(x+0.5) and rel_error via the
+    rule-7b floor grid — `round()` on cross-engine doubles ties
+    HALF_UP-vs-rint on exact boundaries (integer-ratio inputs CAN land
+    there); floor never ties.
 
     Reference parity note: the reference reports exact counters from its
     in-memory maps (pkg/server/handlers.go /stats); this is the
     scale-out formulation of the same report."""
     uid = "CAST(user_id AS STRING)" if dialect == "spark" else "CAST(user_id AS VARCHAR)"
-    sstr = "CAST(s AS STRING)" if dialect == "spark" else "CAST(s AS VARCHAR)"
-    seq = f"sequence(1, {KMV_K})" if dialect == "spark" else f"generate_series(1, {KMV_K})"
-    un = _unnest(dialect, seq, "s")
-    h = _hex_to_int(dialect, f"md5(concat({uid}, ':', {sstr}))", _KMV_HEX)
+    digests = ",\n         ".join(
+        f"md5(concat({uid}, ':', '{s}')) AS d{s}" for s in range(1, KMV_K // 2 + 1)
+    )
+    mins = []
+    for s in range(1, KMV_K // 2 + 1):
+        mins.append(f"min({_hex_slice_int(dialect, f'd{s}', 1, _KMV_HEX)})")
+        mins.append(f"min({_hex_slice_int(dialect, f'd{s}', 15, _KMV_HEX)})")
+    sum_mins = " + ".join(mins)
     return f"""
-WITH mins AS (
-  SELECT event_type, s, min({h}) AS m
-  FROM (SELECT event_type, user_id FROM events) e
-  {un}
-  GROUP BY event_type, s
+WITH h AS (
+  SELECT event_type,
+         {digests}
+  FROM events
 ),
 est AS (
   SELECT event_type,
-         CAST(round({KMV_K} / (sum(m) / {_KMV_SCALE}.0) - 1) AS BIGINT) AS est_distinct
-  FROM mins GROUP BY event_type
+         CAST(floor({KMV_K} / (({sum_mins}) / {_KMV_SCALE}.0) - 1 + 0.5) AS BIGINT)
+           AS est_distinct
+  FROM h GROUP BY event_type
 ),
 ex AS (
   SELECT event_type, count(DISTINCT user_id) AS exact_distinct
@@ -92,7 +125,7 @@ ex AS (
 )
 SELECT e.event_type, e.est_distinct,
        CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
-       round(abs(CAST(e.est_distinct AS DOUBLE) / x.exact_distinct - 1), 4)
+       CAST(floor(abs(CAST(e.est_distinct AS DOUBLE) / x.exact_distinct - 1) * 1e4) AS BIGINT) / 1e4
          AS rel_error
 FROM est e JOIN ex x ON x.event_type = e.event_type
 ORDER BY e.event_type

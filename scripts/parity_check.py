@@ -22,6 +22,12 @@ from kektordb_spark.session import get_spark
 SF = os.environ.get("SF", "/root/testdata/sf0.001")
 
 
+# PARITY_RAW=1 reproduces the driver's comparison: full-precision repr
+# of floats, no round-6 normalization — catches the 1-ulp cross-engine
+# round() divergence the default normalization masks (VERDICT r4 §wrong).
+RAW = os.environ.get("PARITY_RAW") == "1"
+
+
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -30,7 +36,7 @@ def norm(rows, cols):
         for i in order:
             v = row[i]
             if isinstance(v, float):
-                v = "NaN" if math.isnan(v) else round(v, 6)
+                v = "NaN" if math.isnan(v) else (repr(v) if RAW else round(v, 6))
             if isinstance(v, bool):
                 v = int(v)
             vals.append(str(v))

@@ -42,3 +42,20 @@ def test_all_queries_run_on_empty_corpus(spark, empty_sf):
         except Exception as exc:  # noqa: BLE001 — collecting the sweep
             failures[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
     assert not failures, f"{len(failures)} queries crash on empty corpus: {failures}"
+
+
+def test_kmv_estimator_accuracy(spark):
+    """The KMV sketch's harmonic estimator lands within 3/sqrt(K) of the
+    exact distinct count (rel. error bound for K independent mins), and
+    its plan has no Generate node (the r4 explode is gone)."""
+    from kektordb_spark.operators.analytics import KMV_K
+    from kektordb_spark.plans.registry import queries
+
+    df = queries()["sketch_distinct_kmv"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+    rows = df.collect()
+    assert rows, "expected per-type rows"
+    bound = 3.0 / KMV_K ** 0.5
+    for r in rows:
+        assert r.rel_error < bound, f"{r.event_type}: {r.rel_error} >= {bound}"

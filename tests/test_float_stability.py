@@ -22,6 +22,9 @@ STRESSED = [
     "knn_pq_top10",
     "ivfpq_knn",
     "text_unigram_logprob",  # r4: ln-term mean moved onto the integer grid
+    "text_quality_score",  # r5: ratios moved onto the floor micro-grid (_grid6)
+    "text_token_count",  # r5: chars_per_token on the floor micro-grid
+    "sketch_distinct_kmv",  # r5: floor-based est + rel_error grid
 ]
 
 
