@@ -166,8 +166,9 @@ def bm25_scores(
 
 
 def bm25_oracle_sql(
-    dialect: str, query_tokens: list[str], k: int,
+    dialect: str, query_tokens: list[str], k: int | None,
     allow_pred: str | None = None, source: str = "docs_tok",
+    scored_only: bool = False,
 ) -> str:
     """Self-contained BM25 SQL over the ``docs_tok`` view — identical
     formula in Spark SQL and DuckDB SQL (used by the correctness gate).
@@ -176,6 +177,17 @@ def bm25_oracle_sql(
     scored set — the reference's hybrid text branch applies the boolean
     allowlist AFTER corpus-wide scoring (ops.go:997-1026), so idf/avgdl
     stay corpus-wide.
+
+    ``scored_only`` emits RAW scores (no round-6 projection) for fusion
+    callers that re-normalize. ``k=None`` EXPLICITLY requests the
+    unbounded scored set — required when the caller is a DuckDB-only
+    oracle whose Spark twin normalizes corpus-wide (hybrid fusion, the
+    vsearch facade); dialect-shared callers (RRF) pass a real ``k`` so
+    both engines' branches genuinely arrive top-N-bounded. This
+    replaces the r4 pattern of slicing the returned text at
+    rindex("SELECT doc") and appending an unbounded SELECT — which
+    made ``k`` dead and silently mis-sliced on any edit to the final
+    SELECT (ADVICE r4).
 
     Query tokens keep their multiplicity (core.go:2024-2031 iterates
     the analyzed query INCLUDING duplicates): qn weights each term."""
@@ -219,9 +231,8 @@ scored AS (
   CROSS JOIN stats s
   GROUP BY p.doc
 )
-SELECT doc, round(score, 6) AS score
+SELECT doc, {"score" if scored_only else "round(score, 6) AS score"}
 FROM scored
 {f"WHERE doc IN (SELECT doc_id FROM {source} WHERE {allow_pred})" if allow_pred else ""}
-ORDER BY round(score, 6) DESC, doc
-LIMIT {k}
+{f"ORDER BY round(score, 6) DESC, doc LIMIT {k}" if k is not None else ""}
 """.strip()

@@ -145,7 +145,15 @@ def grid_quantiles_sql(dialect: str) -> str:
     pure integer comparisons (cc*2 >= tot etc.), so the result is exact
     on the grid and identical under any partitioning. At 100 TB nothing
     changes: the grid relation is still tiny, and map-side partial
-    counts do the heavy lifting at the scan."""
+    counts do the heavy lifting at the scan.
+
+    round(vq/1e2, 2) is provably tie-free for every input (r5 audit):
+    vq/1e2 is the nearest double to an exact 2-decimal rational, and
+    both engines' round-2 of such a value returns that same double —
+    no .5-at-3rd-decimal boundary is reachable from a /100 quotient.
+    CTE audit: g -> cum -> final is a single-consumer chain (the two
+    window specs over `cum` share one pass), so no materialization is
+    needed on the Spark side."""
     return f"""
 WITH g AS (
   SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vq, count(*) AS c
@@ -186,16 +194,45 @@ def tfidf_keywords_sql(dialect: str, source: str | None = None) -> str:
     vocabulary."""
     if source is None:
         source = "docs_tok_par" if dialect == "spark" else "docs_tok"
-    un = _unnest(dialect, "toks", "tok")
+    # The final stage opens its own WITH; splice its CTE list into ours.
+    final = tfidf_final_sql("tfr", source)
+    assert final.startswith("WITH ")
     return f"""
 WITH tfr AS (
-  SELECT doc_id, tok, count(*) AS tf
-  FROM (SELECT doc_id, toks FROM {source}) t
-  {un}
-  GROUP BY doc_id, tok
+  {tfidf_tf_sql(dialect, source)}
 ),
-dfr AS (
-  SELECT tok, count(*) AS df FROM tfr GROUP BY tok
+{final[len("WITH "):]}
+""".strip()
+
+
+def tfidf_tf_sql(dialect: str, source: str | None = None) -> str:
+    """tf-idf stage 1: the (doc, token, tf) relation — one explode,
+    one hash aggregate. Feeds BOTH the document-frequency aggregate and
+    the scoring join, so the Spark runner localCheckpoints it once
+    (Spark inlines CTEs: the r4 single-text registration re-ran this
+    corpus-sized explode+agg for each consumer)."""
+    if source is None:
+        source = "docs_tok_par" if dialect == "spark" else "docs_tok"
+    un = _unnest(dialect, "toks", "tok")
+    return f"""
+SELECT doc_id, tok, count(*) AS tf
+FROM (SELECT doc_id, toks FROM {source}) t
+{un}
+GROUP BY doc_id, tok
+""".strip()
+
+
+def tfidf_final_sql(tfr: str = "tfr", source: str = "docs_tok") -> str:
+    """tf-idf stages 2-4: document frequency (GROUP BY tok over the tf
+    relation — rows are already (doc, tok)-distinct), the
+    vocabulary-keyed idf join (broadcast-able at any corpus size), and
+    the per-doc top-{TFIDF_TOP_K} window. `tfidf` emits sq/1e6 bare:
+    sq is a BIGINT on the 1e-6 grid, so the quotient's exact decimal
+    has <= 6 places and round(x,6) was a provable no-op — dropped
+    rather than documented."""
+    return f"""
+WITH dfr AS (
+  SELECT tok, count(*) AS df FROM {tfr} GROUP BY tok
 ),
 nd AS (
   SELECT count(*) AS n_docs FROM {source}
@@ -204,7 +241,7 @@ scored AS (
   SELECT t.doc_id, t.tok, t.tf, d.df,
          t.tf * CAST(round(ln((n.n_docs + 1.0) / (d.df + 1.0)) * 1e6) AS BIGINT)
            AS sq
-  FROM tfr t JOIN dfr d ON d.tok = t.tok CROSS JOIN nd n
+  FROM {tfr} t JOIN dfr d ON d.tok = t.tok CROSS JOIN nd n
 ),
 ranked AS (
   SELECT doc_id, tok, tf, df, sq,
@@ -214,7 +251,7 @@ ranked AS (
 )
 SELECT doc_id, CAST(rk AS INT) AS rank, tok,
        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-       round(sq / 1e6, 6) AS tfidf
+       sq / 1e6 AS tfidf
 FROM ranked WHERE rk <= {TFIDF_TOP_K}
 ORDER BY doc_id, rank
 """.strip()
@@ -227,58 +264,108 @@ ORDER BY doc_id, rank
 TRIANGLE_TOP_N = 20
 
 
-def triangle_sql(dialect: str) -> str:
-    """Triangle census of the part co-purchase graph (undirected edge =
-    two parts share at least one order). Pipeline: (1) pair generation
-    is ONE self-equi-join of lineitem on the order key with pa < pb —
-    work bounded by sum(parts-per-order^2), never part x part; (2) each
-    edge is ORIENTED from its lower-(degree, id) endpoint, which bounds
-    every node's out-degree by O(sqrt(m)) (Suri & Vassilvitskii, WWW'11
-    — the standard MapReduce triangle trick); (3) wedges close via one
-    equi-join on the oriented edge set (broadcast-able: 2 ints per
-    edge). Output: the {TRIANGLE_TOP_N} most triangle-central parts with
-    the global census, tie-broken on part id. Every count is an integer
-    aggregate — exactly associative under any partitioning."""
+def triangle_edges_sql(dialect: str) -> str:
+    """Stage 1: distinct co-purchase pairs — ONE self-equi-join of
+    lineitem on the order key with pa < pb; work bounded by
+    sum(parts-per-order^2), never part x part. Same text both dialects."""
+    return """
+SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+FROM lineitem a JOIN lineitem b
+  ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+""".strip()
+
+
+def triangle_deg_sql(e: str = "e") -> str:
+    """Stage 2: undirected degree per node, from the edge relation."""
     return f"""
-WITH e AS (
-  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM lineitem a JOIN lineitem b
-    ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
-),
-deg AS (
-  SELECT p, count(*) AS d
-  FROM (SELECT pa AS p FROM e UNION ALL SELECT pb AS p FROM e) n
-  GROUP BY p
-),
-o AS (
-  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
-              THEN e.pa ELSE e.pb END AS u,
-         CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
-              THEN e.pb ELSE e.pa END AS v
-  FROM e
-  JOIN deg da ON da.p = e.pa
-  JOIN deg db ON db.p = e.pb
-),
-tri AS (
+SELECT p, count(*) AS d
+FROM (SELECT pa AS p FROM {e} UNION ALL SELECT pb AS p FROM {e}) n
+GROUP BY p
+""".strip()
+
+
+def triangle_oriented_sql(e: str = "e", deg: str = "deg") -> str:
+    """Stage 3: orient each edge from its lower-(degree, id) endpoint,
+    bounding every node's out-degree by O(sqrt(m)) (Suri &
+    Vassilvitskii, WWW'11 — the standard MapReduce triangle trick)."""
+    return f"""
+SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+            THEN e.pa ELSE e.pb END AS u,
+       CASE WHEN da.d < db.d OR (da.d = db.d AND e.pa < e.pb)
+            THEN e.pb ELSE e.pa END AS v
+FROM {e} e
+JOIN {deg} da ON da.p = e.pa
+JOIN {deg} db ON db.p = e.pb
+""".strip()
+
+
+def triangle_pn_sql(dialect: str, o: str = "o") -> str:
+    """Stage 4: close wedges with one equi-join pair over the oriented
+    edges, then per-node triangle counts. The triangle relation is
+    consumed ONCE (each triangle explodes into its 3 corners in the
+    same pass) so it never needs materializing — r4's
+    UNION-ALL-3-ways + separate COUNT(*) consumed `tri` 4 times, which
+    Spark (no CTE materialization) re-ran as 4 full pair-joins."""
+    corners = (
+        "SELECT p FROM tri LATERAL VIEW explode(array(a, b, c)) _t AS p"
+        if dialect == "spark"
+        else "SELECT unnest([a, b, c]) AS p FROM tri"
+    )
+    return f"""
+WITH tri AS (
   SELECT o1.u AS a, o1.v AS b, o2.v AS c
-  FROM o o1
-  JOIN o o2 ON o2.u = o1.v
-  JOIN o o3 ON o3.u = o1.u AND o3.v = o2.v
-),
-pn AS (
-  SELECT p, count(*) AS tri_cnt
-  FROM (SELECT a AS p FROM tri
-        UNION ALL SELECT b AS p FROM tri
-        UNION ALL SELECT c AS p FROM tri) x
-  GROUP BY p
-),
-tot AS (
-  SELECT count(*) AS n_triangles FROM tri
+  FROM {o} o1
+  JOIN {o} o2 ON o2.u = o1.v
+  JOIN {o} o3 ON o3.u = o1.u AND o3.v = o2.v
 )
+SELECT p, count(*) AS tri_cnt
+FROM ({corners}) x
+GROUP BY p
+""".strip()
+
+
+def triangle_final_sql(pn: str = "pn") -> str:
+    """Stage 5: top-{TRIANGLE_TOP_N} triangle-central parts + the global
+    census. Total = sum(per-node counts)/3 (every triangle contributes
+    exactly 3 corner rows) — derived from the tiny per-node relation
+    instead of a 4th pass over the triangle join. The /3 is IEEE-exact:
+    the sum is an exact multiple of 3 below 2^53."""
+    return f"""
 SELECT CAST(pn.p AS BIGINT) AS part_id,
        CAST(pn.tri_cnt AS BIGINT) AS triangles,
        CAST(t.n_triangles AS BIGINT) AS total_triangles
-FROM pn CROSS JOIN tot t
+FROM {pn} pn CROSS JOIN
+     (SELECT sum(tri_cnt) / 3 AS n_triangles FROM {pn}) t
 ORDER BY pn.tri_cnt DESC, pn.p ASC
 LIMIT {TRIANGLE_TOP_N}
+""".strip()
+
+
+def triangle_sql(dialect: str) -> str:
+    """Triangle census of the part co-purchase graph (undirected edge =
+    two parts share at least one order) — the single-text composition of
+    the five stages above, used verbatim as the DuckDB oracle (DuckDB
+    materializes WITH-CTEs, so multi-consumer CTEs are safe there).
+    The Spark side runs the SAME stage texts through a runner
+    (registry.graph_triangle_count) that localCheckpoints `e`, `deg`,
+    `o`, `pn` once each — Spark inlines CTEs, and `o` has 3 consumers
+    (the triangle join) with `e` transitively behind each, so the r4
+    single-text registration re-ran the pair-generation join ~9x: the
+    recomputation multiplier rides on the biggest relation at 100 TB.
+    Every count is an integer aggregate — exactly associative under any
+    partitioning."""
+    return f"""
+WITH e AS (
+  {triangle_edges_sql(dialect)}
+),
+deg AS (
+  {triangle_deg_sql("e")}
+),
+o AS (
+  {triangle_oriented_sql("e", "deg")}
+),
+pn AS (
+  {triangle_pn_sql(dialect, "o")}
+)
+{triangle_final_sql("pn")}
 """.strip()

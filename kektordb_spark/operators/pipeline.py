@@ -354,8 +354,14 @@ def _adj_pairs(dialect: str, source: str) -> str:
     """Adjacent-token pair relation (w1, w2) over ``source(doc_id,
     toks)`` — positional, order-preserving (vocab_pairs_sql shape)."""
     if dialect == "spark":
-        pairs = ("transform(sequence(0, size(toks) - 2), "
-                 "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")
+        # TOTAL expression: get() nulls on out-of-bounds and the
+        # sequence stop is clamped to >= 0 — Spark's subexpression
+        # elimination can evaluate the transform inside the Filter
+        # predicate BEFORE `size(toks) >= 2` short-circuits, and
+        # sequence(0, -1) generates a DESCENDING range, so the
+        # untotal form threw INVALID_ARRAY_INDEX on <2-token docs.
+        pairs = ("transform(sequence(0, greatest(size(toks) - 2, 0)), "
+                 "i -> struct(get(toks, i) AS w1, get(toks, i + 1) AS w2))")
         return f"""
   SELECT pr.w1 AS w1, pr.w2 AS w2
   FROM (SELECT {pairs} AS prs FROM {source} WHERE size(toks) >= 2) t
@@ -375,20 +381,45 @@ def _bpe_merge_expr(dialect: str) -> str:
     (merged output never re-merges within its own round because the
     new symbol contains a space and so never string-equals w1)."""
     if dialect == "spark":
-        return """CASE WHEN size(toks) = 0 THEN toks ELSE
+        return """CASE WHEN b.w1 IS NULL OR size(toks) = 0 THEN toks ELSE
   aggregate(toks, CAST(array() AS ARRAY<STRING>),
     (acc, x) -> CASE WHEN size(acc) > 0
                       AND element_at(acc, -1) = b.w1 AND x = b.w2
                 THEN concat(slice(acc, 1, size(acc) - 1),
                             array(concat(b.w1, ' ', b.w2)))
                 ELSE concat(acc, array(x)) END) END"""
-    return """CASE WHEN len(toks) = 0 THEN toks ELSE
+    return """CASE WHEN b.w1 IS NULL OR len(toks) = 0 THEN toks ELSE
   list_reduce(list_transform(toks, x -> [x]),
     (acc, x) -> CASE WHEN len(acc) > 0
                       AND acc[-1] = b.w1 AND x[1] = b.w2
                 THEN list_append(acc[1:len(acc) - 1],
                                  b.w1 || ' ' || b.w2)
                 ELSE list_concat(acc, x) END) END"""
+
+
+def _bpe_best_sql(dialect: str, pairs_rel: str) -> str:
+    """The round's argmax pair as a GUARANTEED 1-row relation: the real
+    argmax when any adjacent pair exists, else a null sentinel row.
+    Guards the r4 ADVICE hazard: a 0-row best (e.g. a swapped
+    ``source`` where every doc has <2 tokens after merges) CROSS
+    JOINed into the merge silently EMPTIED the whole token relation —
+    bpe_apply returned an empty audit instead of identity
+    tokenization. The merge expression/kernel treats a null pair as
+    identity, so a dry round now passes tokens through unchanged; the
+    trainer filters sentinel rows out of the merge table."""
+    null_s = "CAST(NULL AS STRING)" if dialect == "spark" else "CAST(NULL AS VARCHAR)"
+    return f"""
+SELECT w1, w2, cnt FROM (
+  SELECT w1, w2, cnt FROM (
+    SELECT w1, w2, count(*) AS cnt FROM {pairs_rel}
+    GROUP BY w1, w2
+    ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
+  ) r
+  UNION ALL
+  SELECT {null_s} AS w1, {null_s} AS w2, CAST(NULL AS BIGINT) AS cnt
+) u
+ORDER BY cnt DESC NULLS LAST, w1 ASC LIMIT 1
+""".strip()
 
 
 def bpe_train_sql(dialect: str, rounds: int = BPE_ROUNDS,
@@ -420,11 +451,7 @@ def bpe_train_sql(dialect: str, rounds: int = BPE_ROUNDS,
     units = []
     for i in range(rounds):
         parts.append(f"p{i} AS ({_adj_pairs(dialect, f't{i}')})")
-        parts.append(f"""best{i} AS (
-  SELECT w1, w2, count(*) AS cnt FROM p{i}
-  GROUP BY w1, w2
-  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
-)""")
+        parts.append(f"best{i} AS (\n{_bpe_best_sql(dialect, f'p{i}')}\n)")
         parts.append(f"""t{i + 1} AS (
   SELECT doc_id, {merge} AS toks
   FROM t{i} CROSS JOIN best{i} b
@@ -436,6 +463,7 @@ def bpe_train_sql(dialect: str, rounds: int = BPE_ROUNDS,
     return f"""
 WITH {body}
 SELECT CAST(step AS INT) AS step, w1, w2, cnt FROM ({un}) u
+WHERE w1 IS NOT NULL
 ORDER BY step
 """.strip()
 
@@ -457,6 +485,11 @@ def _bpe_merge_udf():
     def merge(toks: pd.Series, w1: pd.Series, w2: pd.Series) -> pd.Series:
         out = []
         for t, a, b in zip(toks, w1, w2):
+            if not isinstance(a, str) or not isinstance(b, str):
+                # null sentinel round (_bpe_best_sql; None or NaN in
+                # the Arrow batch): identity
+                out.append(t)
+                continue
             res = []
             i, n = 0, len(t)
             ab = None
@@ -502,12 +535,8 @@ def bpe_train(spark, rounds: int = BPE_ROUNDS,
         # scale: 11 jobs ~7-10 s vs 6 jobs ~4 s.)
         t = t.localCheckpoint(eager=True)
         t.createOrReplaceTempView(f"_bpe_t{i}")
-        best = spark.sql(f"""
-SELECT w1, w2, count(*) AS cnt
-FROM ({_adj_pairs('spark', f'_bpe_t{i}')}) p
-GROUP BY w1, w2
-ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
-""")
+        best = spark.sql(
+            _bpe_best_sql("spark", f"({_adj_pairs('spark', f'_bpe_t{i}')}) p"))
         bests.append(best.select(F.lit(i + 1).alias("step"), "w1", "w2", "cnt"))
         t = (
             t.crossJoin(F.broadcast(best))
@@ -516,7 +545,7 @@ ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
     out = bests[0]
     for b in bests[1:]:
         out = out.unionAll(b)
-    return out.select(
+    return out.where(F.col("w1").isNotNull()).select(
         F.col("step").cast("int").alias("step"), "w1", "w2", "cnt"
     ).orderBy("step")
 
@@ -1036,11 +1065,7 @@ def bpe_apply_sql(dialect: str, rounds: int = BPE_ROUNDS,
     parts = [f"t0 AS (SELECT doc_id, toks FROM {source})"]
     for i in range(rounds):
         parts.append(f"p{i} AS ({_adj_pairs(dialect, f't{i}')})")
-        parts.append(f"""best{i} AS (
-  SELECT w1, w2, count(*) AS cnt FROM p{i}
-  GROUP BY w1, w2
-  ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
-)""")
+        parts.append(f"best{i} AS (\n{_bpe_best_sql(dialect, f'p{i}')}\n)")
         parts.append(f"""t{i + 1} AS (
   SELECT doc_id, {merge} AS toks
   FROM t{i} CROSS JOIN best{i} b
@@ -1075,12 +1100,8 @@ def bpe_apply(spark, rounds: int = BPE_ROUNDS,
     for i in range(rounds):
         t = t.localCheckpoint(eager=True)
         t.createOrReplaceTempView(f"_bpea_t{i}")
-        best = spark.sql(f"""
-SELECT w1, w2, count(*) AS cnt
-FROM ({_adj_pairs('spark', f'_bpea_t{i}')}) p
-GROUP BY w1, w2
-ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 1
-""")
+        best = spark.sql(
+            _bpe_best_sql("spark", f"({_adj_pairs('spark', f'_bpea_t{i}')}) p"))
         t = (
             t.crossJoin(F.broadcast(best))
             .select("doc_id", merge("toks", "w1", "w2").alias("toks"),
@@ -1125,24 +1146,63 @@ def corpus_stats_sql(dialect: str, source: str | None = None) -> str:
     budget as vocab_pairs."""
     if source is None:
         source = "docs_tok_par" if dialect == "spark" else "docs_tok"
-    un = _unnest(dialect, "toks", "tok")
-    k = ZIPF_TOP_K
+    # The final stage opens its own WITH; splice its CTE list into ours.
+    final = corpus_stats_final_sql("tf", "topk")
+    assert final.startswith("WITH ")
     return f"""
 WITH tf AS (
-  SELECT tok, count(*) AS c
-  FROM (SELECT toks FROM {source}) t
-  {un}
-  GROUP BY tok
-),
-tot AS (
-  SELECT sum(c) AS n_tokens, count(*) AS n_types FROM tf
+  {corpus_tf_sql(dialect, source)}
 ),
 topk AS (
-  SELECT tok, c,
-         row_number() OVER (ORDER BY c DESC, tok ASC) AS rk
-  FROM tf
-  ORDER BY c DESC, tok ASC
-  LIMIT {k}
+  {corpus_topk_sql("tf")}
+),
+{final[len("WITH "):]}
+""".strip()
+
+
+def corpus_tf_sql(dialect: str, source: str | None = None) -> str:
+    """Corpus-stats stage 1: the token-frequency relation — ONE hash
+    aggregate keyed on the token (shuffle carries the vocabulary)."""
+    if source is None:
+        source = "docs_tok_par" if dialect == "spark" else "docs_tok"
+    un = _unnest(dialect, "toks", "tok")
+    return f"""
+SELECT tok, count(*) AS c
+FROM (SELECT toks FROM {source}) t
+{un}
+GROUP BY tok
+""".strip()
+
+
+def corpus_topk_sql(tf: str = "tf") -> str:
+    """Corpus-stats stage 2: the {ZIPF_TOP_K}-row heavy-hitter head
+    (TakeOrderedAndProject over the vocab relation)."""
+    return f"""
+SELECT tok, c,
+       row_number() OVER (ORDER BY c DESC, tok ASC) AS rk
+FROM {tf}
+ORDER BY c DESC, tok ASC
+LIMIT {ZIPF_TOP_K}
+""".strip()
+
+
+def corpus_stats_final_sql(tf: str = "tf", topk: str = "topk") -> str:
+    """Corpus-stats stage 3: totals + Zipf regression + per-hitter
+    report. nullif guards the regression denominator: a single-type
+    corpus has one topk row with ln(rank)=0, so n*sxx - sx^2 = 0 —
+    DuckDB yields NULL on /0 but Spark 4 (ANSI mode) raises; nullif
+    makes both emit NULL deterministically. type_token_ratio and
+    head_mass are integer ratios — quantized on the tie-free floor
+    micro-grid (rule 7b: round(x,6) HALF_UP-vs-rint diverges 1 ulp
+    when x*1e6 lands exactly on .5, which integer ratios CAN hit);
+    the slope keeps round() — its inputs are quotients of ln-derived
+    integer-grid sums, never an exact micro-boundary."""
+    g6 = "CAST(floor(({x}) * 1e6) AS BIGINT) / 1e6"
+    ttr = g6.format(x=f"CAST(o.n_types AS DOUBLE) / o.n_tokens")
+    hm = g6.format(x=f"CAST(t.c AS DOUBLE) / o.n_tokens")
+    return f"""
+WITH tot AS (
+  SELECT sum(c) AS n_tokens, count(*) AS n_types FROM {tf}
 ),
 reg AS (
   SELECT count(*) AS n,
@@ -1150,16 +1210,16 @@ reg AS (
          sum(CAST(round(ln(c) * 1e6) AS BIGINT))            AS sy,
          sum(CAST(round(ln(rk) * ln(c) * 1e12) AS BIGINT))  AS sxy,
          sum(CAST(round(ln(rk) * ln(rk) * 1e12) AS BIGINT)) AS sxx
-  FROM topk
+  FROM {topk}
 )
 SELECT t.rk AS rank, t.tok, CAST(t.c AS BIGINT) AS freq,
        CAST(o.n_tokens AS BIGINT) AS n_tokens,
        CAST(o.n_types AS BIGINT)  AS n_types,
-       round(CAST(o.n_types AS DOUBLE) / o.n_tokens, 6) AS type_token_ratio,
+       {ttr} AS type_token_ratio,
        round((r.n * (r.sxy / 1e12) - (r.sx / 1e6) * (r.sy / 1e6))
-             / (r.n * (r.sxx / 1e12) - (r.sx / 1e6) * (r.sx / 1e6)), 6)
+             / nullif(r.n * (r.sxx / 1e12) - (r.sx / 1e6) * (r.sx / 1e6), 0.0), 6)
          AS zipf_slope,
-       round(CAST(t.c AS DOUBLE) / o.n_tokens, 6) AS head_mass
-FROM topk t CROSS JOIN tot o CROSS JOIN reg r
+       {hm} AS head_mass
+FROM {topk} t CROSS JOIN tot o CROSS JOIN reg r
 ORDER BY t.rk
 """.strip()

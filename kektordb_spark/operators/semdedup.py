@@ -32,8 +32,17 @@ its nearest kin in the reference is the Gardener's redundancy detector
 (gardener.go:941-1290), which consolidation.py ports. Group resolution
 reuses the bounded min-label-propagation shape from
 operators/dedup.py:minhash_clusters_sql; components cannot span cells
-(pairs are intra-cell by construction), so propagation converges
-within each cell's diameter.
+(pairs are intra-cell by construction). NOTE the propagation runs a
+FIXED SEM_ITERS rounds, so groups are diameter-SEM_ITERS-bounded
+APPROXIMATIONS of the true intra-cell components: a duplicate chain
+whose similarity-graph diameter exceeds SEM_ITERS splits into several
+groups and keeps one representative per group (over-retention, never
+data loss — the conservative direction for a dedup). The Python
+replica in tests mirrors the same bounded iteration on purpose (the
+pin is "Spark computes the defined bounded operator exactly", not
+"bounded == exact components"); the min label travels one hop per
+round, so set ``iters`` >= the largest expected component diameter
+(<= cell size) if full components are required.
 """
 
 from __future__ import annotations
@@ -47,7 +56,8 @@ from kektordb_spark.tables import dot_sql
 # tail yields a non-trivial dup set; a real corpus uses ~0.95+ (the
 # paper sweeps eps in [0.05..0.5] off 1.0). Constant, never wall-clock.
 SEM_TAU = 0.33
-SEM_ITERS = 3  # label-propagation rounds (bounds component diameter)
+SEM_ITERS = 3  # label-propagation rounds; groups are diameter-3-bounded
+# approximations of intra-cell components (see module docstring)
 
 
 def semantic_dedup_sql(

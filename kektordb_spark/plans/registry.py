@@ -1026,9 +1026,9 @@ def _hybrid_oracle(dialect: str) -> str:
   FROM emb q CROSS JOIN emb c
   WHERE q.vec_id = 0 AND c.vec_id <> 0
 """.rstrip()
-    bm25_inner = TX.bm25_oracle_sql(dialect, BM25_QUERY, 500)
-    # strip trailing ORDER/LIMIT from the bm25 oracle; we need raw scores
-    bm25_scored = bm25_inner[: bm25_inner.rindex("SELECT doc")] + "SELECT doc, score FROM scored"
+    # k=None: the Spark twin (hybrid_fusion_top15) normalizes over the
+    # corpus-wide BM25 scored set, so this oracle branch must too.
+    bm25_scored = TX.bm25_oracle_sql(dialect, BM25_QUERY, None, scored_only=True)
     return f"""
 WITH vecs AS (
 {knn_part}
@@ -1071,9 +1071,8 @@ def _rrf_sql(dialect: str, k0: int = 60, k: int = 15) -> str:
          round(1.0 - ({dot_sql(dialect, 'q.v', 'c.v')}) / (q.norm * c.norm), 6) AS dist
   FROM emb q CROSS JOIN emb c
   WHERE q.vec_id = 0 AND c.vec_id <> 0"""
-    bm25_inner = TX.bm25_oracle_sql(dialect, BM25_QUERY, 500, source=src)
-    bm25_scored = (bm25_inner[: bm25_inner.rindex("SELECT doc")]
-                   + "SELECT doc, score FROM scored")
+    bm25_scored = TX.bm25_oracle_sql(
+        dialect, BM25_QUERY, 500, source=src, scored_only=True)
     return f"""
 WITH vec_d AS ({knn}),
 vec_rk AS (
@@ -1190,12 +1189,11 @@ def _vsearch_facade_oracle() -> str:
     each normalized, fused at alpha=0.5, rounded rank."""
     qv = ", ".join(repr(x) for x in _VS_QV)
     dot = dot_sql("duckdb", "q.v", "c.v")
-    bm25_inner = TX.bm25_oracle_sql("duckdb", BM25_QUERY, 500)
-    bm25_raw = (
-        bm25_inner[: bm25_inner.rindex("SELECT doc")]
-        + "SELECT doc, score FROM scored "
-        "WHERE doc IN (SELECT doc_id FROM docs_tok WHERE lang = 'en')"
-    )
+    # k=None: api.vsearch's text branch scores corpus-wide then
+    # post-filters (ops.go:997-1026); this DuckDB twin must match.
+    bm25_raw = TX.bm25_oracle_sql(
+        "duckdb", BM25_QUERY, None,
+        allow_pred="lang = 'en'", scored_only=True)
     return f"""
 WITH q AS (SELECT CAST([{qv}] AS DOUBLE[]) AS v, {_VS_QNORM!r} AS norm),
 cand AS (
@@ -2424,15 +2422,65 @@ def pipeline_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register_sql("pipeline_pii_scrub", PL.pii_scrub_sql, [])
 register_sql("pipeline_lang_balance", PL.lang_balance_sql, [])
-register_sql("pipeline_corpus_stats", PL.corpus_stats_sql, ["docs_tok"])
+@register("pipeline_corpus_stats",
+          with_oracle_ctes(PL.corpus_stats_sql("duckdb"), ["docs_tok"]))
+def pipeline_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics with the rule-2 materialization discipline:
+    the vocab relation `tf` feeds totals AND the heavy-hitter head, and
+    `topk` feeds the regression AND the report — Spark inlines CTEs, so
+    the r4 single-text registration re-ran the corpus explode+agg ~4x.
+    Each is localCheckpointed once; the oracle keeps the single SQL
+    text (DuckDB materializes WITH-CTEs)."""
+    load_tables(spark, sf_dir)
+    spark.sql(PL.corpus_tf_sql("spark")).localCheckpoint(
+        eager=True).createOrReplaceTempView("_cs_tf")
+    spark.sql(PL.corpus_topk_sql("_cs_tf")).localCheckpoint(
+        eager=True).createOrReplaceTempView("_cs_topk")
+    return spark.sql(PL.corpus_stats_final_sql("_cs_tf", "_cs_topk"))
 register_sql("dedup_paragraph", DD.paragraph_dedup_sql, ["docs_tok"])
 
 from kektordb_spark.operators import analytics as AN  # noqa: E402
 
 register_sql("sketch_distinct_kmv", AN.kmv_distinct_sql, [])
 register_sql("events_grid_quantiles", AN.grid_quantiles_sql, [])
-register_sql("text_keywords_tfidf", AN.tfidf_keywords_sql, ["docs_tok"])
-register_sql("graph_triangle_count", AN.triangle_sql, [])
+@register("text_keywords_tfidf",
+          with_oracle_ctes(AN.tfidf_keywords_sql("duckdb"), ["docs_tok"]))
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf keywords with the rule-2 materialization discipline: the
+    corpus-sized (doc, token, tf) relation feeds both the
+    document-frequency aggregate and the scoring join, so it is
+    localCheckpointed once (Spark inlines CTEs — the r4 single-text
+    registration ran the explode+agg twice). The oracle keeps the
+    single SQL text (DuckDB materializes WITH-CTEs)."""
+    load_tables(spark, sf_dir)
+    spark.sql(AN.tfidf_tf_sql("spark")).localCheckpoint(
+        eager=True).createOrReplaceTempView("_tfidf_tfr")
+    return spark.sql(AN.tfidf_final_sql("_tfidf_tfr", "docs_tok_par"))
+
+
+@register("graph_triangle_count", with_oracle_ctes(AN.triangle_sql("duckdb"), []))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census with the pagerank discipline (SCALE.md rule 2: a
+    relation with >=2 Spark-side consumers is materialized once).
+    DuckDB materializes WITH-CTEs so the oracle keeps the single SQL
+    text; Spark inlines them, and in the r4 single-text form the
+    oriented edge set fed the triangle join 3x with the pair-generation
+    self-join transitively behind each — ~9 re-executions of the most
+    expensive stage. Here each stage localCheckpoints once: `e`
+    (distinct co-purchase pairs), `deg` (2 consumers in the orient
+    join), `o` (3 consumers in the triangle join), `pn` (2 consumers in
+    the final total). The wedge-close stage itself stays one equi-join
+    pair over checkpointed `o` (analytics.triangle_pn_sql)."""
+    load_tables(spark, sf_dir)
+    spark.sql(AN.triangle_edges_sql("spark")).localCheckpoint(
+        eager=True).createOrReplaceTempView("_tri_e")
+    spark.sql(AN.triangle_deg_sql("_tri_e")).localCheckpoint(
+        eager=True).createOrReplaceTempView("_tri_deg")
+    spark.sql(AN.triangle_oriented_sql("_tri_e", "_tri_deg")).localCheckpoint(
+        eager=True).createOrReplaceTempView("_tri_o")
+    spark.sql(AN.triangle_pn_sql("spark", "_tri_o")).localCheckpoint(
+        eager=True).createOrReplaceTempView("_tri_pn")
+    return spark.sql(AN.triangle_final_sql("_tri_pn"))
 
 
 @register("dedup_incremental",
@@ -2581,7 +2629,30 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW_FIRST = [
-    # r4 additions (front so the new work is always in-window)
+    # r5 front: the 12 queries no driver window has ever value-checked
+    # (they sat at positions 51-62 in r4) + text_quality_score, r4's one
+    # hash-mismatch row, re-fixed on the floor micro-grid this round.
+    "graph_connections",
+    "rag_chunks_fixed",
+    "rag_chunks_recursive",
+    "firewall_check",
+    "proxy_hyde_dual_rag",
+    "search_query_text",
+    "multimodal_features",
+    "multimodal_frame_plan",
+    "multimodal_resize_plan",
+    "meta_question_search",
+    "scoped_recall_layers",
+    "subconscious_reflections",
+    "text_quality_score",
+    # r5-touched operators (KMV de-exploded, triangle runner, grid fixes)
+    "sketch_distinct_kmv",
+    "graph_triangle_count",
+    "events_grid_quantiles",
+    "text_keywords_tfidf",
+    "text_token_count",
+    "pipeline_corpus_stats",
+    # r4 additions (stay in-window one more round)
     "vsearch_hybrid_facade",
     "dedup_semantic",
     "hybrid_rrf_top15",
@@ -2589,12 +2660,6 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_pii_scrub",
     "pipeline_lang_balance",
     "pipeline_bpe_apply",
-    "pipeline_corpus_stats",
-    "sketch_distinct_kmv",
-    "events_grid_quantiles",
-    "text_keywords_tfidf",
-    "graph_triangle_count",
-    # r3-era queries the driver has never value-checked
     "graph_pagerank",
     "pipeline_mix_sample",
     "pipeline_mix_summary",
@@ -2617,8 +2682,6 @@ _DRIVER_WINDOW_FIRST = [
     "streaming_ingest_upsert",
     "events_rollup_cascade",
     "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
     "text_fingerprint",
     "text_repetition_signals",
     "text_unigram_logprob",
@@ -2633,18 +2696,6 @@ _DRIVER_WINDOW_FIRST = [
     "engine_stats",
     "transfer_memory",
     "graph_evolution_chain",
-    "graph_connections",
-    "rag_chunks_fixed",
-    "rag_chunks_recursive",
-    "firewall_check",
-    "proxy_hyde_dual_rag",
-    "search_query_text",
-    "multimodal_features",
-    "multimodal_frame_plan",
-    "multimodal_resize_plan",
-    "meta_question_search",
-    "scoped_recall_layers",
-    "subconscious_reflections",
     # representatives of families already driver-green in r2+r3
     "knn_cosine_top10",
     "bm25_top10",

@@ -26,11 +26,13 @@ never job failures. On a real cluster the path column would point at
 a shared filesystem / object store — the same contract as Spark's
 own ``binaryFile`` source.
 
-The PDF branch is a clearly-marked STUB: this container has no PDF
-parser library, and the reference itself routes PDFs through a CLI
-parser when configured. ``PdfLoader.load`` raises ``LoaderError``
-with that guidance, which makes the SmartLoader+CLI path the
-production PDF route and keeps the fallback chain honest in tests.
+The PDF branch (r5) extracts text with a pure-Python content-stream
+scanner (sources/pdf.py: uncompressed + Flate streams, BT..ET text
+operators — the reference PDFAdvancedLoader's text path,
+loader_pdf_advanced.go:63-83). PDFs beyond the scanner (image-only,
+CID fonts, exotic filters) still raise ``LoaderError``, which keeps
+the SmartLoader+CLI path the production route for those, exactly as
+the reference falls back on its own parse failures.
 """
 
 from __future__ import annotations
@@ -135,18 +137,35 @@ class DocxLoader:
 
 
 class PdfLoader:
-    """STUB — no PDF parser library in this container. The reference
-    parses PDFs natively (loader_pdf_advanced.go) or via a configured
-    CLI tool; here the CLI parser (SmartLoader) is the ONLY PDF route,
-    and the internal branch fails loudly instead of emitting garbage."""
+    """PDF text extraction via the pure-Python content-stream scanner
+    (sources/pdf.py — uncompressed + /FlateDecode streams, BT..ET text
+    operators). Mirrors the reference's text path
+    (loader_pdf_advanced.go:63-83: per-page plain text joined with a
+    newline); image extraction (:86-172) stays out of scope. A PDF
+    from which no text is recovered (image-only, or CID/filter
+    encodings the scanner documents as unsupported) raises LoaderError
+    — loud, so SmartLoader's CLI-parser route takes over exactly as
+    the reference's SmartLoader falls back on its own failures."""
 
     name = "pdf"
 
     def load(self, path: str) -> Document:
-        raise LoaderError(
-            f"PDF parsing requires a CLI parser (SmartLoader parser_command), "
-            f"no internal PDF library available: {path}"
-        )
+        from kektordb_spark.sources.pdf import extract_pdf_text
+
+        try:
+            with open(path, "rb") as fh:
+                data = fh.read()
+        except OSError as exc:
+            raise LoaderError(f"failed to read pdf {path}: {exc}") from exc
+        if not data.startswith(b"%PDF"):
+            raise LoaderError(f"not a PDF (missing %PDF header): {path}")
+        text = extract_pdf_text(data)
+        if not text.strip():
+            raise LoaderError(
+                f"no text recovered from PDF (image-only, or encodings "
+                f"beyond the internal scanner — configure a CLI parser): {path}"
+            )
+        return Document(text=text, loader=self.name)
 
 
 class CliLoader:

@@ -68,6 +68,10 @@ PROBE_QUERIES = [
     "pipeline_pii_scrub",
     "pipeline_lang_balance",
     "pipeline_bpe_apply",
+    # r5: CTE-materialization runners + grid fixes
+    "text_keywords_tfidf",
+    "pipeline_corpus_stats",
+    "text_token_count",
 ]
 
 

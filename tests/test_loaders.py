@@ -32,6 +32,26 @@ def make_docx(path: str, xml: str = DOCX_XML) -> None:
         zf.writestr("word/document.xml", xml)
 
 
+def make_pdf(path: str, content: bytes, compress: bool = False) -> None:
+    """A minimal single-page PDF whose page content stream is
+    ``content`` (optionally Flate-compressed) — real header, object
+    structure, and stream framing, so the fixture exercises the actual
+    file format rather than a mock."""
+    import zlib
+
+    body = zlib.compress(content) if compress else content
+    filt = b" /Filter /FlateDecode" if compress else b""
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n",
+        b"4 0 obj << /Length %d%s >> stream\n%s\nendstream endobj\n"
+        % (len(body), filt, body),
+    ]
+    with open(path, "wb") as fh:
+        fh.write(b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF\n")
+
+
 def test_docx_loader_headings_and_runs(tmp_path):
     p = str(tmp_path / "doc.docx")
     make_docx(p)
@@ -64,7 +84,8 @@ def test_auto_loader_dispatch(tmp_path):
     assert auto.load(str(tmp_path / "a.txt")).text == "plain"
     assert auto.load(str(tmp_path / "b.unknownext")).text == "fallback as text"
     assert auto.load(docx).loader == "docx"
-    # PDF is the documented stub: loud error, never garbage
+    # a PDF the internal scanner recovers no text from: loud error,
+    # never garbage (SmartLoader's CLI route handles these)
     (tmp_path / "d.pdf").write_bytes(b"%PDF-1.4 fake")
     with pytest.raises(L.LoaderError, match="CLI parser"):
         auto.load(str(tmp_path / "d.pdf"))
@@ -163,3 +184,62 @@ def test_ingest_directory_cli_parser_handles_pdf(spark, tmp_path):
     chunks = vectors.collect()
     assert len(chunks) == 1
     assert chunks[0]["chunk_text"] == "pdf text extracted by tool"
+
+
+PDF_CONTENT = (
+    b"BT /F1 12 Tf 72 720 Td (Hello \\(PDF\\) world) Tj ET\n"
+    b"BT 72 700 Td [(kerned) -250 (array \\101\\102)] TJ "
+    b"T* <48657820627974657321> Tj ET\n"
+)
+
+
+def test_pdf_text_extraction_uncompressed_and_flate(tmp_path):
+    """Real .pdf fixtures through the pure-Python scanner: literal
+    strings with escapes and nesting, TJ arrays (kerning ignored),
+    octal escapes, hex strings, and Flate-compressed streams decode to
+    the same text as uncompressed ones."""
+    plain = str(tmp_path / "plain.pdf")
+    flate = str(tmp_path / "flate.pdf")
+    make_pdf(plain, PDF_CONTENT)
+    make_pdf(flate, PDF_CONTENT, compress=True)
+    loader = L.PdfLoader()
+    t1 = loader.load(plain).text
+    t2 = loader.load(flate).text
+    assert t1 == t2
+    assert "Hello (PDF) world" in t1
+    assert "kernedarray AB" in t1  # TJ concatenation + octal escapes
+    assert "Hex bytes!" in t1
+    # positioning operators produced line breaks between shows
+    assert t1.index("Hello (PDF) world") < t1.index("kerned")
+    assert "\n" in t1.strip()
+    # AutoLoader now routes .pdf to the internal scanner
+    assert L.AutoLoader().load(plain).loader == "pdf"
+
+
+def test_pdf_ingest_directory_end_to_end(spark, tmp_path):
+    """A real PDF goes scan -> parse -> chunk -> embed with NO CLI
+    parser configured (verdict r4 item 7's 'done' shape)."""
+    long_content = b"BT " + b" ".join(
+        b"(alpha beta gamma delta epsilon zeta) Tj T*" for _ in range(6)
+    ) + b" ET"
+    make_pdf(str(tmp_path / "doc.pdf"), long_content, compress=True)
+    vectors, edges, failures = L.ingest_directory(
+        spark, str(tmp_path), now=100, chunk_size=40, overlap=5,
+    )
+    vrows = vectors.collect()
+    assert vrows and all(r["doc_id"].endswith("doc.pdf") for r in vrows)
+    assert len(vrows) > 1  # long text actually chunked
+    assert any("alpha beta gamma" in r["chunk_text"] for r in vrows)
+    from kektordb_spark.functions.embedder import DEFAULT_DIM
+    assert all(len(r["v"]) == DEFAULT_DIM for r in vrows)
+    assert failures.collect() == []
+
+
+def test_pdf_no_text_still_falls_back_loudly(tmp_path):
+    """Image-only / filter-unsupported PDFs keep the loud-fallback
+    contract: LoaderError with CLI-parser guidance (SmartLoader's CLI
+    route stays the production path for those)."""
+    p = str(tmp_path / "imgonly.pdf")
+    make_pdf(p, b"<< /W 1 >> ID \x00\x01\x02 EI")  # no BT text block
+    with pytest.raises(L.LoaderError, match="CLI parser"):
+        L.PdfLoader().load(p)

@@ -317,14 +317,22 @@ def test_corpus_stats_matches_replica(tok_lists):
     )
     sxx = sum(round(math.log(rk) ** 2 * 1e12) for rk in range(1, n + 1))
     denom = n * (sxx / 1e12) - (sx / 1e6) ** 2
+    # r5: single-type corpus -> nullif(denom, 0) -> NULL in BOTH
+    # engines (Spark 4 ANSI raised on /0 before)
     slope = ((n * (sxy / 1e12) - (sx / 1e6) * (sy / 1e6)) / denom
-             if denom else float("nan"))
+             if denom else None)
+
+    def grid6(x: float) -> float:
+        # replica of the SQL floor micro-grid (tie-free, rule 7b)
+        return math.floor(x * 1e6) / 1e6
 
     assert len(out) == n
     for rank, tok, freq, nt, ny, ttr, zs, hm in out:
         assert (tok, freq) == head[rank - 1]
         assert nt == n_tokens and ny == n_types
-        assert ttr == round(n_types / n_tokens, 6)
-        if not math.isnan(slope):
+        assert ttr == grid6(n_types / n_tokens)
+        if slope is None:
+            assert zs is None
+        else:
             assert zs == pytest.approx(round(slope, 6), abs=2e-6)
-        assert hm == round(freq / n_tokens, 6)
+        assert hm == grid6(freq / n_tokens)

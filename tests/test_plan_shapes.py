@@ -399,11 +399,33 @@ def test_bpe_apply_no_corpus_join(spark):
 
 
 def test_corpus_stats_vocab_shuffle_only(spark):
-    # the frequency relation is the only data-sized shuffle (explode ->
-    # hash agg keyed on token, map-side partials); the head is
-    # TakeOrderedAndProject; the regression runs in the 64-row relation
+    # r5 staged runner: the frequency relation (the only data-sized
+    # shuffle — explode -> hash agg keyed on token, map-side partials)
+    # and the 64-row head are each localCheckpointed ONCE; assert the
+    # shape on the stage plans, since the final plan starts from the
+    # checkpointed scans.
+    from kektordb_spark.operators import pipeline as PL
+    from kektordb_spark.tables import load_tables
+
+    def fmt(df):
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+
+    load_tables(spark, SF_SMALL)
+    tf_plan = fmt(spark.sql(PL.corpus_tf_sql("spark")))
+    assert "partial_count" in tf_plan or "partial_sum" in tf_plan
+    tf = spark.sql(PL.corpus_tf_sql("spark")).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("_ps_cs_tf")
+    topk_plan = fmt(spark.sql(PL.corpus_topk_sql("_ps_cs_tf")))
+    assert "TakeOrderedAndProject" in topk_plan
+    spark.sql(PL.corpus_topk_sql("_ps_cs_tf")).localCheckpoint(
+        eager=True).createOrReplaceTempView("_ps_cs_topk")
+    final_plan = fmt(spark.sql(
+        PL.corpus_stats_final_sql("_ps_cs_tf", "_ps_cs_topk")))
+    # totals/regression are 1-row broadcasts, never a data-sized
+    # cartesian or sort-merge join
+    assert "CartesianProduct" not in final_plan
+    assert "SortMergeJoin" not in final_plan
+    # and the full registered query still runs end-to-end
     plan = plan_of(spark, "pipeline_corpus_stats")
-    assert "CartesianProduct" not in plan
-    assert "TakeOrderedAndProject" in plan
-    assert "partial_count" in plan or "partial_sum" in plan
     assert "SortMergeJoin" not in plan

@@ -186,3 +186,36 @@ def test_bpe_train_matches_python_and_fold_form(spark):
     ]
     assert runner == want
     assert fold == want
+
+
+def test_bpe_dry_round_is_identity_not_empty(spark):
+    """ADVICE r4 guard: a corpus where every doc has <2 tokens produces
+    NO adjacent pairs, so each round's argmax is the null sentinel —
+    the merge must pass tokens through unchanged (and the trainer must
+    return an empty merge table), not CROSS JOIN the corpus away."""
+    import duckdb
+
+    from kektordb_spark.operators.pipeline import (
+        bpe_apply, bpe_apply_sql, bpe_train, bpe_train_sql)
+
+    df = spark.createDataFrame(
+        [(1, ["a"]), (2, []), (3, ["b"])], "doc_id: long, toks: array<string>")
+    df.createOrReplaceTempView("_dry_docs")
+
+    audit = bpe_apply(spark, source="_dry_docs").collect()
+    assert [(r.doc_id, r.n_toks_before, r.n_toks_after) for r in audit] == [
+        (1, 1, 1), (2, 0, 0), (3, 1, 1)]
+    assert bpe_train(spark, source="_dry_docs").collect() == []
+
+    # the unrolled SQL forms (both dialects) agree
+    assert spark.sql(bpe_train_sql("spark", source="_dry_docs")).collect() == []
+    sql_audit = spark.sql(bpe_apply_sql("spark", source="_dry_docs")).collect()
+    assert [(r.doc_id, r.n_toks_before, r.n_toks_after) for r in sql_audit] == [
+        (1, 1, 1), (2, 0, 0), (3, 1, 1)]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW _dry_docs AS SELECT * FROM (VALUES "
+                "(1, ['a']), (2, CAST([] AS VARCHAR[])), (3, ['b'])) "
+                "t(doc_id, toks)")
+    assert con.execute(bpe_train_sql("duckdb", source="_dry_docs")).fetchall() == []
+    drows = con.execute(bpe_apply_sql("duckdb", source="_dry_docs")).fetchall()
+    assert [(r[0], r[1], r[2]) for r in drows] == [(1, 1, 1), (2, 0, 0), (3, 1, 1)]
