@@ -848,3 +848,79 @@ FROM ranked
 GROUP BY doc_id
 ORDER BY doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-duplication audit (sliding windows)
+# ---------------------------------------------------------------------------
+
+SUBSTR_W = 10  # tokens per sliding window
+
+
+def substring_windows_sql(dialect: str, source: str | None = None) -> str:
+    """Exact substring-duplication audit at fixed {SUBSTR_W}-token
+    granularity — the fixed-window formulation of exact substring
+    dedup (Lee et al., arXiv:2107.06499, "Deduplicating Training Data
+    Makes Language Models Better", the ExactSubstr pass): a span
+    duplicated anywhere in the corpus (across docs or repeated within
+    one — both count, as in the paper) is witnessed by its sliding
+    {SUBSTR_W}-token windows, since any duplicated span of length
+    >= W contains a duplicated W-window. The paper builds suffix
+    arrays for variable-length spans; the sliding-window form trades
+    span-boundary precision for a shuffle-friendly two-pass plan,
+    the standard scale-out compromise (and the basis of its own
+    parallel sharding).
+
+    Per-doc audit output: window count, duplicated-window count
+    (corpus-wide occurrence >= 2), duplicated fraction on the
+    tie-free floor micro-grid. Unlike dedup_paragraph's keep-first
+    segments (boilerplate REMOVAL), this measures raw duplication
+    mass — the signal used to decide whether ExactSubstr cutting is
+    worth running at all.
+
+    Plan: windows are generated in the scan projection over the
+    PRE-TOKENIZED relation (array slice + md5, no regexp re-run —
+    SCALE.md rule 1); corpus-wide occurrence counts come from ONE
+    window function over ONE shuffle keyed on the window hash (hash +
+    ids cross the shuffle, never text — the dedup_paragraph
+    discipline; no self-join); the per-doc rollup is the second
+    shuffle. Docs shorter than {SUBSTR_W} tokens have no windows and
+    are absent by definition. The window expressions are TOTAL
+    (clamped sequence bounds / slice) — Spark's subexpression
+    elimination can evaluate scan projections before the length
+    filter (the _adj_pairs lesson)."""
+    w = SUBSTR_W
+    if source is None:
+        source = "docs_tok_par" if dialect == "spark" else "docs_tok"
+    if dialect == "spark":
+        wins = f"""
+  SELECT doc_id, pr.pos AS pos, pr.h AS h
+  FROM (SELECT doc_id,
+               transform(sequence(1, greatest(size(toks) - {w} + 1, 1)),
+                         i -> struct(i AS pos,
+                                     md5(concat_ws(' ', slice(toks, i, {w}))) AS h))
+                 AS prs
+        FROM {source} WHERE size(toks) >= {w}) t
+  LATERAL VIEW explode(prs) _p AS pr"""
+    else:
+        wins = f"""
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:i + {w} - 1], ' ')) AS h
+  FROM {source},
+       unnest(generate_series(1, len(toks) - {w} + 1)) AS _g(i)
+  WHERE len(toks) >= {w}"""
+    return f"""
+WITH wins AS ({wins}),
+cnt AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY h) AS c
+  FROM wins
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_windows,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS INT) AS dup_windows,
+       CAST(floor(CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) * 1e6) AS BIGINT) / 1e6 AS dup_fraction
+FROM cnt
+GROUP BY doc_id
+ORDER BY doc_id
+""".strip()

@@ -1223,3 +1223,61 @@ SELECT t.rk AS rank, t.tok, CAST(t.c AS BIGINT) AS freq,
 FROM {topk} t CROSS JOIN tot o CROSS JOIN reg r
 ORDER BY t.rk
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length histogram / token-mass budget report
+# ---------------------------------------------------------------------------
+
+def length_histogram_sql(dialect: str, source: str | None = None) -> str:
+    """Power-of-two sequence-length histogram with cumulative token
+    mass — the report that sizes a packing config (pack_sequences_sql
+    seq_len), a curriculum's length bands, and the truncation budget:
+    for each bucket k (docs whose token count+1 lands in [2^k, 2^{k+1})),
+    the doc count, token mass, share of total tokens, and the
+    cumulative share when buckets are consumed shortest-first.
+
+    Determinism: the bucket is `length(bin(n+1)) - 1` — binary-string
+    length is an exact integer in both engines, where
+    `floor(ln(n)/ln(2))` would sit one ulp below an integer on exact
+    powers of two and floor-diverge. Shares are on the tie-free floor
+    micro-grid.
+
+    At scale: ONE hash aggregate keyed on the bucket (map-side
+    partials; the shuffle carries <= 64 bucket rows per map task) and
+    one window over the bucket relation. The scan reads only the
+    pre-tokenized array's length."""
+    if source is None:
+        source = "docs_tok_par" if dialect == "spark" else "docs_tok"
+    ln = "size" if dialect == "spark" else "len"
+    # bin() renders BIGINT as its binary digits in both dialects; for
+    # DuckDB the argument must be BIGINT (bin(VARCHAR) would parse).
+    g6 = "CAST(floor(({x}) * 1e6) AS BIGINT) / 1e6"
+    share = g6.format(x="CAST(toks_in_bucket AS DOUBLE) / tot")
+    cshare = g6.format(
+        x="CAST(sum(toks_in_bucket) OVER (ORDER BY bucket) AS DOUBLE) / tot")
+    return f"""
+WITH b AS (
+  SELECT length(bin(CAST({ln}(toks) + 1 AS BIGINT))) - 1 AS bucket,
+         {ln}(toks) AS n
+  FROM {source}
+),
+agg AS (
+  SELECT bucket,
+         count(*) AS n_docs,
+         sum(n) AS toks_in_bucket,
+         min(n) AS min_len,
+         max(n) AS max_len
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT sum(toks_in_bucket) AS tot FROM agg)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(min_len AS INT) AS min_len,
+       CAST(max_len AS INT) AS max_len,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(toks_in_bucket AS BIGINT) AS tokens,
+       {share} AS token_share,
+       {cshare} AS cum_token_share
+FROM agg CROSS JOIN tot
+ORDER BY bucket
+""".strip()

@@ -2438,10 +2438,29 @@ def pipeline_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True).createOrReplaceTempView("_cs_topk")
     return spark.sql(PL.corpus_stats_final_sql("_cs_tf", "_cs_topk"))
 register_sql("dedup_paragraph", DD.paragraph_dedup_sql, ["docs_tok"])
+register_sql("dedup_substring_windows", DD.substring_windows_sql, ["docs_tok"])
+register_sql("pipeline_length_histogram", PL.length_histogram_sql, ["docs_tok"])
 
 from kektordb_spark.operators import analytics as AN  # noqa: E402
 
-register_sql("sketch_distinct_kmv", AN.kmv_distinct_sql, [])
+@register("sketch_distinct_kmv", with_oracle_ctes(AN.kmv_distinct_sql("duckdb"), []))
+def sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch with a LOCAL-ONLY parallelism guard: the
+    sketch's cost is K/2 md5 digests per scanned row, map-only — but a
+    fixture-sized events table is ONE parquet split (the 4 MB
+    openCostInBytes floor), so the hash ran on one core locally
+    (3.3 s of a 3.5 s query). When the scan has fewer partitions than
+    cores, repartition the two needed COLUMNS first (a ~1 MB shuffle
+    at sf0.1); when the scan is already parallel — every real-scale
+    table — the branch is a no-op and NO shuffle is added, keeping the
+    operator's scan-side scaling story intact."""
+    load_tables(spark, sf_dir)
+    ev = spark.table("events").select("event_type", "user_id")
+    cores = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < cores:
+        ev = ev.repartition(cores)
+    ev.createOrReplaceTempView("_kmv_events")
+    return spark.sql(AN.kmv_distinct_sql("spark", source="_kmv_events"))
 register_sql("events_grid_quantiles", AN.grid_quantiles_sql, [])
 @register("text_keywords_tfidf",
           with_oracle_ctes(AN.tfidf_keywords_sql("duckdb"), ["docs_tok"]))
@@ -2460,25 +2479,21 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("graph_triangle_count", with_oracle_ctes(AN.triangle_sql("duckdb"), []))
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census with the pagerank discipline (SCALE.md rule 2: a
-    relation with >=2 Spark-side consumers is materialized once).
-    DuckDB materializes WITH-CTEs so the oracle keeps the single SQL
-    text; Spark inlines them, and in the r4 single-text form the
-    oriented edge set fed the triangle join 3x with the pair-generation
-    self-join transitively behind each — ~9 re-executions of the most
-    expensive stage. Here each stage localCheckpoints once: `e`
-    (distinct co-purchase pairs), `deg` (2 consumers in the orient
-    join), `o` (3 consumers in the triangle join), `pn` (2 consumers in
-    the final total). The wedge-close stage itself stays one equi-join
-    pair over checkpointed `o` (analytics.triangle_pn_sql)."""
+    """Triangle census SERVING from the persisted co-purchase item
+    graph (tables.load_tables ``copurch_o``: distinct part pairs
+    sharing an order, degree-oriented — built once at load, the same
+    build/serve split as pr_w/sim_pairs). DuckDB materializes
+    WITH-CTEs so the oracle keeps the single lineitem-to-census SQL
+    text; Spark inlines them, and the r4 single-text form re-ran the
+    pair-generation self-join ~9x (the oriented edge set fed the
+    triangle join 3x with pair generation transitively behind each).
+    Serve-side work: ONE equi-join pair closing wedges over the
+    persisted oriented edges (each triangle explodes into its 3
+    corners in the same pass — analytics.triangle_pn_sql), the tiny
+    per-node relation localCheckpointed for its 2 consumers
+    (report + total = sum/3)."""
     load_tables(spark, sf_dir)
-    spark.sql(AN.triangle_edges_sql("spark")).localCheckpoint(
-        eager=True).createOrReplaceTempView("_tri_e")
-    spark.sql(AN.triangle_deg_sql("_tri_e")).localCheckpoint(
-        eager=True).createOrReplaceTempView("_tri_deg")
-    spark.sql(AN.triangle_oriented_sql("_tri_e", "_tri_deg")).localCheckpoint(
-        eager=True).createOrReplaceTempView("_tri_o")
-    spark.sql(AN.triangle_pn_sql("spark", "_tri_o")).localCheckpoint(
+    spark.sql(AN.triangle_pn_sql("spark", "copurch_o")).localCheckpoint(
         eager=True).createOrReplaceTempView("_tri_pn")
     return spark.sql(AN.triangle_final_sql("_tri_pn"))
 
@@ -2645,6 +2660,9 @@ _DRIVER_WINDOW_FIRST = [
     "scoped_recall_layers",
     "subconscious_reflections",
     "text_quality_score",
+    # r5 new operators
+    "dedup_substring_windows",
+    "pipeline_length_histogram",
     # r5-touched operators (KMV de-exploded, triangle runner, grid fixes)
     "sketch_distinct_kmv",
     "graph_triangle_count",

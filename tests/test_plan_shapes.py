@@ -429,3 +429,28 @@ def test_corpus_stats_vocab_shuffle_only(spark):
     # and the full registered query still runs end-to-end
     plan = plan_of(spark, "pipeline_corpus_stats")
     assert "SortMergeJoin" not in plan
+
+
+def test_triangle_serves_from_persisted_copurchase_graph(spark):
+    """r5: the census's serve plan reads the persisted oriented
+    co-purchase edges (tables.load_tables `copurch_o`) — the lineitem
+    pair-generation self-join is BUILD cost, absent from the query
+    plan; the wedge close is one equi-join pair and the triangle
+    relation is consumed once (no UNION-ALL re-execution)."""
+    from kektordb_spark.operators import analytics as AN
+    from kektordb_spark.tables import load_tables
+
+    load_tables(spark, SF_SMALL)
+    pn_plan = spark._jvm.PythonSQLUtils.explainString(
+        spark.sql(AN.triangle_pn_sql("spark", "copurch_o"))
+        ._jdf.queryExecution(), "formatted")
+    # wedge close scans the persisted parquet relation, never lineitem
+    assert "copurch_o" in pn_plan
+    assert "lineitem" not in pn_plan
+    assert "CartesianProduct" not in pn_plan
+    assert "Union" not in pn_plan  # corners explode in one pass
+    # the registered query's final plan starts from the checkpointed
+    # per-node counts — lineitem absent there too
+    plan = plan_of(spark, "graph_triangle_count")
+    assert "lineitem" not in plan
+    assert "CartesianProduct" not in plan
