@@ -2442,6 +2442,19 @@ register_sql("dedup_substring_windows", DD.substring_windows_sql, ["docs_tok"])
 register_sql("pipeline_length_histogram", PL.length_histogram_sql, ["docs_tok"])
 
 from kektordb_spark.operators import analytics as AN  # noqa: E402
+from kektordb_spark.operators import components as CC  # noqa: E402
+
+
+@register("graph_connected_components",
+          with_oracle_ctes(CC.components_oracle_sql(), ["emb"]))
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact connected components of the similarity graph: doubling
+    min-label propagation to an ASSERTED fixpoint over the persisted
+    pair index (operators/components.py) — the exact-components
+    companion to the bounded-round cluster operators; the oracle
+    resolves components with a recursive reachability closure."""
+    load_tables(spark, sf_dir)
+    return CC.components_df(spark)
 
 @register("sketch_distinct_kmv", with_oracle_ctes(AN.kmv_distinct_sql("duckdb"), []))
 def sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2663,6 +2676,7 @@ _DRIVER_WINDOW_FIRST = [
     # r5 new operators
     "dedup_substring_windows",
     "pipeline_length_histogram",
+    "graph_connected_components",
     # r5-touched operators (KMV de-exploded, triangle runner, grid fixes)
     "sketch_distinct_kmv",
     "graph_triangle_count",
