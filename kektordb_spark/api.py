@@ -251,6 +251,36 @@ def vget(index: Index, ids: list[str]) -> DataFrame:
     )
 
 
+def vget_ids_by_cursor(
+    index: Index, cursor: str = "", limit: int = 100,
+) -> tuple[list[str], str]:
+    """S7 VGetIDsByCursor (ops.go:1861-1873, hnsw_index.go:2846-2869):
+    resumable incremental ID scan — the Gardener's background walk uses
+    this to visit the corpus in bounded slices across cycles.
+
+    The reference's cursor is an internal insert-order array position
+    that wraps to 0 at the end; a distributed engine has no stable
+    array positions, so the Spark-first cursor is KEYSET pagination on
+    the external id (`id > cursor ORDER BY id LIMIT n` — pushed filter
+    + TakeOrderedAndProject, never a global sort/offset). Same
+    contract: non-deleted ids only, at most ``limit`` per call, and
+    the returned cursor wraps to "" when the scan reaches the end so
+    the next call restarts the cycle (hnsw_index.go:2863-2866)."""
+    if limit <= 0:
+        return [], cursor
+    rows = (
+        index.vectors.where(~F.col("deleted"))
+        .where(F.col("id") > cursor)
+        .select("id")
+        .orderBy("id")
+        .limit(limit + 1)  # +1 probes "is there more" in the same job
+        .collect()
+    )
+    ids = [r["id"] for r in rows[:limit]]
+    next_cursor = ids[-1] if len(rows) > limit else ""
+    return ids, next_cursor
+
+
 def vdelete(index: Index, ids: list[str], now: int) -> Index:
     """S5 VDelete + G11 cascade (ops.go:401-489): soft-delete rows and
     every touching edge, one pass over each table."""

@@ -72,6 +72,10 @@ PROBE_QUERIES = [
     "text_keywords_tfidf",
     "pipeline_corpus_stats",
     "text_token_count",
+    # r5 new operators
+    "dedup_substring_windows",
+    "pipeline_length_histogram",
+    "graph_connected_components",
 ]
 
 
