@@ -33,12 +33,15 @@ def get_spark(app_name: str = "kektordb-spark", cpus: int | None = None) -> Spar
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # 2 reduce partitions per core (min 16): measured at sf0.1 over
-        # a mid-weight query mix, 16 beats 32 by ~5-10% on 8 cores —
-        # AQE coalesces the read side either way, but fewer map outputs
-        # cut fixed task overhead. Pure fixture tuning: on a cluster
-        # this is sized to data volume, not cores (SCALE.md).
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 16)))
+        # 1 reduce partition per core (min 16): measured at sf0.1 over
+        # a mid-weight query mix — 16 beats 32 by ~5-10% on 8 cores,
+        # and 32 beats 64 by ~6% on 32 cores (r5 A/B, steady-state
+        # 24.4 s -> 22.9 s on a 12-query subset) — AQE coalesces the
+        # read side either way, but fewer map outputs cut fixed task
+        # overhead, the documented local[32] small-shuffle penalty.
+        # Pure fixture tuning: on a cluster this is sized to data
+        # volume, not cores (SCALE.md).
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 16)))
         # Arrow for every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Robustness for nanos-encoded event files: TIMESTAMP(NANOS)
