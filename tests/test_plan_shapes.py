@@ -454,3 +454,35 @@ def test_triangle_serves_from_persisted_copurchase_graph(spark):
     plan = plan_of(spark, "graph_triangle_count")
     assert "lineitem" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_windows_single_hash_keyed_window(spark):
+    """r5: duplicated-window detection is ONE window function over ONE
+    shuffle keyed on the window hash — no self-join, no cartesian; the
+    rollup adds the doc-keyed exchange. Windows are generated in the
+    scan projection (no Generate-over-regexp: the source is the
+    pre-tokenized materialized relation)."""
+    plan = plan_of(spark, "dedup_substring_windows")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # window-hash exchange + doc rollup exchange (+ final sort)
+    assert n_exchanges(plan) <= 3
+
+
+def test_length_histogram_bucket_agg_plus_tiny_window(spark):
+    """r5: one bucket-keyed hash aggregate with map-side partials; the
+    cumulative share windows over the <=64-row bucket relation."""
+    plan = plan_of(spark, "pipeline_length_histogram")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_components_all_equi_joins_over_pair_index(spark):
+    """r5: star contraction is equi-joins / hash-aggs only; the input
+    is the persisted similarity-pair index (no GEMM kernel re-run in
+    the query plan — mapInPandas absent)."""
+    plan = plan_of(spark, "graph_connected_components")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "mapinpandas" not in plan.lower()
