@@ -109,6 +109,29 @@ def kmv_distinct_sql(dialect: str, source: str = "events") -> str:
     Reference parity note: the reference reports exact counters from its
     in-memory maps (pkg/server/handlers.go /stats); this is the
     scale-out formulation of the same report."""
+    return f"""
+WITH est AS (
+  {kmv_est_sql(dialect, source)}
+),
+ex AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM {source} GROUP BY event_type
+)
+SELECT e.event_type, e.est_distinct,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(floor(abs(CAST(e.est_distinct AS DOUBLE) / x.exact_distinct - 1) * 1e4) AS BIGINT) / 1e4
+         AS rel_error
+FROM est e JOIN ex x ON x.event_type = e.event_type
+ORDER BY e.event_type
+""".strip()
+
+
+def kmv_est_sql(dialect: str, source: str = "events") -> str:
+    """The estimator alone — (event_type, est_distinct) — shared by the
+    batch query (which joins the exact-count audit on) and the
+    STREAMING sketch's oracle (streaming/events.py
+    distinct_sketch_stream: the keyed state carries the same 64 minima,
+    so its final emission equals this relation exactly)."""
     uid = "CAST(user_id AS STRING)" if dialect == "spark" else "CAST(user_id AS VARCHAR)"
     digests = ",\n         ".join(
         f"md5(concat({uid}, ':', '{s}')) AS d{s}"
@@ -123,32 +146,18 @@ def kmv_distinct_sql(dialect: str, source: str = "events") -> str:
         _hex_slice_int(dialect, f"m{i}", 1, _KMV_HEX) for i in range(KMV_K)
     )
     return f"""
-WITH h AS (
-  SELECT event_type,
-         {digests}
-  FROM {source}
-),
-mins AS (
+SELECT event_type,
+       CAST(floor({KMV_K} / (({sum_mins}) / {_KMV_SCALE}.0) - 1 + 0.5) AS BIGINT)
+         AS est_distinct
+FROM (
   SELECT event_type,
          {min_cols}
-  FROM h GROUP BY event_type
-),
-est AS (
-  SELECT event_type,
-         CAST(floor({KMV_K} / (({sum_mins}) / {_KMV_SCALE}.0) - 1 + 0.5) AS BIGINT)
-           AS est_distinct
-  FROM mins
-),
-ex AS (
-  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
-  FROM {source} GROUP BY event_type
-)
-SELECT e.event_type, e.est_distinct,
-       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
-       CAST(floor(abs(CAST(e.est_distinct AS DOUBLE) / x.exact_distinct - 1) * 1e4) AS BIGINT) / 1e4
-         AS rel_error
-FROM est e JOIN ex x ON x.event_type = e.event_type
-ORDER BY e.event_type
+  FROM (
+    SELECT event_type,
+           {digests}
+    FROM {source}
+  ) h GROUP BY event_type
+) mins
 """.strip()
 
 

@@ -2115,6 +2115,28 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.resize_plan(media, max_side=256)
 
 
+from kektordb_spark.operators import analytics as _AN_EARLY  # noqa: E402
+
+
+@register("streaming_distinct_sketch",
+          with_oracle_ctes(_AN_EARLY.kmv_est_sql("duckdb"), []))
+def streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality: the KMV distinct sketch maintained as
+    keyed state across micro-batches (streaming/events.py
+    distinct_sketch_stream). Estimates are monotone non-decreasing
+    (minima only fall), so the final answer per key is the max
+    emission — bit-equal to the batch estimator relation
+    (analytics.kmv_est_sql), which is the oracle."""
+    load_tables(spark, sf_dir)
+    stream = ST.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    emissions = ST.run_to_memory(
+        spark, ST.distinct_sketch_stream(stream), "distinct_sketch",
+        output_mode="update",
+    )
+    return emissions.groupBy("event_type").agg(
+        F.max("est_distinct").alias("est_distinct"))
+
+
 @register("streaming_windowed_counts", ST.windowed_counts_oracle_sql("duckdb"))
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1 + tumbling windows: file-source stream -> watermark ->
@@ -2677,6 +2699,7 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_substring_windows",
     "pipeline_length_histogram",
     "graph_connected_components",
+    "streaming_distinct_sketch",
     # r5-touched operators (KMV de-exploded, triangle runner, grid fixes)
     "sketch_distinct_kmv",
     "graph_triangle_count",

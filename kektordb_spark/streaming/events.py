@@ -194,6 +194,66 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def distinct_sketch_stream(events: DataFrame) -> DataFrame:
+    """Streaming KMV distinct-count sketch: the batch estimator
+    (operators/analytics.kmv_est_sql — K minima of seeded hash slices)
+    maintained as KEYED STATE per event type across micro-batches via
+    ``applyInPandasWithState``. This is the canonical streaming
+    cardinality pattern: state per key is K BIGINTs FOREVER (never a
+    user set), each trigger folds the batch's minima into the state
+    (min is commutative/associative, so chunking cannot change the
+    result) and emits the current estimate.
+
+    The per-row hash slices are computed JVM-side in the scan
+    projection (same md5/substr/conv expressions as the batch SQL);
+    the Python side only takes vectorized column minima and applies the
+    ESTIMATOR with the identical IEEE op order as the SQL text
+    (64/(S/SCALE) - 1 + 0.5, floored) — so the FINAL emission per key
+    is bit-equal to the batch relation, which is the oracle
+    (kmv_est_sql('duckdb')). Estimates are monotone non-decreasing
+    (minima only fall), so "final" = max per key."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from kektordb_spark.operators.analytics import (
+        KMV_K, _KMV_HEX, _KMV_SCALE)
+
+    uid = "CAST(user_id AS STRING)"
+    cols = []
+    for s in range(1, KMV_K // 2 + 1):
+        d = f"md5(concat({uid}, ':', '{s}'))"
+        for j in range(2):
+            cols.append(
+                f"CAST(conv(substr({d}, {1 + _KMV_HEX * j}, {_KMV_HEX}), 16, 10)"
+                f" AS BIGINT) AS h{len(cols)}")
+    hashed = events.selectExpr("event_type", *cols)
+    hcols = [f"h{i}" for i in range(KMV_K)]
+    state_struct = ", ".join(f"m{i} bigint" for i in range(KMV_K))
+
+    def update(key, pdfs, state: GroupState):
+        mins = list(state.get) if state.exists else [_KMV_SCALE] * KMV_K
+        for pdf in pdfs:
+            if len(pdf):
+                batch_mins = pdf[hcols].min()
+                mins = [min(int(m), int(b)) for m, b in zip(mins, batch_mins)]
+        state.update(tuple(mins))
+        s = float(sum(mins))
+        import math
+        est = int(math.floor(KMV_K / (s / float(_KMV_SCALE)) - 1 + 0.5))
+        yield pd.DataFrame({"event_type": [key[0]], "est_distinct": [est]})
+
+    return (
+        hashed.groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType="event_type string, est_distinct bigint",
+            stateStructType=state_struct,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def windowed_entity_mentions(
     events: DataFrame, window: str = "3 days", watermark: str = "1 hour",
 ) -> DataFrame:

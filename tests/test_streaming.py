@@ -99,3 +99,38 @@ def test_gardener_trigger(spark, batch_events, events_dir):
     # 1000 events at sf0.001 -> every accumulation >= 50 fired a cycle
     assert trig.cycles and all(c >= 50 for c in trig.cycles)
     assert sum(trig.cycles) + trig.pending == batch_events.count()
+
+
+def test_distinct_sketch_stream_equals_batch_and_chunking_invariant(
+        spark, batch_events, tmp_path):
+    """The streaming KMV sketch's final emission is bit-equal to the
+    batch estimator relation — and INVARIANT to micro-batch chunking
+    (min-folding is associative/commutative): a 4-file landing zone
+    processed one file per trigger gives the same answer as one file."""
+    # multi-file landing zone => multiple triggers (maxFilesPerTrigger=1)
+    d = str(tmp_path / "chunks")
+    batch_events.repartition(4).write.mode("overwrite").parquet(d)
+
+    stream = ST.read_event_stream(spark, d)
+    q = (
+        ST.distinct_sketch_stream(stream)
+        .writeStream.format("memory").queryName("dsk")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    emissions = spark.table("dsk")
+    final = {
+        (r.event_type, r.est_distinct)
+        for r in emissions.groupBy("event_type")
+        .agg(F.max("est_distinct").alias("est_distinct")).collect()
+    }
+
+    from kektordb_spark.operators.analytics import kmv_est_sql
+    batch_events.createOrReplaceTempView("_dsk_events")
+    want = {
+        tuple(r)
+        for r in spark.sql(kmv_est_sql("spark", source="_dsk_events")).collect()
+    }
+    assert final == want and len(final) >= 3
+    # multiple triggers actually happened (update-mode re-emissions)
+    assert emissions.count() > len(final)
