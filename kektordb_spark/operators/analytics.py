@@ -398,3 +398,61 @@ pn AS (
 )
 {triangle_final_sql("pn")}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier audit: farthest-from-centroid per label
+# ---------------------------------------------------------------------------
+
+OUTLIER_PER_LABEL = 5
+
+
+def embedding_outliers_sql(
+    dialect: str,
+    per_label: int = OUTLIER_PER_LABEL,
+    cent_source: str | None = None,
+) -> str:
+    """Per-label embedding outliers: squared-L2 distance of every
+    vector to its OWN label centroid, top-``per_label`` farthest per
+    label — the standard embedding-space cleaning pass of a training
+    pipeline (drop/inspect the points far from their cluster before
+    they pollute dedup thresholds and ANN cell balance; SemDeDup's
+    centroid machinery reused as a QUALITY audit rather than a dedup
+    candidate generator).
+
+    At scale: the centroid relation is #labels rows (broadcast side of
+    the join); the distance is one index-order fold inside whole-stage
+    codegen over a single corpus scan; the per-label rank window
+    shuffles on label. The Spark side can serve the centroids from a
+    persisted relation (``cent_source``) just like the IVF layer; the
+    oracle re-derives them end-to-end. Cross-engine determinism: the
+    elementwise mean is re-synchronized on the 1e-12 grid (the IVF
+    discipline, ivf._mean_cte), the fold is index-ordered so the raw
+    ranking distance is bit-identical, and the displayed distance sits
+    on the tie-free 1e-6 floor grid (SCALE.md rule 7b)."""
+    from kektordb_spark.functions.textquality import _grid6
+    from kektordb_spark.operators.ivf import _mean_cte
+    from kektordb_spark.tables import l2sq_sql
+
+    if cent_source is None:
+        cent = _mean_cte(dialect, "emb", "cent", cid="label")
+    else:
+        cent = f"cent AS (SELECT label, v FROM {cent_source})"
+    d = l2sq_sql(dialect, "e.v", "c.v")
+    return f"""
+WITH {cent},
+d AS (
+  SELECT e.vec_id, e.label, {d} AS dist
+  FROM emb e JOIN cent c ON c.label = e.label
+),
+r AS (
+  SELECT vec_id, label, dist,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist DESC, vec_id ASC) AS rk
+  FROM d
+)
+SELECT label, CAST(vec_id AS BIGINT) AS vec_id, CAST(rk AS INT) AS rank,
+       {_grid6('dist')} AS dist
+FROM r WHERE rk <= {per_label}
+ORDER BY label, rk
+""".strip()

@@ -160,3 +160,51 @@ FROM (
   FROM scored
 ) t WHERE rank <= {k}
 """.strip()
+
+
+def ivf_recall_sql(
+    dialect: str,
+    k: int = 10,
+    n_queries: int = 5,
+    cents_source: str | None = None,
+    assign_source: str | None = None,
+) -> str:
+    """Recall@k audit of the IVF path against the exact-kNN oracle,
+    computed ENTIRELY in-engine — the reference's quality-gate pattern
+    (clients/python/stress_test_recall.py measures approximate recall
+    against brute force and asserts a floor) promoted from a test to a
+    first-class distributed query: at 100 TB the audit samples a query
+    batch, the exact branch is one broadcast scan over the corpus, the
+    approximate branch serves from the persisted index, and the hit
+    join + per-query agg shuffle n_queries*k ids — the corpus never
+    crosses twice. Both branches rank on the same index-order distance
+    fold, so the hit sets are deterministic across engines; hits and
+    recall_pct are integers (exactly associative, hash-stable).
+    tests/test_ann_recall.py keeps the asserted floors; this query is
+    the MEASUREMENT a data pipeline schedules after each index build."""
+    from kektordb_spark.operators.knn import knn_exact_oracle_sql
+
+    ex = knn_exact_oracle_sql(
+        dialect, "cosine", k, f"vec_id < {n_queries}", "TRUE")
+    iv = ivf_knn_sql(dialect, n_queries=n_queries, k=k,
+                     cents_source=cents_source, assign_source=assign_source)
+    return f"""
+WITH ex AS (SELECT * FROM (
+{ex}
+) _ex),
+iv AS (SELECT * FROM (
+{iv}
+) _iv),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM ex e JOIN iv
+    ON iv.query_id = e.query_id AND iv.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST(coalesce(h.n_hits, 0) AS INT) AS hits,
+       CAST(coalesce(h.n_hits, 0) * 100 / {k} AS INT) AS recall_pct
+FROM emb q LEFT JOIN hits h ON h.query_id = q.vec_id
+WHERE q.vec_id < {n_queries}
+ORDER BY q.vec_id
+""".strip()

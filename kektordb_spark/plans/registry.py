@@ -289,6 +289,18 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(IVF.ivf_knn_sql(
         "spark", cents_source="ivf_cents", assign_source="ivf_assign"))
 
+@register("ann_recall_audit", with_oracle_ctes(IVF.ivf_recall_sql("duckdb"), ["emb"]))
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF path vs the exact-kNN oracle, in-engine
+    (operators/ivf.py ivf_recall_sql — the reference's
+    stress_test_recall.py quality gate as a first-class query). Spark
+    serves the approximate branch from the persisted index layer; the
+    oracle re-derives train+assign+search end-to-end in one text."""
+    load_tables(spark, sf_dir)
+    return spark.sql(IVF.ivf_recall_sql(
+        "spark", cents_source="ivf_cents", assign_source="ivf_assign"))
+
+
 _INT8_ABSMAX = 0.5  # fixed training absmax (fixture range ±0.5); the
                     # learned path is api.vcompress_int8 (percentile_approx)
 
@@ -2115,11 +2127,11 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.resize_plan(media, max_side=256)
 
 
-from kektordb_spark.operators import analytics as _AN_EARLY  # noqa: E402
+from kektordb_spark.operators import analytics as AN  # noqa: E402
 
 
 @register("streaming_distinct_sketch",
-          with_oracle_ctes(_AN_EARLY.kmv_est_sql("duckdb"), []))
+          with_oracle_ctes(AN.kmv_est_sql("duckdb"), []))
 def streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming cardinality: the KMV distinct sketch maintained as
     keyed state across micro-batches (streaming/events.py
@@ -2463,7 +2475,6 @@ register_sql("dedup_paragraph", DD.paragraph_dedup_sql, ["docs_tok"])
 register_sql("dedup_substring_windows", DD.substring_windows_sql, ["docs_tok"])
 register_sql("pipeline_length_histogram", PL.length_histogram_sql, ["docs_tok"])
 
-from kektordb_spark.operators import analytics as AN  # noqa: E402
 from kektordb_spark.operators import components as CC  # noqa: E402
 
 
@@ -2477,6 +2488,34 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolves components with a recursive reachability closure."""
     load_tables(spark, sf_dir)
     return CC.components_df(spark)
+
+from kektordb_spark.operators import kcore as KC  # noqa: E402
+
+
+@register("graph_kcore", with_oracle_ctes(KC.kcore_oracle_sql(), []))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the support-thresholded co-purchase graph: synchronous
+    degree peeling to an ASSERTED fixpoint with per-round checkpoints
+    (operators/kcore.py — the cohesion companion to the triangle/
+    components/pagerank family); the oracle unrolls the peel, which is
+    idempotent past the fixpoint. The Spark side serves round 0 from
+    the persisted weighted-pair index (``copurch_w``) instead of
+    re-running the lineitem self-join."""
+    load_tables(spark, sf_dir)
+    return KC.kcore(spark, weighted_source="copurch_w")
+
+
+@register("embedding_outliers",
+          with_oracle_ctes(AN.embedding_outliers_sql("duckdb"), ["emb"]))
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label farthest-from-centroid embedding audit
+    (analytics.embedding_outliers_sql) — Spark serves the centroids
+    from the persisted ``label_cents`` relation; the oracle re-derives
+    them end-to-end."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        AN.embedding_outliers_sql("spark", cent_source="label_cents"))
+
 
 @register("sketch_distinct_kmv", with_oracle_ctes(AN.kmv_distinct_sql("duckdb"), []))
 def sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2700,6 +2739,9 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_length_histogram",
     "graph_connected_components",
     "streaming_distinct_sketch",
+    "graph_kcore",
+    "ann_recall_audit",
+    "embedding_outliers",
     # r5-touched operators (KMV de-exploded, triangle runner, grid fixes)
     "sketch_distinct_kmv",
     "graph_triangle_count",

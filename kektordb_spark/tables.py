@@ -494,8 +494,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     # expresses. The oracle still derives everything from lineitem in
     # one SQL text.
     from kektordb_spark.operators import analytics as _AN
+    from kektordb_spark.operators.kcore import copurch_weighted_sql
 
-    _mat("copurch_e", spark.sql(_AN.triangle_edges_sql("spark")))
+    _mat("copurch_w", spark.sql(copurch_weighted_sql()))
+    _mat("copurch_e", spark.table("copurch_w").select("pa", "pb"))
+    # Per-label centroids (#labels rows) — the outlier audit's serve
+    # side (analytics.embedding_outliers_sql), same build/serve split
+    # and 1e-12 re-sync as ivf_cents.
+    from kektordb_spark.operators.ivf import _mean_cte as _ivf_mean_cte
+
+    _mat("label_cents", spark.sql(
+        "WITH " + _ivf_mean_cte("spark", "emb", "lc", cid="label")
+        + "\nSELECT label, v FROM lc"
+    ))
     _mat("copurch_o", spark.sql(
         "WITH deg AS (\n" + _AN.triangle_deg_sql("copurch_e") + "\n)\n"
         + _AN.triangle_oriented_sql("copurch_e", "deg")

@@ -43,6 +43,27 @@ def test_pricing_summary_single_exchange_pushdown_pruning(spark):
     assert "partial_sum" in plan
 
 
+def test_kcore_peel_round_equi_joins_over_persisted_pairs(spark):
+    """r5: one k-core peel round is equi-joins / hash-aggs only over
+    the persisted weighted-pair index — no cartesian, no lineitem
+    re-scan in the round plan (round 0 filters copurch_w; every later
+    round reads the previous round's checkpoint)."""
+    from kektordb_spark.operators import kcore as KC
+    from kektordb_spark.tables import load_tables
+
+    load_tables(spark, SF_SMALL)
+    e0 = spark.sql(KC.kcore_edges_sql(weighted_source="copurch_w"))
+    e0.createOrReplaceTempView("_kcp_e")
+    df = spark.sql(KC.kcore_peel_sql(
+        "_kcp_e", f"({KC.kcore_keep_sql('_kcp_e')})"))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "l_orderkey" not in plan  # served from the index, not lineitem
+    assert "partial_count" in plan  # map-side partial degree agg
+
+
 def test_topk_orders_broadcast_and_topk_pushdown(spark):
     plan = plan_of(spark, "rel_topk_orders")
     # dimension join is broadcast, never a shuffle join
