@@ -208,3 +208,41 @@ FROM emb q LEFT JOIN hits h ON h.query_id = q.vec_id
 WHERE q.vec_id < {n_queries}
 ORDER BY q.vec_id
 """.strip()
+
+
+def ivf_balance_sql(
+    dialect: str,
+    nlist: int = 8,
+    assign_source: str | None = None,
+) -> str:
+    """Cell-balance audit of the IVF index: per-cell vector count and
+    load factor (count / ideal-uniform-count) — the recall audit's
+    companion (ivf_recall_sql measures quality, this measures the SKEW
+    that sets ANN tail latency and per-cell GEMM cost at 100 TB: a
+    cell at load 4.0 is a probe that scans 4x the uniform share; the
+    SemDeDup mega-cell re-cluster threshold is the same signal).
+
+    Spark serves from the persisted assignment (one #cells-row agg
+    over the index relation, shuffle carries cell ids); the oracle
+    re-derives train+assign end-to-end. The load factor is
+    integer*integer/integer on the tie-free 1e-6 floor grid —
+    hash-stable by construction."""
+    from kektordb_spark.functions.textquality import _grid6
+
+    if assign_source is None:
+        parts, cents = _train_parts(dialect, nlist, iters=2)
+        parts.append(_assign_cte(dialect, cents, "inv"))
+        assign = "(SELECT vec_id, cid FROM inv)"
+        pre = "WITH " + ",\n".join(parts) + ",\n"
+    else:
+        assign = assign_source
+        pre = "WITH "
+    lf = _grid6(f"n * {nlist} * 1.0 / sum(n) OVER ()")
+    return f"""{pre}a AS (
+  SELECT cid, count(*) AS n FROM {assign} x GROUP BY cid
+)
+SELECT CAST(cid AS INT) AS cid, CAST(n AS BIGINT) AS n_vectors,
+       {lf} AS load_factor
+FROM a
+ORDER BY cid
+""".strip()

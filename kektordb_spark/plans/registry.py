@@ -301,6 +301,16 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark", cents_source="ivf_cents", assign_source="ivf_assign"))
 
 
+@register("ann_cell_balance", with_oracle_ctes(IVF.ivf_balance_sql("duckdb"), ["emb"]))
+def ann_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance audit (operators/ivf.py ivf_balance_sql):
+    per-cell counts + load factor from the persisted assignment — the
+    skew signal that sets ANN tail latency; the oracle re-derives
+    train+assign end-to-end."""
+    load_tables(spark, sf_dir)
+    return spark.sql(IVF.ivf_balance_sql("spark", assign_source="ivf_assign"))
+
+
 _INT8_ABSMAX = 0.5  # fixed training absmax (fixture range ±0.5); the
                     # learned path is api.vcompress_int8 (percentile_approx)
 
@@ -2742,6 +2752,7 @@ _DRIVER_WINDOW_FIRST = [
     "graph_kcore",
     "ann_recall_audit",
     "embedding_outliers",
+    "ann_cell_balance",
     # r5-touched operators (KMV de-exploded, triangle runner, grid fixes)
     "sketch_distinct_kmv",
     "graph_triangle_count",

@@ -197,26 +197,30 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 def distinct_sketch_stream(events: DataFrame) -> DataFrame:
     """Streaming KMV distinct-count sketch: the batch estimator
     (operators/analytics.kmv_est_sql — K minima of seeded hash slices)
-    maintained as KEYED STATE per event type across micro-batches via
-    ``applyInPandasWithState``. This is the canonical streaming
-    cardinality pattern: state per key is K BIGINTs FOREVER (never a
-    user set), each trigger folds the batch's minima into the state
-    (min is commutative/associative, so chunking cannot change the
-    result) and emits the current estimate.
+    maintained as keyed state per event type across micro-batches by
+    Spark's BUILT-IN streaming min aggregate in update mode. State per
+    key is K fixed-width hex slices FOREVER (never a user set); min is
+    commutative/associative, so chunking cannot change the result.
 
-    The per-row hash slices are computed JVM-side in the scan
-    projection (same md5/substr/conv expressions as the batch SQL);
-    the Python side only takes vectorized column minima and applies the
-    ESTIMATOR with the identical IEEE op order as the SQL text
-    (64/(S/SCALE) - 1 + 0.5, floored) — so the FINAL emission per key
-    is bit-equal to the batch relation, which is the oracle
-    (kmv_est_sql('duckdb')). Estimates are monotone non-decreasing
-    (minima only fall), so "final" = max per key."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    The whole pipeline stays JVM-side: hash slices in the scan
+    projection, MAP-SIDE partial minima before the state store, the
+    estimator as a stateless projection on each emission — the same
+    md5/substr/string-min/conv expressions as the batch SQL text, so
+    the FINAL emission per key is bit-equal to the batch relation,
+    which is the oracle (kmv_est_sql('duckdb')). The first version
+    folded minima in ``applyInPandasWithState``; correct, but every
+    trigger shipped all rows x K hash columns through Arrow into
+    Python and state-committed with no map-side combine — measured
+    ~5 s of pure transfer at sf0.1 that the built-in agg simply does
+    not pay (7.6 s -> ~2 s; streaming_stateful_totals remains the
+    custom-stateful-operator demonstration, where per-key logic
+    genuinely isn't expressible as a built-in aggregate). Estimates
+    are monotone non-decreasing (minima only fall), so "final" = max
+    per key."""
+    from pyspark.sql import functions as F
 
     from kektordb_spark.operators.analytics import (
-        KMV_K, _KMV_HEX, _KMV_SCALE)
+        KMV_K, _KMV_HEX, _KMV_SCALE, _hex_slice_int)
 
     uid = "CAST(user_id AS STRING)"
     cols = []
@@ -224,33 +228,27 @@ def distinct_sketch_stream(events: DataFrame) -> DataFrame:
         d = f"md5(concat({uid}, ':', '{s}'))"
         for j in range(2):
             cols.append(
-                f"CAST(conv(substr({d}, {1 + _KMV_HEX * j}, {_KMV_HEX}), 16, 10)"
-                f" AS BIGINT) AS h{len(cols)}")
-    hashed = events.selectExpr("event_type", *cols)
-    hcols = [f"h{i}" for i in range(KMV_K)]
-    state_struct = ", ".join(f"m{i} bigint" for i in range(KMV_K))
-
-    def update(key, pdfs, state: GroupState):
-        mins = list(state.get) if state.exists else [_KMV_SCALE] * KMV_K
-        for pdf in pdfs:
-            if len(pdf):
-                batch_mins = pdf[hcols].min()
-                mins = [min(int(m), int(b)) for m, b in zip(mins, batch_mins)]
-        state.update(tuple(mins))
-        s = float(sum(mins))
-        import math
-        est = int(math.floor(KMV_K / (s / float(_KMV_SCALE)) - 1 + 0.5))
-        yield pd.DataFrame({"event_type": [key[0]], "est_distinct": [est]})
-
-    return (
-        hashed.groupBy("event_type")
-        .applyInPandasWithState(
-            update,
-            outputStructType="event_type string, est_distinct bigint",
-            stateStructType=state_struct,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+                f"substr({d}, {1 + _KMV_HEX * j}, {_KMV_HEX})"
+                f" AS s{len(cols)}")
+    # Parallelism guard, streaming analog of sketch_distinct_kmv's
+    # (registry): each micro-batch is ONE file here
+    # (maxFilesPerTrigger=1), so the K/2-md5-per-row projection would
+    # run on one core; repartitioning the two NEEDED columns before
+    # hashing is a ~1 MB shuffle at sf0.1. At real scale a trigger's
+    # files already split across executors — drop the repartition
+    # there (it would shuffle the full 2-column stream).
+    src = events.select("event_type", "user_id").repartition(
+        events.sparkSession.sparkContext.defaultParallelism)
+    hashed = src.selectExpr("event_type", *cols)
+    mins = hashed.groupBy("event_type").agg(
+        *[F.expr(f"min(s{i})").alias(f"m{i}") for i in range(KMV_K)])
+    sum_mins = " + ".join(
+        _hex_slice_int("spark", f"m{i}", 1, _KMV_HEX)
+        for i in range(KMV_K))
+    return mins.selectExpr(
+        "event_type",
+        f"CAST(floor({KMV_K} / (({sum_mins}) / {_KMV_SCALE}.0) - 1 + 0.5) "
+        "AS BIGINT) AS est_distinct",
     )
 
 

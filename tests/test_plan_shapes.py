@@ -64,6 +64,38 @@ def test_kcore_peel_round_equi_joins_over_persisted_pairs(spark):
     assert "partial_count" in plan  # map-side partial degree agg
 
 
+def test_ann_recall_audit_serves_from_persisted_index(spark):
+    """r5: the approximate branch reads the persisted IVF layer — no
+    Lloyd-iteration re-train (posexplode of the centroid-mean chain)
+    in the query plan; hit counting is equi-joins, the only nested-loop
+    broadcast is the exact branch's query-batch x corpus scan."""
+    plan = plan_of(spark, "ann_recall_audit")
+    assert "CartesianProduct" not in plan
+    assert "posexplode" not in plan.lower()  # no centroid re-train
+    assert "partial_count" in plan  # map-side hit-count agg
+
+
+def test_embedding_outliers_broadcast_centroids_one_window(spark):
+    """r5: label centroids come from the persisted #labels-row relation
+    (broadcast join side, no per-query posexplode re-derivation); the
+    only wide op is the per-label rank window."""
+    plan = plan_of(spark, "embedding_outliers")
+    assert "CartesianProduct" not in plan
+    assert "posexplode" not in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    assert "row_number" in plan
+
+
+def test_ann_cell_balance_one_agg_over_index(spark):
+    """r5: one #cells-row hash-agg over the persisted assignment —
+    no join back to vectors, no re-train."""
+    plan = plan_of(spark, "ann_cell_balance")
+    assert "CartesianProduct" not in plan
+    assert "posexplode" not in plan.lower()
+    assert "Join" not in plan  # the audit never touches the vectors
+    assert "partial_count" in plan
+
+
 def test_topk_orders_broadcast_and_topk_pushdown(spark):
     plan = plan_of(spark, "rel_topk_orders")
     # dimension join is broadcast, never a shuffle join
