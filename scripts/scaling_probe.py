@@ -76,6 +76,9 @@ PROBE_QUERIES = [
     "dedup_substring_windows",
     "pipeline_length_histogram",
     "graph_connected_components",
+    "ann_recall_audit",
+    "ann_cell_balance",
+    "embedding_outliers",
 ]
 
 
