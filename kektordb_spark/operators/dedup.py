@@ -924,3 +924,99 @@ FROM cnt
 GROUP BY doc_id
 ORDER BY doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# LSH banding recall/precision audit — the dedup-side quality gate
+# ---------------------------------------------------------------------------
+
+def minhash_recall_audit_sql(
+    dialect: str,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    ex_source: str | None = None,
+    sig_source: str | None = None,
+) -> str:
+    """Candidate-stage recall/precision of the MinHash banding scheme
+    against EXACT shingle-Jaccard ground truth, computed entirely
+    in-engine — the dedup companion of ann_recall_audit (a pipeline
+    runs this after retuning n_hashes/bands/threshold: banding theory
+    says P(candidate | j) = 1-(1-j^r)^b, ~0.94 at j=0.8 for r=3,b=4,
+    so missed true pairs are EXPECTED and the measured rate is the
+    tuning signal; precision measures wasted verification work).
+
+    Ground truth = the exact all-pairs similarity join on the shingle
+    postings (shared-count via ONE posting equi-join, |A∪B| by
+    inclusion-exclusion — never doc x doc; cost is bounded by shingle
+    posting-list skew, the same bound the LSH verification step
+    already accepts; at 100 TB the audit runs on a sampled partition
+    of docs, the formula is unchanged). Candidates and truth meet in
+    ONE full-outer join and ONE count aggregate, so each subtree is
+    consumed exactly once — no CTE re-execution on the inlining
+    engine; the Spark runner serves postings/signatures from the
+    persisted index (mh_ex / mh_sig). Counts are integers; the two
+    rates sit on the tie-free floor grid."""
+    from kektordb_spark.functions.textquality import _grid6
+
+    assert n_hashes % bands == 0
+    r = n_hashes // bands
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, concat_ws('_', {cols}) AS bkey FROM sig".format(
+            b=b, cols=", ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    ex_cte = (
+        f"ex AS (\n{minhash_ex_sql(dialect, shingle_n)}\n)"
+        if ex_source is None
+        else f"ex AS (SELECT doc_id, s FROM {ex_source})"
+    )
+    sig_cte = (
+        f"sig AS (\n{minhash_sig_sql(dialect, n_hashes)}\n)"
+        if sig_source is None
+        else f"sig AS (SELECT * FROM {sig_source})"
+    )
+    return f"""
+WITH {ex_cte},
+{sig_cte},
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM ex a JOIN ex b ON b.s = a.s AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT s.id_a, s.id_b
+  FROM shared s
+  JOIN sizes sa ON sa.doc_id = s.id_a
+  JOIN sizes sb ON sb.doc_id = s.id_b
+  WHERE CAST(s.c AS DOUBLE) / (sa.n_sh + sb.n_sh - s.c) >= {threshold}
+),
+labeled AS (
+  SELECT (t.id_a IS NOT NULL) AS is_true, (c.id_a IS NOT NULL) AS is_cand
+  FROM truth t FULL OUTER JOIN cand c
+    ON c.id_a = t.id_a AND c.id_b = t.id_b
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs,
+         CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM labeled
+)
+SELECT n_true_pairs, n_candidates, n_hits,
+       {_grid6('n_hits * 1.0 / nullif(n_true_pairs, 0)')} AS recall,
+       {_grid6('n_hits * 1.0 / nullif(n_candidates, 0)')} AS precision
+FROM agg
+""".strip()

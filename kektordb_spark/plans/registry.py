@@ -1471,6 +1471,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.minhash_lsh_sql("spark", ex_source="mh_ex", sig_source="mh_sig"))
 
 
+@register("dedup_lsh_recall_audit",
+          with_oracle_ctes(DD.minhash_recall_audit_sql("duckdb"), ["docs_tok"]))
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-stage recall/precision of the MinHash banding scheme
+    vs exact shingle-Jaccard ground truth (operators/dedup.py
+    minhash_recall_audit_sql) — the dedup companion of
+    ann_recall_audit; Spark serves postings/signatures from the
+    persisted index."""
+    load_tables(spark, sf_dir)
+    return spark.sql(DD.minhash_recall_audit_sql(
+        "spark", ex_source="mh_ex", sig_source="mh_sig"))
+
+
 @register("dedup_minhash_clusters",
           with_oracle_ctes(DD.minhash_clusters_sql("duckdb"), ["docs_tok"]))
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2753,6 +2766,7 @@ _DRIVER_WINDOW_FIRST = [
     "ann_recall_audit",
     "embedding_outliers",
     "ann_cell_balance",
+    "dedup_lsh_recall_audit",
     # r5-touched operators (KMV de-exploded, triangle runner, grid fixes)
     "sketch_distinct_kmv",
     "graph_triangle_count",
