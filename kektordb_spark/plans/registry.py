@@ -2172,6 +2172,27 @@ def streaming_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("est_distinct").alias("est_distinct"))
 
 
+@register("streaming_heavy_hitters", ST.heavy_hitters_oracle_sql("duckdb"))
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-type heavy hitters: Misra-Gries summary as keyed
+    state (streaming/events.py heavy_hitters_stream — the frequency
+    companion of the KMV sketch; exact at test scales, n/capacity
+    error bound beyond). Final state's emission (max trigger seq per
+    key) equals the batch top-k relation, the oracle."""
+    load_tables(spark, sf_dir)
+    stream = ST.read_event_stream(spark, f"{sf_dir}/events.parquet")
+    em = ST.run_to_memory(
+        spark, ST.heavy_hitters_stream(stream), "heavy_hitters",
+        output_mode="update",
+    )
+    em.createOrReplaceTempView("_hh_em")
+    return spark.sql("""
+SELECT event_type, user_id, cnt, rank
+FROM (SELECT *, max(trig) OVER (PARTITION BY event_type) AS mt FROM _hh_em) t
+WHERE trig = mt
+""".strip())
+
+
 @register("streaming_windowed_counts", ST.windowed_counts_oracle_sql("duckdb"))
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST1 + tumbling windows: file-source stream -> watermark ->
@@ -2767,6 +2788,7 @@ _DRIVER_WINDOW_FIRST = [
     "embedding_outliers",
     "ann_cell_balance",
     "dedup_lsh_recall_audit",
+    "streaming_heavy_hitters",
     # r5-touched operators (KMV de-exploded, triangle runner, grid fixes)
     "sketch_distinct_kmv",
     "graph_triangle_count",

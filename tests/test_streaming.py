@@ -134,3 +134,80 @@ def test_distinct_sketch_stream_equals_batch_and_chunking_invariant(
     assert final == want and len(final) >= 3
     # multiple triggers actually happened (update-mode re-emissions)
     assert emissions.count() > len(final)
+
+
+def test_heavy_hitters_stream_equals_batch_and_chunking_invariant(
+        spark, batch_events, tmp_path):
+    """Final MG emission == exact batch top-k (capacity >= distinct
+    users at fixture scale => no eviction), invariant to micro-batch
+    chunking (4-file landing zone, one file per trigger)."""
+    d = str(tmp_path / "hh_chunks")
+    batch_events.repartition(4).write.mode("overwrite").parquet(d)
+
+    stream = ST.read_event_stream(spark, d)
+    q = (
+        ST.heavy_hitters_stream(stream)
+        .writeStream.format("memory").queryName("hh")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    em = spark.table("hh")
+    em.createOrReplaceTempView("_hh_t")
+    final = {
+        tuple(r) for r in spark.sql(
+            "SELECT event_type, user_id, cnt, rank FROM "
+            "(SELECT *, max(trig) OVER (PARTITION BY event_type) mt "
+            "FROM _hh_t) t WHERE trig = mt").collect()
+    }
+    batch_events.createOrReplaceTempView("_hh_events")
+    want = {
+        tuple(r) for r in spark.sql(
+            ST.heavy_hitters_oracle_sql("spark", source="_hh_events")
+        ).collect()
+    }
+    assert final == want and len(final) >= 3 * ST.MG_TOP_K
+    # multiple triggers actually happened
+    assert em.agg(F.max("trig")).collect()[0][0] > 1
+
+
+def test_heavy_hitters_eviction_keeps_mg_guarantee(spark, batch_events):
+    """Capacity FAR below the distinct-user count forces eviction:
+    Misra-Gries guarantees (a) every user with true count > n/capacity
+    survives in the summary and (b) surviving counts underestimate by
+    at most n/capacity. Checked per event type on the real fixture."""
+    import collections
+
+    rows = batch_events.select("event_type", "user_id").collect()
+    by_type = collections.defaultdict(collections.Counter)
+    for r in rows:
+        by_type[r.event_type][r.user_id] += 1
+
+    cap = 8
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        batch_events.write.mode("overwrite").parquet(d + "/ev")
+        stream = ST.read_event_stream(spark, d + "/ev")
+        q = (
+            ST.heavy_hitters_stream(stream, capacity=cap, top_k=cap)
+            .writeStream.format("memory").queryName("hh_evict")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        em = spark.table("hh_evict")
+        em.createOrReplaceTempView("_hh_e")
+        final = spark.sql(
+            "SELECT event_type, user_id, cnt FROM "
+            "(SELECT *, max(trig) OVER (PARTITION BY event_type) mt "
+            "FROM _hh_e) t WHERE trig = mt").collect()
+    summary = collections.defaultdict(dict)
+    for r in final:
+        summary[r.event_type][r.user_id] = r.cnt
+    for et, true_counts in by_type.items():
+        n = sum(true_counts.values())
+        bound = n / cap
+        for u, c in true_counts.items():
+            if c > bound:
+                assert u in summary[et], (et, u, c, bound)
+        for u, c in summary[et].items():
+            assert c <= true_counts[u]
+            assert c >= true_counts[u] - bound
