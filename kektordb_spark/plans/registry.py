@@ -289,6 +289,20 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(IVF.ivf_knn_sql(
         "spark", cents_source="ivf_cents", assign_source="ivf_assign"))
 
+from kektordb_spark.operators import nsw as NSW  # noqa: E402
+
+
+@register("knn_nsw_top10", with_oracle_ctes(NSW.nsw_oracle_sql("duckdb"), ["emb"]))
+def knn_nsw_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN (V8's batch analog, operators/nsw.py): beam
+    search over the persisted navigable k-NN graph (``nng``, built by
+    one tiled-GEMM pass at load). The oracle unrolls build + beam
+    rounds in one MATERIALIZED-CTE text; recall vs exact is gated in
+    tests/test_ann_recall.py."""
+    load_tables(spark, sf_dir)
+    return NSW.nsw_search(spark, adj_source="nng")
+
+
 @register("ann_recall_audit", with_oracle_ctes(IVF.ivf_recall_sql("duckdb"), ["emb"]))
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF path vs the exact-kNN oracle, in-engine
@@ -2789,6 +2803,7 @@ _DRIVER_WINDOW_FIRST = [
     "ann_cell_balance",
     "dedup_lsh_recall_audit",
     "streaming_heavy_hitters",
+    "knn_nsw_top10",
     # r5-touched operators (KMV de-exploded, triangle runner, grid fixes)
     "sketch_distinct_kmv",
     "graph_triangle_count",

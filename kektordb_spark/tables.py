@@ -507,6 +507,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "WITH " + _ivf_mean_cte("spark", "emb", "lc", cid="label")
         + "\nSELECT label, v FROM lc"
     ))
+    # Navigable k-NN graph (V8's batch analog, operators/nsw.py): one
+    # exact tiled-GEMM all-pairs top-M pass at build time; the beam
+    # serve path reads only this adjacency + the vector join.
+    from kektordb_spark.operators import blockgemm as _BG
+    from kektordb_spark.operators.nsw import NSW_M
+
+    _mat("nng", _BG.knn_all(spark, k=NSW_M).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")))
     _mat("copurch_o", spark.sql(
         "WITH deg AS (\n" + _AN.triangle_deg_sql("copurch_e") + "\n)\n"
         + _AN.triangle_oriented_sql("copurch_e", "deg")

@@ -112,3 +112,52 @@ def test_ivfpq_recall(spark, exact):
     approx = registry._registry["ivfpq_knn"][0](spark, SF_SMALL).collect()
     r = _recall(approx, exact_l2)
     assert r >= 0.25, f"IVF-PQ recall@{K} too low: {r:.3f}"
+
+
+def test_nsw_recall(spark):
+    """Beam search over the persisted k-NN graph (operators/nsw.py):
+    recall@10 vs exact for the registered query batch (vec_id < 5,
+    whole corpus incl self — the ivf_knn convention; the NSW answer
+    excludes self so the exact side here does too)."""
+    from kektordb_spark.operators import nsw as NSW
+
+    load_tables(spark, SF_SMALL)
+    emb = spark.table("emb")
+    q = emb.where(F.col("vec_id") < NSW.NSW_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    exact_rows = KNN.knn_exact(
+        emb, q, k=NSW.NSW_K, metric="cosine", id_col="vec_id",
+        vec_col="v", norm_col="norm",
+    ).where(F.col("vec_id") != F.col("query_id")).collect()
+    approx = NSW.nsw_search(spark).collect()
+    r = _recall(approx, exact_rows)
+    assert r >= NSW.NSW_RECALL_FLOOR, f"NSW recall@{NSW.NSW_K}: {r:.3f}"
+
+
+def test_nng_gemm_equals_sql(spark):
+    """The persisted adjacency (tiled-GEMM top-M, tables.load_tables
+    'nng') must be row-identical to the SQL derivation the oracle
+    unrolls — both rank by (round(dist,6), neighbor id)."""
+    from kektordb_spark.operators import nsw as NSW
+
+    load_tables(spark, SF_SMALL)
+    gemm = {(r.src, r.dst) for r in spark.table("nng").collect()}
+    sql = {(r.src, r.dst)
+           for r in spark.sql(NSW.nng_build_sql("spark")).collect()}
+    assert gemm == sql and len(gemm) > 0
+
+
+def test_nsw_early_exit_on_exhausted_graph(spark):
+    """A hop that discovers nothing new must end the loop, not run the
+    remaining rounds: with hops far above the graph's reach the result
+    equals the full-unroll oracle (idempotence past exhaustion)."""
+    from kektordb_spark.operators import nsw as NSW
+
+    load_tables(spark, SF_SMALL)
+    a = {(r.query_id, r.neighbor_id, r.rank)
+         for r in NSW.nsw_search(spark, hops=NSW.NSW_HOPS).collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank)
+         for r in NSW.nsw_search(spark, hops=NSW.NSW_HOPS + 20).collect()}
+    assert a == b
