@@ -79,6 +79,8 @@ PROBE_QUERIES = [
     "ann_recall_audit",
     "ann_cell_balance",
     "embedding_outliers",
+    "knn_nsw_top10",
+    "dedup_lsh_recall_audit",
 ]
 
 
