@@ -2548,6 +2548,9 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CC.components_df(spark)
 
 from kektordb_spark.operators import kcore as KC  # noqa: E402
+from kektordb_spark.operators import rangejoin as RJ  # noqa: E402
+
+register_sql("events_session_concurrency", RJ.session_concurrency_sql, [])
 
 
 @register("graph_kcore", with_oracle_ctes(KC.kcore_oracle_sql(), []))
@@ -2804,6 +2807,7 @@ _DRIVER_WINDOW_FIRST = [
     "dedup_lsh_recall_audit",
     "streaming_heavy_hitters",
     "knn_nsw_top10",
+    "events_session_concurrency",
     # r5-touched operators (KMV de-exploded, triangle runner, grid fixes)
     "sketch_distinct_kmv",
     "graph_triangle_count",

@@ -551,8 +551,11 @@ GROUP BY ({ep} {div} {window_s}) * {window_s}, user_id, event_type
 def session_windows_oracle_sql(dialect: str, gap_us: int = 1800000000) -> str:
     """Session-window oracle: gaps-and-islands (lag + cumulative sum of
     session breaks) — the classic SQL equivalent of session_window()."""
+    # CAST(ts AS TIMESTAMP): the base parquet loads as TIMESTAMP_NTZ,
+    # which unix_micros rejects; under the UTC session the cast is an
+    # exact reinterpretation (and the identity on TIMESTAMP inputs).
     if dialect == "spark":
-        us = "unix_micros(ts)"
+        us = "unix_micros(CAST(ts AS TIMESTAMP))"
     else:
         us = "epoch_us(ts)"
     return f"""

@@ -64,6 +64,24 @@ def test_kcore_peel_round_equi_joins_over_persisted_pairs(spark):
     assert "partial_count" in plan  # map-side partial degree agg
 
 
+def test_range_join_is_bucketized_equi_join(spark):
+    """r5: the session-concurrency interval join must plan as a hash
+    equi-join on the time bucket with the exact containment predicate
+    as a post-condition — never the nested-loop plan the raw range
+    predicate would produce."""
+    from kektordb_spark.operators import rangejoin as RJ
+    from kektordb_spark.tables import load_tables
+
+    load_tables(spark, SF_SMALL)
+    df = spark.sql(RJ.session_concurrency_sql("spark"))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan \
+        or "ShuffledHashJoin" in plan
+
+
 def test_nsw_hop_equi_joins_over_persisted_graph(spark):
     """r5: one beam-search hop is equi-joins + one rank window over the
     persisted adjacency — no cartesian, no all-pairs GEMM re-run
