@@ -246,3 +246,80 @@ SELECT CAST(cid AS INT) AS cid, CAST(n AS BIGINT) AS n_vectors,
 FROM a
 ORDER BY cid
 """.strip()
+
+
+def ivf_merge_sql(
+    dialect: str,
+    nlist: int = 8,
+    new_mod: int = 10,
+    new_rem: int = 7,
+    cents_source: str | None = None,
+    assign_source: str | None = None,
+) -> str:
+    """Incremental index maintenance — the ANN analog of the re-crawl
+    dedup shape (dedup.minhash_incremental_sql): a NEW vector batch
+    (here: vec_id % new_mod = new_rem, the repo's standard derived
+    batch — the fixture has no natural arrival stream) is merged into
+    the EXISTING IVF index by assigning it to the CURRENT centroids —
+    one broadcast join over nlist rows per batch vector, never a
+    re-train and never a corpus rescan (the reference inserts into
+    HNSW online for the same reason: arrival cost must be O(batch)).
+
+    Output is the post-merge cell report: existing count, batch count,
+    and the load factor after the merge — the drift signal that,
+    together with ann_cell_balance / ann_recall_audit, tells the
+    pipeline when a scheduled re-train IS warranted (mega-cells
+    forming = the coarse quantizer no longer fits the distribution).
+    Integer counts + the tie-free floor-grid ratio: hash-stable.
+
+    Spark serves centroids AND the existing assignment from the
+    persisted layer and computes ONLY the batch assignment fresh; the
+    oracle re-derives train + both assignments end-to-end."""
+    from kektordb_spark.functions.textquality import _grid6
+
+    if cents_source is None:
+        parts, cents = _train_parts(dialect, nlist, iters=2)
+        parts.append(f"tc AS (SELECT cid, v FROM {cents})")
+    else:
+        parts = [f"tc AS (SELECT cid, v FROM {cents_source})"]
+    if assign_source is None:
+        parts.append(_assign_cte(dialect, "tc", "oldinv"))
+        old = "(SELECT vec_id, cid FROM oldinv)"
+    else:
+        old = assign_source
+    # batch = the new arrivals, assigned against the CURRENT centroids
+    parts.append(f"""newv AS (
+  SELECT vec_id, v, norm FROM emb
+  WHERE vec_id % {new_mod} = {new_rem}
+)""")
+    d = l2sq_sql(dialect, "e.v", "c.v")
+    parts.append(f"""newasg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d} ASC, c.cid ASC) AS rk
+    FROM newv e CROSS JOIN tc c
+  ) t WHERE rk = 1
+)""")
+    lf = _grid6(
+        f"(n_existing + n_batch) * {nlist} * 1.0 "
+        "/ sum(n_existing + n_batch) OVER ()")
+    body = ",\n".join(parts)
+    return f"""WITH {body},
+rep AS (
+  SELECT cid,
+         count(CASE WHEN src = 0 THEN 1 END) AS n_existing,
+         count(CASE WHEN src = 1 THEN 1 END) AS n_batch
+  FROM (
+    SELECT cid, 0 AS src FROM {old} o
+    UNION ALL
+    SELECT cid, 1 AS src FROM newasg
+  ) u GROUP BY cid
+)
+SELECT CAST(cid AS INT) AS cid,
+       CAST(n_existing AS BIGINT) AS n_existing,
+       CAST(n_batch AS BIGINT) AS n_batch,
+       {lf} AS load_after
+FROM rep
+ORDER BY cid
+""".strip()

@@ -325,6 +325,18 @@ def ann_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(IVF.ivf_balance_sql("spark", assign_source="ivf_assign"))
 
 
+@register("ann_index_merge", with_oracle_ctes(IVF.ivf_merge_sql("duckdb"), ["emb"]))
+def ann_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance (operators/ivf.py ivf_merge_sql —
+    the ANN analog of dedup_incremental's re-crawl shape): a new batch
+    is assigned to the CURRENT centroids, O(batch) per arrival, never
+    a re-train; output is the post-merge cell drift report. Spark
+    serves centroids + existing assignment from the persisted layer."""
+    load_tables(spark, sf_dir)
+    return spark.sql(IVF.ivf_merge_sql(
+        "spark", cents_source="ivf_cents", assign_source="ivf_assign"))
+
+
 _INT8_ABSMAX = 0.5  # fixed training absmax (fixture range ±0.5); the
                     # learned path is api.vcompress_int8 (percentile_approx)
 
@@ -2808,6 +2820,7 @@ _DRIVER_WINDOW_FIRST = [
     "streaming_heavy_hitters",
     "knn_nsw_top10",
     "events_session_concurrency",
+    "ann_index_merge",
     # r5-touched operators (KMV de-exploded, triangle runner, grid fixes)
     "sketch_distinct_kmv",
     "graph_triangle_count",

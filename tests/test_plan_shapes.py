@@ -128,6 +128,17 @@ def test_embedding_outliers_broadcast_centroids_one_window(spark):
     assert "row_number" in plan
 
 
+def test_ann_index_merge_broadcast_assign_no_retrain(spark):
+    """r5: the batch-merge plan reads the persisted centroids/assignment
+    (no Lloyd re-train: posexplode absent) and assigns the batch via a
+    broadcast nested-loop over the nlist-row centroid relation — the
+    only corpus-sized work is the batch scan + one count agg."""
+    plan = plan_of(spark, "ann_index_merge")
+    assert "posexplode" not in plan.lower()  # no centroid re-train
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
 def test_ann_cell_balance_one_agg_over_index(spark):
     """r5: one #cells-row hash-agg over the persisted assignment —
     no join back to vectors, no re-train."""
