@@ -83,14 +83,21 @@ SELECT query_id AS src, neighbor_id AS dst FROM (
 """.strip()
 
 
-def nsw_init_sql(dialect: str, n_queries: int = NSW_NQ) -> str:
+def nsw_init_sql(
+    dialect: str,
+    n_queries: int = NSW_NQ,
+    query_pred: str | None = None,
+) -> str:
     """Hop-0 visited relation: every query scored against the entry
-    node (global min vec_id — a one-row broadcast subquery)."""
+    node (global min vec_id — a one-row broadcast subquery).
+    ``query_pred`` overrides the default id-prefix batch (used by the
+    ann_graph_merge insert path)."""
     d = _dist(dialect)
+    pred = query_pred if query_pred is not None else f"q.vec_id < {n_queries}"
     return f"""
 SELECT q.vec_id AS query_id, c.vec_id AS node, {d} AS dist
 FROM emb q JOIN emb c ON c.vec_id = (SELECT min(vec_id) FROM emb)
-WHERE q.vec_id < {n_queries}
+WHERE {pred}
 """.strip()
 
 
@@ -127,9 +134,12 @@ SELECT query_id, node FROM (
 """.strip()
 
 
-def nsw_final_sql(visited: str, k: int = NSW_K) -> str:
+def nsw_final_sql(
+    visited: str, k: int = NSW_K, exclude_self: bool = True,
+) -> str:
     """Answer: per-query top-``k`` of everything scored, self excluded
     (display distance on round-6, ranking on the raw fold)."""
+    where = "WHERE node <> query_id" if exclude_self else ""
     return f"""
 SELECT query_id, node AS neighbor_id, CAST(rk AS INT) AS rank,
        round(dist, 6) + 0.0 AS dist
@@ -137,7 +147,7 @@ FROM (
   SELECT query_id, node, dist,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY dist ASC, node ASC) AS rk
-  FROM {visited} WHERE node <> query_id
+  FROM {visited} {where}
 ) t WHERE rk <= {k}
 """.strip()
 
@@ -150,6 +160,8 @@ def nsw_oracle_sql(
     k: int = NSW_K,
     n_queries: int = NSW_NQ,
     adj_source: str | None = None,
+    query_pred: str | None = None,
+    exclude_self: bool = True,
 ) -> str:
     """Single-text unrolled form: graph build + ``hops`` beam rounds +
     final top-k. MATERIALIZED CTEs for the multi-consumer relations
@@ -161,7 +173,8 @@ def nsw_oracle_sql(
            if adj_source is None
            else f"nng AS (SELECT src, dst FROM {adj_source})")
     parts = [adj,
-             f"v0 AS{mat} (\n{nsw_init_sql(dialect, n_queries)}\n)",
+             f"v0 AS{mat} "
+             f"(\n{nsw_init_sql(dialect, n_queries, query_pred)}\n)",
              "f0 AS (SELECT query_id, node FROM v0)"]
     for i in range(hops):
         parts.append(
@@ -174,7 +187,7 @@ def nsw_oracle_sql(
         parts.append(
             f"f{i + 1} AS{mat} (\n{nsw_frontier_sql(f's{i}', beam)}\n)")
     return ("WITH " + ",\n".join(parts) + "\n"
-            + nsw_final_sql(f"v{hops}", k))
+            + nsw_final_sql(f"v{hops}", k, exclude_self))
 
 
 def nsw_search(
@@ -184,12 +197,15 @@ def nsw_search(
     hops: int = NSW_HOPS,
     k: int = NSW_K,
     n_queries: int = NSW_NQ,
+    query_pred: str | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Spark runner: per-hop checkpointed loop over the persisted
     adjacency, early-exit when a hop discovers nothing new."""
     visited_parts = []
-    v = spark.sql(nsw_init_sql("spark", n_queries)).localCheckpoint(
-        eager=True)
+    v = spark.sql(
+        nsw_init_sql("spark", n_queries, query_pred)
+    ).localCheckpoint(eager=True)
     visited_parts.append(v)
     frontier = v.select("query_id", "node")
     for i in range(hops):
@@ -211,4 +227,4 @@ def nsw_search(
     for p in visited_parts[1:]:
         visited = visited.unionAll(p)
     visited.createOrReplaceTempView("_nsw_vf")
-    return spark.sql(nsw_final_sql("_nsw_vf", k))
+    return spark.sql(nsw_final_sql("_nsw_vf", k, exclude_self))

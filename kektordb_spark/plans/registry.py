@@ -303,6 +303,26 @@ def knn_nsw_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NSW.nsw_search(spark, adj_source="nng")
 
 
+_GRAPH_MERGE_PRED = "q.vec_id % 10 = 7"  # the repo's standard derived batch
+
+
+@register("ann_graph_merge",
+          with_oracle_ctes(NSW.nsw_oracle_sql(
+              "duckdb", k=NSW.NSW_M, query_pred=_GRAPH_MERGE_PRED), ["emb"]))
+def ann_graph_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental navigable-graph maintenance — the V8 INSERT path
+    (hnsw_index.go inserts by searching the existing graph for each
+    arrival's neighbors; same algorithm here, batched): the new batch
+    beam-searches the persisted graph and its top-M results ARE its
+    out-edges (rows = (query_id=src, neighbor_id=dst, rank, dist);
+    reverse links are the projection swap). O(batch x hops) equi-join
+    work per arrival wave, never a GEMM rebuild — the rebuild stays a
+    scheduled decision informed by the recall/balance audits."""
+    load_tables(spark, sf_dir)
+    return NSW.nsw_search(spark, adj_source="nng", k=NSW.NSW_M,
+                          query_pred=_GRAPH_MERGE_PRED)
+
+
 @register("ann_recall_audit", with_oracle_ctes(IVF.ivf_recall_sql("duckdb"), ["emb"]))
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF path vs the exact-kNN oracle, in-engine
@@ -2821,6 +2841,7 @@ _DRIVER_WINDOW_FIRST = [
     "knn_nsw_top10",
     "events_session_concurrency",
     "ann_index_merge",
+    "ann_graph_merge",
     # r5-touched operators (KMV de-exploded, triangle runner, grid fixes)
     "sketch_distinct_kmv",
     "graph_triangle_count",

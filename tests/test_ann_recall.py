@@ -161,3 +161,26 @@ def test_nsw_early_exit_on_exhausted_graph(spark):
     b = {(r.query_id, r.neighbor_id, r.rank)
          for r in NSW.nsw_search(spark, hops=NSW.NSW_HOPS + 20).collect()}
     assert a == b
+
+
+def test_graph_merge_links_near_exact_adjacency(spark):
+    """The insert path's beam-searched out-edges should mostly agree
+    with the exact top-M adjacency the full GEMM build would produce
+    for the same nodes (same recall-gate discipline as the serve path;
+    the exact rows for the batch already sit in the persisted nng)."""
+    from kektordb_spark.operators import nsw as NSW
+    from kektordb_spark.plans.registry import _GRAPH_MERGE_PRED
+
+    load_tables(spark, SF_SMALL)
+    got = {}
+    for r in NSW.nsw_search(
+            spark, adj_source="nng", k=NSW.NSW_M,
+            query_pred=_GRAPH_MERGE_PRED).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    exact = {}
+    for r in spark.table("nng").where("src % 10 = 7").collect():
+        exact.setdefault(r.src, set()).add(r.dst)
+    hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert total > 0
+    assert hits / total >= NSW.NSW_RECALL_FLOOR, hits / total
