@@ -139,10 +139,14 @@ m AS (
   FROM t
 )
 SELECT doc_id, n_toks, stopword_ratio, punct_ratio, mean_tok_len,
-       0.25 * (CASE WHEN n_toks BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.0 END)
-       + 0.25 * (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.0 END)
-       + 0.25 * (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
-       + 0.25 * (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+       -- e0 literals force DOUBLE in BOTH dialects: bare 0.25/1.0 parse as
+       -- DECIMAL on Spark AND DuckDB, and a decimal-typed output column hashes
+       -- differently across engines even when every value agrees (r5 red row).
+       -- Quarters are IEEE-exact, so no _grid6 needed.
+       0.25e0 * (CASE WHEN n_toks BETWEEN 5 AND 1000 THEN 1e0 ELSE 0e0 END)
+       + 0.25e0 * (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 1e0 ELSE 0e0 END)
+       + 0.25e0 * (CASE WHEN punct_ratio <= 0.2 THEN 1e0 ELSE 0e0 END)
+       + 0.25e0 * (CASE WHEN mean_tok_len BETWEEN 2.0 AND 12.0 THEN 1e0 ELSE 0e0 END)
          AS quality
 FROM m
 """.strip()

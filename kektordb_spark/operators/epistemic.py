@@ -166,9 +166,11 @@ WITH inc AS (
   GROUP BY dst
 )
 SELECT node, CAST(n_contra AS INT) AS n_contra, CAST(n_inval AS INT) AS n_inval,
-       round(greatest(0.0, 1.0 - ({W_CONTRA} * n_contra + {W_INVAL} * n_inval)), 6) AS friction
+       -- e0 literals: bare 0.0/1.0/weights parse as DECIMAL and make the
+       -- friction column decimal-typed on Spark (schema-guard class)
+       round(greatest(0e0, 1e0 - ({W_CONTRA}e0 * n_contra + {W_INVAL}e0 * n_inval)), 6) AS friction
 FROM inc
-ORDER BY round(greatest(0.0, 1.0 - ({W_CONTRA} * n_contra + {W_INVAL} * n_inval)), 6) ASC,
+ORDER BY round(greatest(0e0, 1e0 - ({W_CONTRA}e0 * n_contra + {W_INVAL}e0 * n_inval)), 6) ASC,
          node ASC
 LIMIT {limit}
 """.strip()

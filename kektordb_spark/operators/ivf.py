@@ -203,7 +203,10 @@ hits AS (
 )
 SELECT q.vec_id AS query_id,
        CAST(coalesce(h.n_hits, 0) AS INT) AS hits,
-       CAST(coalesce(h.n_hits, 0) * 100 / {k} AS INT) AS recall_pct
+       -- floor() before the cast (rule 7b): Spark's double->int cast
+       -- truncates while DuckDB's rounds to nearest, so for k that does
+       -- not divide 100*hits the engines would diverge by 1
+       CAST(floor(coalesce(h.n_hits, 0) * 100e0 / {k}) AS INT) AS recall_pct
 FROM emb q LEFT JOIN hits h ON h.query_id = q.vec_id
 WHERE q.vec_id < {n_queries}
 ORDER BY q.vec_id
@@ -311,7 +314,12 @@ rep AS (
          count(CASE WHEN src = 0 THEN 1 END) AS n_existing,
          count(CASE WHEN src = 1 THEN 1 END) AS n_batch
   FROM (
+    -- anti-filter the simulated batch out of the existing side: the
+    -- batch is derived FROM the corpus (vec_id % mod = rem), so without
+    -- this its vectors would count in BOTH n_existing and n_batch and
+    -- load_after would overstate the merged cell load
     SELECT cid, 0 AS src FROM {old} o
+    WHERE NOT (o.vec_id % {new_mod} = {new_rem})
     UNION ALL
     SELECT cid, 1 AS src FROM newasg
   ) u GROUP BY cid

@@ -55,10 +55,13 @@ MIX_DEFAULT_RATE = 0.1
 
 
 def _rate_case() -> str:
+    # e0 suffix: bare decimal literals parse as DECIMAL in both dialects,
+    # which leaks a DECIMAL-typed output column (target_rate) that hashes
+    # differently across engines — see tests/test_schema_guard.py.
     whens = " ".join(
-        f"WHEN '{l}' THEN {r}" for l, r in sorted(MIX_RATES.items())
+        f"WHEN '{l}' THEN {r}e0" for l, r in sorted(MIX_RATES.items())
     )
-    return f"CASE lang {whens} ELSE {MIX_DEFAULT_RATE} END"
+    return f"CASE lang {whens} ELSE {MIX_DEFAULT_RATE}e0 END"
 
 
 def mix_sample_sql(dialect: str) -> str:

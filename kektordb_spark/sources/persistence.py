@@ -73,8 +73,13 @@ class AofLog:
         self.dir = directory
         os.makedirs(directory, exist_ok=True)
         self.path = os.path.join(directory, _AOF)
-        self._next_seq = 1 + max(
-            (r["seq"] for r in self.records()), default=0)
+        # Truncate any torn/corrupt tail BEFORE accepting writes
+        # (frame.go/lazy_aof semantics): without this, append() would
+        # write after the bad frame and the acknowledged record would be
+        # invisible to every future recovery (records() stops at the
+        # first bad frame).
+        recs = self._truncate_torn_tail()
+        self._next_seq = 1 + max((r["seq"] for r in recs), default=0)
 
     def append(self, op: str, now: int, **payload) -> int:
         """Log one operation; returns its sequence number. The payload
@@ -89,29 +94,53 @@ class AofLog:
         self._next_seq += 1
         return rec["seq"]
 
-    def records(self) -> list[dict]:
-        """All intact records in seq order. Recovery rule (frame.go
-        semantics): a torn / corrupt / out-of-order tail record ends
-        the readable log — everything before it is returned, nothing
-        after (a bad frame means the writer died mid-write; later
-        bytes are not trustworthy)."""
+    def _scan(self) -> tuple[list[dict], int, int]:
+        """Parse the log; returns (intact records in seq order,
+        byte length of the intact prefix, total file byte length).
+        Recovery rule (frame.go semantics): a torn / corrupt /
+        out-of-order record ends the readable log — everything before
+        it counts, nothing after (a bad frame means the writer died
+        mid-write; later bytes are not trustworthy)."""
         out: list[dict] = []
+        good = 0
         if not os.path.exists(self.path):
-            return out
-        with open(self.path, encoding="utf-8") as fh:
-            for line in fh:
-                try:
-                    rec = json.loads(line)
-                    body = rec["payload"]
-                    crc_ok = rec["crc"] == zlib.crc32(_canon(body))
-                except (ValueError, KeyError, TypeError):
-                    break
-                # seq must be exactly previous+1 (any start is fine for
-                # the FIRST record — a rewrite may truncate history)
-                if not crc_ok or (out and rec["seq"] != out[-1]["seq"] + 1):
-                    break
-                out.append(rec)
-        return out
+            return out, 0, 0
+        with open(self.path, "rb") as fh:
+            raw = fh.read()
+        for line in raw.splitlines(keepends=True):
+            if not line.endswith(b"\n"):
+                break  # torn final line: the writer died mid-write
+            try:
+                rec = json.loads(line.decode("utf-8"))
+                body = rec["payload"]
+                crc_ok = rec["crc"] == zlib.crc32(_canon(body))
+            except (ValueError, KeyError, TypeError, UnicodeDecodeError):
+                break
+            # seq must be exactly previous+1 (any start is fine for
+            # the FIRST record — a rewrite may truncate history)
+            if not crc_ok or (out and rec["seq"] != out[-1]["seq"] + 1):
+                break
+            out.append(rec)
+            good += len(line)
+        return out, good, len(raw)
+
+    def _truncate_torn_tail(self) -> list[dict]:
+        """If bytes exist past the intact prefix, atomically rewrite the
+        file down to that prefix (tmp + os.replace, same as rewrite())
+        so subsequent appends land where recovery can see them."""
+        recs, good, total = self._scan()
+        if good < total:
+            tmp = self.path + ".tmp"
+            with open(self.path, "rb") as fh:
+                intact = fh.read(good)
+            with open(tmp, "wb") as fh:
+                fh.write(intact)
+            os.replace(tmp, self.path)
+        return recs
+
+    def records(self) -> list[dict]:
+        """All intact records in seq order (stop-at-first-bad-frame)."""
+        return self._scan()[0]
 
     def replay(self, index: api.Index, from_seq: int = 0) -> api.Index:
         """Apply every intact record with seq > from_seq through the

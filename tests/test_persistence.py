@@ -103,6 +103,32 @@ def test_aof_corrupt_tail_stops_replay(spark, tmp_path):
     assert dels == {"doc001"}
 
 
+def test_aof_append_after_corrupt_tail_is_recoverable(spark, tmp_path):
+    """Reopening a log with a torn/corrupt tail TRUNCATES the bad bytes
+    before the first append (frame.go truncate-then-accept), so an
+    acknowledged post-recovery append is visible to every future
+    recovery — it must never land after a bad frame where records()
+    would stop short of it."""
+    d = str(tmp_path / "aof")
+    log = P.AofLog(d)
+    log.append("delete", now=100, ids=["doc001"])
+    # torn tail: a partial record with no trailing newline
+    with open(log.path, "a", encoding="utf-8") as fh:
+        fh.write('{"seq": 2, "crc": 0, "payl')
+
+    reopened = P.AofLog(d)
+    assert [r["seq"] for r in reopened.records()] == [1]
+    seq = reopened.append("delete", now=101, ids=["doc002"])
+    assert seq == 2
+
+    # a FRESH open (a later recovery) sees the post-recovery append
+    later = P.AofLog(d)
+    assert [r["seq"] for r in later.records()] == [1, 2]
+    replayed = later.replay(_build_index(spark))
+    dels = {r.id for r in replayed.vectors.where("deleted").collect()}
+    assert dels == {"doc001", "doc002"}
+
+
 def test_snapshot_rewrite_truncates_covered_prefix(spark, tmp_path):
     d = str(tmp_path / "s")
     log = P.AofLog(d)
