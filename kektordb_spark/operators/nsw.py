@@ -4,13 +4,37 @@ reference's HNSW index (pkg/core/index/hnsw_index.go), closing the one
 inventory row previously marked n/a-by-design.
 
 The reference builds HNSW incrementally (insert-time neighbor
-heuristics, hierarchical layers) because it serves online point
-queries. A batch engine flips the build/serve split: the BUILD is one
-exact tiled-GEMM all-pairs top-M pass (blockgemm.knn_all — embarrassingly
-parallel, the honest cost at 100 TB is one corpus x corpus tile sweep,
-or an NN-descent / LSH-seeded approximation when even that is too
-much), persisted as the adjacency relation ``nng(src, dst)`` — the
-flat navigable-small-world layer-0 the hierarchy approximates. The
+heuristics, hierarchical layers, O(N log N ef) total —
+hnsw_index.go:456-800) because it serves online point queries. A batch
+engine flips the build/serve split: the BUILD is an LSH-seeded
+NN-descent (Dong, Moses & Li, WWW'11) — sub-quadratic, every stage a
+bucketed equi-join, never an all-pairs sweep:
+
+  seed:   candidate pairs = LSH hyperplane-bucket mates (equi-join on
+          the (table, signature) key, the banding shape every dedup
+          candidate generator here uses) UNION a deterministic 2-out
+          id-ring (connectivity fallback for bucket singletons);
+          score each pair once, keep top-M per node -> g_0
+  round:  proposals = neighbor-of-neighbor pairs (the symmetrized
+          adjacency joined with itself on the shared node) MINUS every
+          pair already scored ("tried" set — a rejected pair can never
+          re-enter: per-node M-th-best distance is non-increasing, so
+          losing once means losing forever); score proposals, merge,
+          keep top-M per node -> g_{i+1}
+  stop:   fixed NNG_ROUNDS rounds, early-exit when a round proposes
+          nothing new (identity past the fixpoint, so the unrolled
+          oracle can always run all rounds)
+
+Per-round cost is O(N * (2M)^2) proposal folds, monotonically shrinking
+through the tried-set subtraction — at 100 TB this is the linear-scan
+budget per refinement wave, vs the O(N^2) tile sweep of the exact GEMM
+build (blockgemm.knn_all stays available as the small-corpus exact
+path and as the recall ground truth in tests). Recall is gated in
+tests/test_ann_recall.py (beam recall@10 >= NSW_RECALL_FLOOR vs exact)
+— the same quality-gate discipline as IVF/PQ/LSH.
+
+The result is persisted as the adjacency relation ``nng(src, dst)`` —
+the flat navigable-small-world layer-0 the hierarchy approximates. The
 SERVE is synchronous beam search:
 
   frontier_0 = {entry = min vec_id}          (one-row relation)
@@ -26,9 +50,11 @@ expands ONE node per step — inherently sequential, latency-optimal for
 one query; the synchronous beam expands a bounded frontier per hop for
 ALL queries at once, which is the batch-throughput trade: H hops = H
 Spark jobs regardless of query count. Measured recall@10 vs exact on
-the fixtures: 1.0 at sf0.01, 0.98 at sf0.1 (M=8, BEAM=16, HOPS=8;
-asserted >= NSW_RECALL_FLOOR = 0.9 in tests/test_ann_recall.py, the
-same quality-gate discipline as IVF/PQ/LSH).
+the fixtures: 1.0 at sf0.001/sf0.01, 0.98 at sf0.1 (graph M=NNG_M=16,
+BEAM=16, HOPS=8; asserted >= NSW_RECALL_FLOOR = 0.9 in
+tests/test_ann_recall.py, the same quality-gate discipline as
+IVF/PQ/LSH — and the same measured quality the exact GEMM-built
+graph gave in r1-r5).
 
 Determinism / oracle: every hop ranks on the RAW distance fold
 (bit-identical across engines — index-order aggregate, tables.dot_sql)
@@ -60,6 +86,26 @@ NSW_K = 10
 NSW_NQ = 5       # query batch: vec_id < NSW_NQ (the ivf_knn convention)
 NSW_RECALL_FLOOR = 0.9
 
+#: out-degree of the DESCENT-built graph — higher than the serve k
+#: because this corpus has weak neighbor structure (near-uniform
+#: 64-dim vectors, max pairwise cosine ~0.5 — the same reason the
+#: LSH/IVF recall tests gate at 0.5): navigability needs degree
+#: headroom when neighbor-of-neighbor correlation is weak. Measured
+#: beam recall@10 vs exact with M=16, 5 rounds: 1.000 at sf0.001,
+#: 0.980 at sf0.1 — the same quality the exact GEMM-built graph gave.
+NNG_M = 16
+NNG_ROUNDS = 5   # NN-descent refinement rounds (oracle unrolls them all)
+NNG_RING = 2     # deterministic id-ring fallback out-degree
+#: seed lattice (n_planes, n_tables, seed, dim) for the descent's LSH
+#: banding stage. Independent of the serve lattice knn.LSH_LATTICE
+#: (12 planes = 4096 buckets) — on this weak-structure fixture corpus
+#: 12-bit buckets are near-singleton, seeding almost nothing; 7 planes
+#: = 128 buckets/table keeps E[bucket] = N/128 pairs bounded while
+#: still colliding similar vectors. At 100 TB the knob scales as
+#: n_planes ~ log2(N / target_bucket_size): constant expected bucket
+#: size, so the seed join stays linear in N.
+NNG_LSH = (7, 6, 42, 64)
+
 
 def _dist(dialect: str) -> str:
     d = dot_sql(dialect, "q.v", "c.v")
@@ -67,11 +113,12 @@ def _dist(dialect: str) -> str:
 
 
 def nng_build_sql(dialect: str, m: int = NSW_M) -> str:
-    """Adjacency build: exact all-pairs cosine top-``m`` per node,
+    """EXACT adjacency derivation: all-pairs cosine top-``m`` per node,
     ranked by (round(dist,6), neighbor id) — the SAME total order the
-    tiled-GEMM builder uses (blockgemm.knn_all), so the persisted
-    Spark-side index and this SQL derivation are row-identical
-    (pinned by tests/test_ann_recall.py::test_nng_gemm_equals_sql)."""
+    tiled-GEMM builder uses (blockgemm.knn_all). No longer the
+    persisted-index build (that is :func:`nng_descent_build`); kept as
+    the documented exact ground-truth derivation for ad-hoc audits of
+    the descent graph's adjacency coverage."""
     d = _dist(dialect)
     return f"""
 SELECT query_id AS src, neighbor_id AS dst FROM (
@@ -81,6 +128,256 @@ SELECT query_id AS src, neighbor_id AS dst FROM (
   FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
 ) t WHERE rk <= {m}
 """.strip()
+
+
+def nng_sig_sql(dialect: str) -> str:
+    """Seed-lattice LSH signature relation (vec_id, tbl, sig) over
+    ``emb`` — same deterministic seeded-hyperplane scheme as
+    knn.lsh_signatures / lsh_bucketed_knn_oracle_sql, under the
+    descent's own NNG_LSH lattice. Every bit is a sign test on the
+    index-order dot fold, so the relation is bit-identical across
+    engines."""
+    from kektordb_spark.operators.knn import _lsh_planes
+
+    n_planes, n_tables, seed, dim = NNG_LSH
+    planes = _lsh_planes(seed, n_planes, n_tables, dim)
+
+    def arr_lit(plane: list[float]) -> str:
+        inner = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in plane)
+        return f"array({inner})" if dialect == "spark" else f"[{inner}]"
+
+    def sig(t: int) -> str:
+        bits = []
+        for p_i, plane in enumerate(planes[t]):
+            d = dot_sql(dialect, "v", arr_lit(plane))
+            bits.append(f"CASE WHEN {d} >= 0.0 THEN {1 << p_i} ELSE 0 END")
+        return " + ".join(bits)
+
+    return "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, {sig(t)} AS sig FROM emb"
+        for t in range(n_tables)
+    )
+
+
+def nng_ring_sql() -> str:
+    """Deterministic NNG_RING-out id-ring over the id-ordered rank —
+    the connectivity fallback that guarantees every node enters the
+    descent with out-degree >= NNG_RING even when all its LSH buckets
+    are singletons (and keeps the seed graph one weakly-connected
+    cycle). Requires CTEs ``ordv`` (vec_id, rnk 0-based) and ``nv``
+    (single-row count n) in scope; the 1-row nv join is a broadcast."""
+    return "\nUNION ALL\n".join(
+        f"SELECT a.vec_id AS src, b.vec_id AS dst\n"
+        f"FROM ordv a, nv, ordv b\n"
+        f"WHERE b.rnk = (a.rnk + {j}) % nv.n"
+        for j in range(1, NNG_RING + 1)
+    )
+
+
+def nng_seed_cand_sql(dialect: str, sig_rel: str = "sg") -> str:
+    """Directed seed candidate pairs: LSH bucket mates (equi-join on
+    the (table, signature) banding key — both directions fall out of
+    the self-join) UNION the id-ring, deduplicated."""
+    return f"""
+SELECT DISTINCT src, dst FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM {sig_rel} a JOIN {sig_rel} b
+    ON b.tbl = a.tbl AND b.sig = a.sig AND b.vec_id <> a.vec_id
+  UNION ALL
+{nng_ring_sql()}
+) cu
+""".strip()
+
+
+def nng_pair_scored_sql(dialect: str, pairs: str) -> str:
+    """Exact cosine distance for a directed (src, dst) pair relation —
+    the corpus is touched only through the two vec_id hash joins."""
+    d = _dist(dialect)
+    return f"""
+SELECT p.src, p.dst, {d} AS dist
+FROM {pairs} p
+JOIN emb q ON q.vec_id = p.src
+JOIN emb c ON c.vec_id = p.dst
+""".strip()
+
+
+def nng_topm_sql(rel: str, m: int = NSW_M) -> str:
+    """Per-src top-``m`` of a scored (src, dst, dist) relation, ranked
+    on the RAW fold value with dst tie-break (the repo's float
+    discipline: rank on bit-identical raw values, never on a rounded
+    display form)."""
+    return f"""
+SELECT src, dst, dist FROM (
+  SELECT src, dst, dist,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY dist ASC, dst ASC) AS rk
+  FROM {rel}
+) t WHERE rk <= {m}
+""".strip()
+
+
+def nng_proposals_sql(g: str, tried: str) -> str:
+    """One descent round's proposals: neighbor-of-neighbor pairs over
+    the symmetrized adjacency, minus every pair ever scored. The
+    subtraction is NOT EXISTS + DISTINCT (planned as an anti join,
+    set-exact on integer ids) rather than EXCEPT — Spark 4.1's
+    EXCEPT-over-a-union-of-checkpointed-relations rewrite hits an
+    optimizer 'key not found' bug; the anti-join form is equivalent
+    and plans cleanly on both engines."""
+    return f"""
+SELECT DISTINCT n.src, n.dst FROM (
+  SELECT a.src, b.dst
+  FROM (SELECT src, dst FROM {g} UNION SELECT dst, src FROM {g}) a
+  JOIN (SELECT src, dst FROM {g} UNION SELECT dst, src FROM {g}) b
+    ON b.src = a.dst
+  WHERE b.dst <> a.src
+) n
+WHERE NOT EXISTS (
+  SELECT 1 FROM {tried} tx WHERE tx.src = n.src AND tx.dst = n.dst
+)
+""".strip()
+
+
+def nng_descent_parts(
+    dialect: str,
+    m: int = NNG_M,
+    rounds: int = NNG_ROUNDS,
+    sig_source: str | None = None,
+) -> tuple[list[str], str]:
+    """Unrolled CTE chain deriving the NN-descent adjacency; returns
+    (parts, final relation name). ``sig_source`` lets the Spark side
+    read the persisted seed-signature view while the oracle derives the
+    signatures inline. Multi-consumer CTEs are MATERIALIZED on DuckDB
+    (naive inlining compounds per round — the kcore/NSW oracle rule)."""
+    mat = " MATERIALIZED" if dialect == "duckdb" else ""
+    sig = (f"sg AS{mat} (\n{nng_sig_sql(dialect)}\n)"
+           if sig_source is None
+           else f"sg AS (SELECT vec_id, tbl, sig FROM {sig_source})")
+    parts = [
+        sig,
+        f"ordv AS{mat} (\n"
+        "  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rnk"
+        " FROM emb\n)",
+        "nv AS (SELECT count(*) AS n FROM emb)",
+        f"cand0 AS{mat} (\n{nng_seed_cand_sql(dialect)}\n)",
+        # CTE names carry an nd_ prefix where they could collide with
+        # the beam-search unroll's per-hop names (s0..sH) when both
+        # chains share one oracle text (nsw_oracle_sql)
+        f"nd_s0 AS{mat} (\n{nng_pair_scored_sql(dialect, 'cand0')}\n)",
+        f"nd_g0 AS{mat} (\n{nng_topm_sql('nd_s0', m)}\n)",
+        "tried0 AS (SELECT src, dst FROM cand0)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"nd_p{i} AS{mat} "
+            f"(\n{nng_proposals_sql(f'nd_g{i}', f'tried{i}')}\n)")
+        parts.append(
+            f"nd_t{i} AS{mat} (\n{nng_pair_scored_sql(dialect, f'nd_p{i}')}\n)")
+        parts.append(
+            f"nd_g{i + 1} AS{mat} (\n"
+            + nng_topm_sql(
+                f"(SELECT src, dst, dist FROM nd_g{i} "
+                f"UNION ALL SELECT src, dst, dist FROM nd_t{i}) mg{i}", m)
+            + "\n)")
+        parts.append(
+            f"tried{i + 1} AS{mat} (SELECT src, dst FROM tried{i} "
+            f"UNION ALL SELECT src, dst FROM nd_p{i})")
+    return parts, f"nd_g{rounds}"
+
+
+def nng_descent_oracle_sql(
+    dialect: str,
+    m: int = NNG_M,
+    rounds: int = NNG_ROUNDS,
+    sig_source: str | None = None,
+) -> str:
+    """Single-text adjacency build (the ann_graph_build query/oracle):
+    returns the final (src, dst) edge set."""
+    parts, fin = nng_descent_parts(dialect, m, rounds, sig_source)
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT src, dst FROM {fin}")
+
+
+def nng_descent_build(
+    spark: SparkSession,
+    m: int = NNG_M,
+    rounds: int = NNG_ROUNDS,
+    sig_source: str | None = None,
+) -> DataFrame:
+    """Spark runner for the descent build: seed once, then per-round
+    checkpointed proposals/score/merge with the iterative-runner
+    discipline (flat lineage, ONE scalar read per round, early-exit
+    when a round proposes nothing — identity past that point, so the
+    unrolled oracle always matches). Returns the (src, dst) adjacency.
+
+    ``sig_source``: temp-view name of a persisted seed-signature
+    relation (vec_id, tbl, sig) under the NNG_LSH lattice; defaults to
+    deriving the signatures inline from ``emb``."""
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # alias-project BEFORE checkpointing: a LogicalRDD inherits its
+        # plan's output attribute ids, which propagate unchanged through
+        # plain column projections — without the re-alias, two different
+        # checkpointed relations derived from one another carry IDENTICAL
+        # ids, and a later plan referencing both (the tried-set UNION
+        # inside the proposals anti join) fails analysis/optimization
+        return df.toDF(*df.columns).localCheckpoint(eager=True)
+
+    # Spark 4.1: a checkpointed LogicalRDD retains its source plan's
+    # CONSTRAINTS, which reference pre-checkpoint attribute ids; when
+    # such a relation sits under a Union, constraint rewriting throws
+    # 'key not found: <attr>'. Constraints only infer extra filters —
+    # disabling propagation for the build loop is semantics-free.
+    _CP = "spark.sql.constraintPropagation.enabled"
+    cp_before = spark.conf.get(_CP, "true")
+    spark.conf.set(_CP, "false")
+    try:
+        return _nng_descent_build_inner(
+            spark, _ckpt, m, rounds, sig_source)
+    finally:
+        spark.conf.set(_CP, cp_before)
+
+
+def _nng_descent_build_inner(spark, _ckpt, m, rounds, sig_source):
+    seed_parts = [
+        (f"sg AS (\n{nng_sig_sql('spark')}\n)" if sig_source is None
+         else f"sg AS (SELECT vec_id, tbl, sig FROM {sig_source})"),
+        "ordv AS (\n  SELECT vec_id,"
+        " row_number() OVER (ORDER BY vec_id) - 1 AS rnk FROM emb\n)",
+        "nv AS (SELECT count(*) AS n FROM emb)",
+    ]
+    cand = _ckpt(spark.sql(
+        "WITH " + ",\n".join(seed_parts) + "\n"
+        + nng_seed_cand_sql("spark")
+    ))
+    cand.createOrReplaceTempView("_nng_tried_0")
+    g = _ckpt(spark.sql(nng_topm_sql(
+        f"(\n{nng_pair_scored_sql('spark', '_nng_tried_0')}\n) sc", m
+    )))
+    n_tried = 1
+    for i in range(rounds):
+        # the tried set accumulates as a SQL-text union over the
+        # checkpointed per-round views: spark.sql re-resolves each view
+        # with fresh attribute ids (a DataFrame-level unionAll of
+        # checkpointed LogicalRDDs can reuse expression ids and break
+        # downstream resolution)
+        tried = " UNION ALL ".join(
+            f"SELECT src, dst FROM _nng_tried_{j}" for j in range(n_tried))
+        g.createOrReplaceTempView("_nng_g")
+        props = _ckpt(spark.sql(
+            nng_proposals_sql("_nng_g", f"({tried})")
+        ))
+        if props.count() == 0:
+            break
+        props.createOrReplaceTempView(f"_nng_tried_{n_tried}")
+        n_tried += 1
+        props.createOrReplaceTempView("_nng_p")
+        g = _ckpt(spark.sql(nng_topm_sql(
+            "(SELECT src, dst, dist FROM _nng_g UNION ALL "
+            f"SELECT src, dst, dist FROM (\n"
+            f"{nng_pair_scored_sql('spark', '_nng_p')}\n) s2) mg", m
+        )))
+    return g.select("src", "dst")
 
 
 def nsw_init_sql(
@@ -98,6 +395,38 @@ def nsw_init_sql(
 SELECT q.vec_id AS query_id, c.vec_id AS node, {d} AS dist
 FROM emb q JOIN emb c ON c.vec_id = (SELECT min(vec_id) FROM emb)
 WHERE {pred}
+""".strip()
+
+
+#: hop budget for the CELL-SEEDED insert path (ann_graph_merge): hop-0
+#: already scores the arrival's whole IVF cell, so the beam starts in
+#: the right neighborhood and needs far fewer graph expansions than the
+#: single-entry serve path's NSW_HOPS=8 (the r5 design re-searched from
+#: the global entry node — 8 checkpointed jobs per merge wave).
+NSW_MERGE_HOPS = 3
+
+
+def nsw_cell_init_sql(
+    dialect: str,
+    query_pred: str,
+    assign_source: str = "ivf_assign",
+) -> str:
+    """Hop-0 visited relation for the INSERT path: each arriving vector
+    scored against every corpus vector in its IVF cell — the cell comes
+    from ONE equi-join on the persisted assignment (a true new arrival
+    pays the nlist-row broadcast argmin instead, same cost class), and
+    the cell members from one equi-join on the cell id. The reference's
+    insert likewise descends to the right neighborhood before linking
+    (hnsw_index.go:456-520); here the coarse quantizer plays the upper
+    layers' role."""
+    d = _dist(dialect)
+    return f"""
+SELECT q.vec_id AS query_id, c.vec_id AS node, {d} AS dist
+FROM emb q
+JOIN {assign_source} aq ON aq.vec_id = q.vec_id
+JOIN {assign_source} ac ON ac.cid = aq.cid
+JOIN emb c ON c.vec_id = ac.vec_id
+WHERE {query_pred}
 """.strip()
 
 
@@ -154,7 +483,7 @@ FROM (
 
 def nsw_oracle_sql(
     dialect: str,
-    m: int = NSW_M,
+    m: int = NNG_M,
     beam: int = NSW_BEAM,
     hops: int = NSW_HOPS,
     k: int = NSW_K,
@@ -162,20 +491,45 @@ def nsw_oracle_sql(
     adj_source: str | None = None,
     query_pred: str | None = None,
     exclude_self: bool = True,
+    init: str = "entry",
 ) -> str:
-    """Single-text unrolled form: graph build + ``hops`` beam rounds +
-    final top-k. MATERIALIZED CTEs for the multi-consumer relations
-    (see module docstring); ``adj_source`` lets the Spark side serve
-    the adjacency from the persisted index while the oracle derives it
-    end-to-end."""
+    """Single-text unrolled form: descent graph build + ``hops`` beam
+    rounds + final top-k. MATERIALIZED CTEs for the multi-consumer
+    relations (see module docstring); ``adj_source`` lets the Spark
+    side serve the adjacency from the persisted index while the oracle
+    derives it end-to-end (LSH-seeded NN-descent, nng_descent_parts —
+    the same pipeline tables.load_tables persists). ``init='cell'``
+    seeds hop-0 from each query's IVF cell (nsw_cell_init_sql — the
+    insert path); the oracle then derives the IVF train+assign chain
+    inline too, and hop-0's frontier is the per-query top-``beam`` of
+    the cell scores instead of the single entry row."""
     mat = " MATERIALIZED" if dialect == "duckdb" else ""
-    adj = (f"nng AS{mat} (\n{nng_build_sql(dialect, m)}\n)"
-           if adj_source is None
-           else f"nng AS (SELECT src, dst FROM {adj_source})")
-    parts = [adj,
-             f"v0 AS{mat} "
-             f"(\n{nsw_init_sql(dialect, n_queries, query_pred)}\n)",
-             "f0 AS (SELECT query_id, node FROM v0)"]
+    if adj_source is None:
+        dparts, fin = nng_descent_parts(dialect, m)
+        adj = dparts + [f"nng AS{mat} (SELECT src, dst FROM {fin})"]
+    else:
+        adj = [f"nng AS (SELECT src, dst FROM {adj_source})"]
+    if init == "cell":
+        from kektordb_spark.operators.ivf import _assign_cte, _train_parts
+
+        tparts, cents = _train_parts(dialect, nlist=8, iters=2)
+        init_parts = [
+            *tparts,
+            _assign_cte(dialect, cents, "cellinv"),
+            f"v0 AS{mat} (\n"
+            + nsw_cell_init_sql(
+                dialect, query_pred,
+                assign_source="(SELECT vec_id, cid FROM cellinv)")
+            + "\n)",
+            f"f0 AS{mat} (\n{nsw_frontier_sql('v0', beam)}\n)",
+        ]
+    else:
+        init_parts = [
+            f"v0 AS{mat} "
+            f"(\n{nsw_init_sql(dialect, n_queries, query_pred)}\n)",
+            "f0 AS (SELECT query_id, node FROM v0)",
+        ]
+    parts = [*adj, *init_parts]
     for i in range(hops):
         parts.append(
             f"n{i} AS{mat} (\n{nsw_new_sql(f'f{i}', f'v{i}', 'nng')}\n)")
@@ -199,15 +553,27 @@ def nsw_search(
     n_queries: int = NSW_NQ,
     query_pred: str | None = None,
     exclude_self: bool = True,
+    init: str = "entry",
+    assign_source: str = "ivf_assign",
 ) -> DataFrame:
     """Spark runner: per-hop checkpointed loop over the persisted
-    adjacency, early-exit when a hop discovers nothing new."""
+    adjacency, early-exit when a hop discovers nothing new.
+    ``init='cell'`` seeds hop-0 from each query's IVF cell via the
+    persisted ``assign_source`` relation (the insert path)."""
     visited_parts = []
-    v = spark.sql(
-        nsw_init_sql("spark", n_queries, query_pred)
-    ).localCheckpoint(eager=True)
-    visited_parts.append(v)
-    frontier = v.select("query_id", "node")
+    if init == "cell":
+        v = spark.sql(
+            nsw_cell_init_sql("spark", query_pred, assign_source)
+        ).localCheckpoint(eager=True)
+        visited_parts.append(v)
+        v.createOrReplaceTempView("_nsw_v0")
+        frontier = spark.sql(nsw_frontier_sql("_nsw_v0", beam))
+    else:
+        v = spark.sql(
+            nsw_init_sql("spark", n_queries, query_pred)
+        ).localCheckpoint(eager=True)
+        visited_parts.append(v)
+        frontier = v.select("query_id", "node")
     for i in range(hops):
         visited = visited_parts[0]
         for p in visited_parts[1:]:

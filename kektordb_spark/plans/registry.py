@@ -296,9 +296,9 @@ from kektordb_spark.operators import nsw as NSW  # noqa: E402
 def knn_nsw_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-based ANN (V8's batch analog, operators/nsw.py): beam
     search over the persisted navigable k-NN graph (``nng``, built by
-    one tiled-GEMM pass at load). The oracle unrolls build + beam
-    rounds in one MATERIALIZED-CTE text; recall vs exact is gated in
-    tests/test_ann_recall.py."""
+    the LSH-seeded NN-descent at load — see ann_graph_build). The
+    oracle unrolls build + beam rounds in one MATERIALIZED-CTE text;
+    recall vs exact is gated in tests/test_ann_recall.py."""
     load_tables(spark, sf_dir)
     return NSW.nsw_search(spark, adj_source="nng")
 
@@ -308,19 +308,41 @@ _GRAPH_MERGE_PRED = "q.vec_id % 10 = 7"  # the repo's standard derived batch
 
 @register("ann_graph_merge",
           with_oracle_ctes(NSW.nsw_oracle_sql(
-              "duckdb", k=NSW.NSW_M, query_pred=_GRAPH_MERGE_PRED), ["emb"]))
+              "duckdb", k=NSW.NSW_M, query_pred=_GRAPH_MERGE_PRED,
+              init="cell", hops=NSW.NSW_MERGE_HOPS), ["emb"]))
 def ann_graph_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental navigable-graph maintenance — the V8 INSERT path
     (hnsw_index.go inserts by searching the existing graph for each
     arrival's neighbors; same algorithm here, batched): the new batch
     beam-searches the persisted graph and its top-M results ARE its
     out-edges (rows = (query_id=src, neighbor_id=dst, rank, dist);
-    reverse links are the projection swap). O(batch x hops) equi-join
-    work per arrival wave, never a GEMM rebuild — the rebuild stays a
-    scheduled decision informed by the recall/balance audits."""
+    reverse links are the projection swap). r6: hop-0 seeds from each
+    arrival's IVF cell (one equi-join on the persisted assignment —
+    the coarse quantizer plays HNSW's upper layers), cutting the hop
+    budget 8 -> NSW_MERGE_HOPS=3 vs the r5 global-entry re-search.
+    O(batch x hops) equi-join work per arrival wave, never a rebuild —
+    the rebuild stays a scheduled decision informed by the
+    recall/balance audits."""
     load_tables(spark, sf_dir)
     return NSW.nsw_search(spark, adj_source="nng", k=NSW.NSW_M,
-                          query_pred=_GRAPH_MERGE_PRED)
+                          query_pred=_GRAPH_MERGE_PRED,
+                          init="cell", hops=NSW.NSW_MERGE_HOPS)
+
+
+@register("ann_graph_build",
+          with_oracle_ctes(NSW.nng_descent_oracle_sql("duckdb"), ["emb"]))
+def ann_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The navigable-graph BUILD itself, as a first-class checkable
+    query (operators/nsw.py nng_descent_build): LSH-seeded NN-descent —
+    seed pairs from hyperplane-bucket equi-joins + a deterministic
+    id-ring, then NNG_ROUNDS neighbor-of-neighbor refinement rounds
+    with a tried-set subtraction so no pair is ever scored twice.
+    Sub-quadratic (the r5 verdict's one structural hazard was the
+    GEMM all-pairs build this replaces); Spark serves the persisted
+    adjacency, the oracle unrolls seed + rounds in one MATERIALIZED-CTE
+    text and must reproduce it edge-for-edge."""
+    load_tables(spark, sf_dir)
+    return spark.table("nng").select("src", "dst")
 
 
 @register("ann_recall_audit", with_oracle_ctes(IVF.ivf_recall_sql("duckdb"), ["emb"]))

@@ -507,14 +507,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "WITH " + _ivf_mean_cte("spark", "emb", "lc", cid="label")
         + "\nSELECT label, v FROM lc"
     ))
-    # Navigable k-NN graph (V8's batch analog, operators/nsw.py): one
-    # exact tiled-GEMM all-pairs top-M pass at build time; the beam
-    # serve path reads only this adjacency + the vector join.
-    from kektordb_spark.operators import blockgemm as _BG
-    from kektordb_spark.operators.nsw import NSW_M
+    # Navigable k-NN graph (V8's batch analog, operators/nsw.py):
+    # LSH-seeded NN-descent at build time — every stage a bucketed
+    # equi-join, never an all-pairs sweep (the GEMM exact build stays
+    # available as blockgemm.knn_all for small corpora / ground truth);
+    # the beam serve path reads only this adjacency + the vector join.
+    from kektordb_spark.operators.nsw import nng_descent_build
 
-    _mat("nng", _BG.knn_all(spark, k=NSW_M).select(
-        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")))
+    _mat("nng", nng_descent_build(spark))
     _mat("copurch_o", spark.sql(
         "WITH deg AS (\n" + _AN.triangle_deg_sql("copurch_e") + "\n)\n"
         + _AN.triangle_oriented_sql("copurch_e", "deg")

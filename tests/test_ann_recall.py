@@ -115,10 +115,11 @@ def test_ivfpq_recall(spark, exact):
 
 
 def test_nsw_recall(spark):
-    """Beam search over the persisted k-NN graph (operators/nsw.py):
-    recall@10 vs exact for the registered query batch (vec_id < 5,
-    whole corpus incl self — the ivf_knn convention; the NSW answer
-    excludes self so the exact side here does too)."""
+    """Beam search over the persisted descent-built k-NN graph
+    (operators/nsw.py): recall@10 vs exact for the registered query
+    batch (vec_id < 5). The NSW answer excludes self, so the exact
+    side excludes it BEFORE ranking (a post-rank filter would leave 9
+    rows per query and cap the measurable recall at 0.9)."""
     from kektordb_spark.operators import nsw as NSW
 
     load_tables(spark, SF_SMALL)
@@ -129,24 +130,51 @@ def test_nsw_recall(spark):
     )
     exact_rows = KNN.knn_exact(
         emb, q, k=NSW.NSW_K, metric="cosine", id_col="vec_id",
-        vec_col="v", norm_col="norm",
-    ).where(F.col("vec_id") != F.col("query_id")).collect()
+        vec_col="v", norm_col="norm", exclude_self=True,
+    ).collect()
     approx = NSW.nsw_search(spark).collect()
     r = _recall(approx, exact_rows)
     assert r >= NSW.NSW_RECALL_FLOOR, f"NSW recall@{NSW.NSW_K}: {r:.3f}"
 
 
-def test_nng_gemm_equals_sql(spark):
-    """The persisted adjacency (tiled-GEMM top-M, tables.load_tables
-    'nng') must be row-identical to the SQL derivation the oracle
-    unrolls — both rank by (round(dist,6), neighbor id)."""
+def test_nng_descent_matches_oracle(duck, spark):
+    """The persisted adjacency (LSH-seeded NN-descent,
+    tables.load_tables 'nng') must be edge-identical to the unrolled
+    DuckDB derivation the registered oracles embed — the replica pin
+    for the iterative build (the kcore-template discipline)."""
     from kektordb_spark.operators import nsw as NSW
+    from kektordb_spark.tables import with_oracle_ctes
 
     load_tables(spark, SF_SMALL)
-    gemm = {(r.src, r.dst) for r in spark.table("nng").collect()}
-    sql = {(r.src, r.dst)
-           for r in spark.sql(NSW.nng_build_sql("spark")).collect()}
-    assert gemm == sql and len(gemm) > 0
+    built = {(r.src, r.dst) for r in spark.table("nng").collect()}
+    orc = {(a, b) for a, b in duck.execute(with_oracle_ctes(
+        NSW.nng_descent_oracle_sql("duckdb"), ["emb"])).fetchall()}
+    assert built == orc and len(built) > 0
+
+
+def test_nng_descent_early_exit_is_identity_past_exhaustion(spark):
+    """On a corpus small enough that the tried set exhausts the pair
+    space inside NNG_ROUNDS, extra rounds must change nothing (the
+    early-exit path proposes zero pairs and stops) — the guarantee that
+    lets the oracle unroll a fixed round count while the runner exits
+    on the fixpoint. On larger corpora more rounds legitimately refine
+    further; the fixed NNG_ROUNDS is the shared contract both engines
+    run."""
+    from kektordb_spark.operators import nsw as NSW
+    from kektordb_spark.tables import emb_view_sql
+
+    load_tables(spark, SF_SMALL)
+    try:
+        spark.sql("SELECT * FROM emb WHERE vec_id < 40") \
+            .localCheckpoint(eager=True).createOrReplaceTempView("emb")
+        a = {(r.src, r.dst)
+             for r in NSW.nng_descent_build(spark).collect()}
+        b = {(r.src, r.dst)
+             for r in NSW.nng_descent_build(
+                 spark, rounds=NSW.NNG_ROUNDS + 3).collect()}
+    finally:
+        spark.sql(emb_view_sql("spark")).createOrReplaceTempView("emb")
+    assert a == b and len(a) > 0
 
 
 def test_nsw_early_exit_on_exhausted_graph(spark):
@@ -165,9 +193,8 @@ def test_nsw_early_exit_on_exhausted_graph(spark):
 
 def test_graph_merge_links_near_exact_adjacency(spark):
     """The insert path's beam-searched out-edges should mostly agree
-    with the exact top-M adjacency the full GEMM build would produce
-    for the same nodes (same recall-gate discipline as the serve path;
-    the exact rows for the batch already sit in the persisted nng)."""
+    with the exact top-M neighbors for the same nodes (same recall-gate
+    discipline as the serve path)."""
     from kektordb_spark.operators import nsw as NSW
     from kektordb_spark.plans.registry import _GRAPH_MERGE_PRED
 
@@ -177,9 +204,16 @@ def test_graph_merge_links_near_exact_adjacency(spark):
             spark, adj_source="nng", k=NSW.NSW_M,
             query_pred=_GRAPH_MERGE_PRED).collect():
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    emb = spark.table("emb")
+    q = emb.where("vec_id % 10 = 7").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
     exact = {}
-    for r in spark.table("nng").where("src % 10 = 7").collect():
-        exact.setdefault(r.src, set()).add(r.dst)
+    for r in KNN.knn_exact(
+            emb, q, k=NSW.NSW_M, metric="cosine", id_col="vec_id",
+            vec_col="v", norm_col="norm", exclude_self=True).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
     hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
     total = sum(len(v) for v in exact.values())
     assert total > 0

@@ -106,6 +106,42 @@ def test_nsw_hop_equi_joins_over_persisted_graph(spark):
     assert "row_number" in plan
 
 
+def test_nng_descent_build_plan_is_gemm_free(spark):
+    """r6: every stage of the graph BUILD (seed candidates, pair
+    scoring, one refinement round's proposals) plans as bucketed
+    equi-joins — no all-pairs CartesianProduct, no tiled-GEMM
+    mapInPandas kernel anywhere. The only nested-loop broadcast allowed
+    is the 1-row corpus-count relation under the id-ring fallback."""
+    from kektordb_spark.operators import nsw as NSW
+    from kektordb_spark.tables import load_tables
+
+    load_tables(spark, SF_SMALL)
+    seed_parts = [
+        f"sg AS (\n{NSW.nng_sig_sql('spark')}\n)",
+        "ordv AS (\n  SELECT vec_id,"
+        " row_number() OVER (ORDER BY vec_id) - 1 AS rnk FROM emb\n)",
+        "nv AS (SELECT count(*) AS n FROM emb)",
+    ]
+    seed = spark.sql(
+        "WITH " + ",\n".join(seed_parts) + "\n"
+        + NSW.nng_seed_cand_sql("spark"))
+    seed.createOrReplaceTempView("_nngp_cand")
+    scored = spark.sql(NSW.nng_pair_scored_sql("spark", "_nngp_cand"))
+    props = spark.sql(NSW.nng_proposals_sql(
+        "nng", "(SELECT src, dst FROM _nngp_cand)"))
+    for df in (seed, scored, props):
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        assert "CartesianProduct" not in plan
+        assert "mapinpandas" not in plan.lower()
+    # the LSH bucket self-join and the NoN self-join are hash equi-joins
+    for df in (seed, props):
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan)
+
+
 def test_ann_recall_audit_serves_from_persisted_index(spark):
     """r5: the approximate branch reads the persisted IVF layer — no
     Lloyd-iteration re-train (posexplode of the centroid-mean chain)
