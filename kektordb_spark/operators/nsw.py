@@ -406,25 +406,47 @@ WHERE {pred}
 NSW_MERGE_HOPS = 3
 
 
+#: hop-0 cell-seed cap: at most this many cell members score against
+#: each arrival. Without the cap the seed cost is |batch| x |cell| =
+#: O(N^2 / nlist) — the 1x/3x/10x probe measured 16.7x at 10x data
+#: (quadratic) because the fixture's nlist is fixed; the cap restores
+#: O(batch) arrival cost regardless of how cell sizes drift between
+#: re-trains. The sample is the md5-ranked per-cell prefix: fixture-
+#: independent, deterministic, identical in both dialects (the same
+#: md5-order device the IVF trainer's seeding uses).
+NSW_SEED_CAP = 64
+
+
 def nsw_cell_init_sql(
     dialect: str,
     query_pred: str,
     assign_source: str = "ivf_assign",
+    seed_cap: int = NSW_SEED_CAP,
 ) -> str:
     """Hop-0 visited relation for the INSERT path: each arriving vector
-    scored against every corpus vector in its IVF cell — the cell comes
-    from ONE equi-join on the persisted assignment (a true new arrival
-    pays the nlist-row broadcast argmin instead, same cost class), and
-    the cell members from one equi-join on the cell id. The reference's
-    insert likewise descends to the right neighborhood before linking
-    (hnsw_index.go:456-520); here the coarse quantizer plays the upper
-    layers' role."""
+    scored against a bounded, deterministic sample of its IVF cell —
+    the cell comes from ONE equi-join on the persisted assignment (a
+    true new arrival pays the nlist-row broadcast argmin instead, same
+    cost class), cell members from one equi-join on the cell id, capped
+    at ``seed_cap`` per cell by md5 rank (see NSW_SEED_CAP). The
+    reference's insert likewise descends to the right neighborhood
+    before linking (hnsw_index.go:456-520); here the coarse quantizer
+    plays the upper layers' role and the beam hops refine from the
+    sampled entry points."""
     d = _dist(dialect)
+    md5key = ("md5(CAST(vec_id AS STRING))" if dialect == "spark"
+              else "md5(CAST(vec_id AS VARCHAR))")
     return f"""
 SELECT q.vec_id AS query_id, c.vec_id AS node, {d} AS dist
 FROM emb q
 JOIN {assign_source} aq ON aq.vec_id = q.vec_id
-JOIN {assign_source} ac ON ac.cid = aq.cid
+JOIN (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY cid ORDER BY {md5key}) AS crk
+    FROM {assign_source} x
+  ) r WHERE crk <= {seed_cap}
+) ac ON ac.cid = aq.cid
 JOIN emb c ON c.vec_id = ac.vec_id
 WHERE {query_pred}
 """.strip()

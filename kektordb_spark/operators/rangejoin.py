@@ -40,9 +40,78 @@ overlap-count sibling.
 
 from __future__ import annotations
 
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
 BUCKET_US = 3_600 * 1_000_000  # 1 h in micros — sized to the interval
                                # scale (30-min-gap sessions): fan-out
                                # ~1-2 buckets/session, tight post-filter
+
+
+def interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    point_col: str,
+    bucket: int = BUCKET_US,
+    extra_pred: Column | None = None,
+) -> DataFrame:
+    """Reusable interval-containment join: every (interval, point) pair
+    with ``start_col <= point_col < end_col`` (half-open), planned as a
+    bucketized EQUI-join + exact post-filter instead of the
+    BroadcastNestedLoopJoin Spark would pick for the raw inequality
+    predicate (asserted in tests/test_plan_shapes.py).
+
+    Mechanics (the same rewrite session_concurrency_sql hard-codes):
+    each interval explodes onto the fixed ``bucket`` grid it covers
+    (``sequence(start DIV b, (end-1) DIV b)``), each point maps to its
+    single grid cell in the scan projection, the relations equi-join on
+    the cell, and the exact containment predicate re-applies as part of
+    the join condition. A point's cell is unique, so each qualifying
+    pair meets exactly once — no DISTINCT pass, inner-join semantics.
+
+    Columns: the result carries every column of BOTH inputs, so names
+    must be disjoint (raises otherwise — silent ambiguity is worse).
+    ``extra_pred`` joins additional conditions (e.g. key equality for a
+    per-key interval join, or ``<>`` for self-exclusion) into the same
+    join so they prune before the shuffle output materializes.
+
+    Degenerate intervals (``end <= start``) cover no grid cell the
+    post-filter accepts and contribute nothing, matching the half-open
+    predicate. Choose ``bucket`` near the typical interval length:
+    fan-out is ~len/bucket rows per interval; selectivity of the
+    post-filter improves as the bucket shrinks (at 100 TB both sides
+    partition by time, so the equi-join shuffle is co-located for
+    time-sorted ingest)."""
+    overlap = set(intervals.columns) & set(points.columns)
+    if overlap:
+        raise ValueError(
+            f"interval_join: column name collision {sorted(overlap)} — "
+            "rename one side; the result carries both inputs' columns")
+    if "_ij_bk" in intervals.columns or "_ij_bk" in points.columns:
+        raise ValueError("interval_join: '_ij_bk' is reserved")
+    # integral DIV, not float division: double rounding near bucket
+    # boundaries could shift a bucket id. DIV truncates toward zero
+    # (not floor), which is still MONOTONE — so an in-interval point's
+    # bucket always lies between the interval's first and last bucket,
+    # negatives included.
+    ib = intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
+        "_ij_bk",
+        F.expr(
+            f"explode(sequence(CAST({start_col} AS BIGINT) DIV {bucket},"
+            f" (CAST({end_col} AS BIGINT) - 1) DIV {bucket}))"),
+    )
+    pb = points.withColumn(
+        "_ij_bk", F.expr(f"CAST({point_col} AS BIGINT) DIV {bucket}"))
+    cond = (
+        (ib["_ij_bk"] == pb["_ij_bk"])
+        & (pb[point_col] >= ib[start_col])
+        & (pb[point_col] < ib[end_col])
+    )
+    if extra_pred is not None:
+        cond = cond & extra_pred
+    return ib.join(pb, cond, "inner").drop("_ij_bk")
 
 
 def _sessions(dialect: str) -> str:

@@ -2833,92 +2833,84 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW_FIRST = [
-    # r5 front: the 12 queries no driver window has ever value-checked
-    # (they sat at positions 51-62 in r4) + text_quality_score, r4's one
-    # hash-mismatch row, re-fixed on the floor micro-grid this round.
-    "graph_connections",
-    "rag_chunks_fixed",
-    "rag_chunks_recursive",
-    "firewall_check",
-    "proxy_hyde_dual_rag",
-    "search_query_text",
-    "multimodal_features",
-    "multimodal_frame_plan",
-    "multimodal_resize_plan",
-    "meta_question_search",
-    "scoped_recall_layers",
-    "subconscious_reflections",
+    # r6 front, slot 1-9: this round's fixed/changed queries — the r5
+    # red row (quality column forced DOUBLE), the new descent-built
+    # graph family (adjacency changed for knn_nsw_top10; ann_graph_merge
+    # is now cell-seeded; ann_graph_build is new), the ivf recall/merge
+    # report fixes, and the mix-rate DOUBLE fix.
     "text_quality_score",
-    # r5 new operators
-    "dedup_substring_windows",
-    "pipeline_length_histogram",
-    "graph_connected_components",
-    "streaming_distinct_sketch",
-    "graph_kcore",
-    "ann_recall_audit",
-    "embedding_outliers",
-    "ann_cell_balance",
-    "dedup_lsh_recall_audit",
-    "streaming_heavy_hitters",
-    "knn_nsw_top10",
-    "events_session_concurrency",
-    "ann_index_merge",
+    "ann_graph_build",
     "ann_graph_merge",
-    # r5-touched operators (KMV de-exploded, triangle runner, grid fixes)
-    "sketch_distinct_kmv",
-    "graph_triangle_count",
-    "events_grid_quantiles",
-    "text_keywords_tfidf",
-    "text_token_count",
-    "pipeline_corpus_stats",
-    # r4 additions (stay in-window one more round)
-    "vsearch_hybrid_facade",
-    "dedup_semantic",
-    "hybrid_rrf_top15",
-    "dedup_paragraph",
-    "pipeline_pii_scrub",
-    "pipeline_lang_balance",
-    "pipeline_bpe_apply",
-    "graph_pagerank",
+    "knn_nsw_top10",
+    "ann_index_merge",
+    "ann_recall_audit",
     "pipeline_mix_sample",
     "pipeline_mix_summary",
-    "pipeline_shard_assign",
-    "pipeline_pack_sequences",
-    "pipeline_quality_gate",
-    "pipeline_curriculum",
-    "pipeline_curriculum_adaptive",
-    "pipeline_split_stratified",
-    "pipeline_decontaminate",
-    "pipeline_vocab_pairs",
-    "pipeline_bpe_train",
-    "pipeline_dsir_select",
-    "dedup_incremental",
-    "streaming_windowed_counts",
-    "streaming_session_windows",
-    "streaming_importance_spikes",
-    "streaming_stateful_totals",
-    "streaming_dedup_first",
-    "streaming_ingest_upsert",
-    "events_rollup_cascade",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_repetition_signals",
-    "text_unigram_logprob",
-    "text_compress_context",
-    "text_info_density",
-    "memory_reinforce",
-    "gardener_session_summary",
-    "gardener_user_profile",
-    "compiler_artifact_diff",
-    "compiler_artifact_staleness",
-    "artifact_version_asof",
-    "engine_stats",
-    "transfer_memory",
-    "graph_evolution_chain",
-    # representatives of families already driver-green in r2+r3
-    "knn_cosine_top10",
-    "bm25_top10",
+    "epistemic_friction",
+    # r6 staleness rotation: every remaining query below was last
+    # driver-checked in r2 (7 queries) or r3 — oldest first, so no
+    # green row goes unchecked more than ~3 rounds.
+    "compiler_computed_fields",
+    "gardener_centrality_shifts",
+    "gardener_cross_validator",
+    "gardener_forgetting",
+    "gardener_knowledge_evolution",
+    "gardener_repeated_failures",
+    "gardener_sentiment_shifts",
+    # r3 cohort
+    "knn_pq_top10",
+    "knn_f16_top10",
+    "knn_int8_top10",
+    "hybrid_fusion_top15",
+    "decay_scores",
+    "knn_with_decay",
+    "ivf_knn",
+    "ivfpq_knn",
+    "lsh_knn",
+    "knn_batch_allpairs",
+    "knn_graph_filtered",
+    "knn_euclidean_top10",
+    "adaptive_retrieval",
+    "adaptive_retrieval_density",
+    "adaptive_retrieval_graph",
+    "bm25_italian_top10",
+    "dedup_embedding_topk",
+    "dedup_minhash_clusters",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "epistemic_belief_state",
+    "epistemic_consensus",
+    "epistemic_stability",
+    "filter_dsl_neq_missing",
+    "gardener_consolidation_clusters",
+    "gardener_consolidation_merge",
+    "gardener_contradictions",
+    "gardener_importance_shifts",
+    "gardener_knowledge_gaps",
+    "graph_bfs_depth3",
+    "graph_degree_timetravel",
     "graph_find_path",
+    "graph_search_relations",
+    "graph_subgraph",
+    "hybrid_contains_filter",
+    "semantic_cache_lookup",
+    "text_stats",
+    "graph_all_relations",
+    # r7 rotation remainder (positions 51+, checked next round):
+    # graph_traverse_2hop, knn_cosine_top10, knn_dot_top10, dedup_exact,
+    # filter_dsl_or_and, bm25_top10, rel_pricing_summary,
+    # rel_topk_orders, rel_window_running.
+    "graph_traverse_2hop",
+    "knn_cosine_top10",
+    "knn_dot_top10",
+    "dedup_exact",
+    "filter_dsl_or_and",
+    "bm25_top10",
+    "rel_pricing_summary",
+    "rel_topk_orders",
+    "rel_window_running",
 ]
 
 

@@ -26,13 +26,15 @@ never job failures. On a real cluster the path column would point at
 a shared filesystem / object store — the same contract as Spark's
 own ``binaryFile`` source.
 
-The PDF branch (r5) extracts text with a pure-Python content-stream
-scanner (sources/pdf.py: uncompressed + Flate streams, BT..ET text
-operators — the reference PDFAdvancedLoader's text path,
-loader_pdf_advanced.go:63-83). PDFs beyond the scanner (image-only,
-CID fonts, exotic filters) still raise ``LoaderError``, which keeps
-the SmartLoader+CLI path the production route for those, exactly as
-the reference falls back on its own parse failures.
+The PDF branch (r5, widened r6) extracts text with a pure-Python
+content-stream scanner (sources/pdf.py: page-structured extraction,
+uncompressed/Flate/LZW/ASCIIHex/ASCII85 streams, BT..ET text
+operators, /ToUnicode CMaps for CID fonts — the reference
+PDFAdvancedLoader's text path, loader_pdf_advanced.go:63-83). PDFs
+beyond the scanner (image-only, encrypted, compressed-object-stream
+xrefs) still raise ``LoaderError``, which keeps the SmartLoader+CLI
+path the production route for those, exactly as the reference falls
+back on its own parse failures.
 """
 
 from __future__ import annotations
@@ -138,11 +140,12 @@ class DocxLoader:
 
 class PdfLoader:
     """PDF text extraction via the pure-Python content-stream scanner
-    (sources/pdf.py — uncompressed + /FlateDecode streams, BT..ET text
+    (sources/pdf.py — page-structured, Flate/LZW/ASCIIHex/ASCII85
+    filters, /ToUnicode CMap mapping for CID fonts, BT..ET text
     operators). Mirrors the reference's text path
     (loader_pdf_advanced.go:63-83: per-page plain text joined with a
     newline); image extraction (:86-172) stays out of scope. A PDF
-    from which no text is recovered (image-only, or CID/filter
+    from which no text is recovered (image-only, or the residual
     encodings the scanner documents as unsupported) raises LoaderError
     — loud, so SmartLoader's CLI-parser route takes over exactly as
     the reference's SmartLoader falls back on its own failures."""

@@ -81,6 +81,10 @@ PROBE_QUERIES = [
     "embedding_outliers",
     "knn_nsw_top10",
     "dedup_lsh_recall_audit",
+    # r6: descent-built graph family (serve paths; the build curve is
+    # the explicit nng_descent_build row)
+    "ann_graph_build",
+    "ann_graph_merge",
 ]
 
 
@@ -172,6 +176,17 @@ def main() -> None:
         load_tables(spark, sf_dir)
         results["index_build"][k] = round(time.perf_counter() - t0, 2)
         print(f"x{k} index_build: {results['index_build'][k]}s", flush=True)
+        # r6: time the NN-descent graph build on its own (it also runs
+        # inside load_tables above) — the sub-quadratic replacement for
+        # the GEMM all-pairs build deserves an explicit curve.
+        from kektordb_spark.operators.nsw import nng_descent_build
+
+        t0 = time.perf_counter()
+        nng_descent_build(spark).count()
+        results.setdefault("nng_descent_build", {})[k] = round(
+            time.perf_counter() - t0, 2)
+        print(f"x{k} nng_descent_build: "
+              f"{results['nng_descent_build'][k]}s", flush=True)
         # session warm-up mirrors bench.py's preamble
         spark.sql("SELECT count(*) FROM docs_tok_par WHERE size(toks) >= 0").collect()
         spark.sql(
@@ -190,7 +205,7 @@ def main() -> None:
     print("\n| query | " + " | ".join(f"x{k}" for k in ks) +
           " | x10/x1 |")
     print("|---|" + "---|" * (len(ks) + 1))
-    for q in ["index_build"] + PROBE_QUERIES:
+    for q in ["index_build", "nng_descent_build"] + PROBE_QUERIES:
         row = [f"{results[q].get(k, float('nan')):.2f}" for k in ks]
         hi, lo = results[q].get(ks[-1]), results[q].get(ks[0])
         ratio = f"{hi / lo:.1f}x" if hi and lo else "-"

@@ -283,3 +283,112 @@ def test_http_embedder_error_paths():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_embedder_ingest_directory_vsearch_roundtrip(spark, tmp_path):
+    """r6: the full operational loop against a real localhost endpoint —
+    install the HTTP encoder, ingest a DIRECTORY of files, build an
+    Index, and answer vsearch(query_text=...) in the remote encoder's
+    space. Along the way the server records every request, asserting
+    the UDF's batch SLICING (no request exceeds batch_size) and the
+    wire-level null position-preservation; a second endpoint that
+    starts answering with a different width must fail the ingest with
+    the reference's model-changed diagnosis (dim-drift rejection)."""
+    import http.server
+    import json
+    import math
+    import threading
+
+    from kektordb_spark import api
+    from kektordb_spark.functions.embedder_http import HttpEmbedder
+    from kektordb_spark.sources import loaders as L
+
+    seen_batches = []
+
+    def letter_vec(t):
+        low = t.lower()
+        n = max(len(low), 1)
+        return [low.count(c) / n for c in "aeiost"]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            req = json.loads(self.rfile.read(n))
+            seen_batches.append(req["texts"])
+            embs = [None if t is None else letter_vec(t)
+                    for t in req["texts"]]
+            out = json.dumps({"embeddings": embs}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        emb = HttpEmbedder(
+            f"http://127.0.0.1:{srv.server_address[1]}/embed",
+            dim=6, model="letters", batch_size=2)
+        E.set_embedder(emb)
+
+        # wire-level null position-preservation through the adapter
+        assert emb.embed_batch(["ab", None, "ee"]) == [
+            letter_vec("ab"), None, letter_vec("ee")]
+        # slicing is the UDF's job (functions/embedder.py), not the
+        # adapter's — only count requests made by the ingest below
+        seen_batches.clear()
+
+        (tmp_path / "sorting.txt").write_text(
+            "merge sort and quick sort are comparison sorting algorithms")
+        (tmp_path / "garden.txt").write_text(
+            "tomato plants need watering in dry spring weather gardens")
+        (tmp_path / "oceans.txt").write_text(
+            "tides rise as oceans answer the moon in seasonal rhythm")
+        vectors, edges, failures = L.ingest_directory(
+            spark, str(tmp_path), now=100, chunk_size=500)
+        assert failures.collect() == []
+        rows = vectors.collect()
+        assert len(rows) == 3 and all(len(r["v"]) == 6 for r in rows)
+        # batch slicing: every request the server saw respected
+        # batch_size, and the ingest went over the wire at all
+        assert seen_batches and all(len(b) <= 2 for b in seen_batches)
+
+        idx = api.vcreate(spark, "http_rt_ix", text_fields=("chunk_text",))
+        idx = api.vadd_batch(idx, [
+            {"id": r["id"], "vector": list(r["v"]),
+             "meta": {"chunk_text": r["chunk_text"]}}
+            for r in rows
+        ], now=100)
+        qv = emb.embed_batch(["merge sort algorithm"])[0]
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            return num / (math.sqrt(sum(x * x for x in a))
+                          * math.sqrt(sum(x * x for x in b)) or 1.0)
+
+        want = max(rows, key=lambda r: cos(qv, list(r["v"])))["id"]
+        got = api.vsearch(idx, query=qv, k=1,
+                          query_text="merge sort").collect()
+        assert got and got[0]["id"] == want
+
+        # dim drift through the HTTP path: same directory pipeline, an
+        # adapter now producing 4-wide vectors for an index expecting 6
+        class Narrow(HttpEmbedder):
+            def embed_batch(self, texts):
+                return [None if v is None else v[:4]
+                        for v in super().embed_batch(texts)]
+
+        E.set_embedder(Narrow(
+            f"http://127.0.0.1:{srv.server_address[1]}/embed",
+            dim=6, model="letters", batch_size=2))
+        vectors, _, _ = L.ingest_directory(spark, str(tmp_path), now=100)
+        with pytest.raises(
+                Exception, match="dimension mismatch|model has changed"):
+            vectors.collect()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        E.set_embedder(E.HashEmbedder())

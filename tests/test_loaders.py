@@ -303,3 +303,217 @@ def test_pdf_hex_strings_and_octal_property():
         assert _content_text(cs)[:1] == chr(b)
 
     check_octal()
+
+
+# ---------------------------------------------------------------------------
+# r6: LZWDecode + ToUnicode CMaps (closes the r5 "CLI fallback" gaps)
+# ---------------------------------------------------------------------------
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Reference LZW encoder (spec 7.4.4) used only to generate test
+    vectors: 9-bit start, 256=clear, 257=EOD, EarlyChange-aware width
+    bumps — the mirror image of sources/pdf._lzw_decode."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    emit(256)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code + early - 1 > (1 << width) and width < 12:
+            width += 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(257)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    from kektordb_spark.sources.pdf import _lzw_decode
+
+    @given(st.binary(min_size=0, max_size=4000))
+    @settings(max_examples=150, deadline=None)
+    def check(bs):
+        assert _lzw_decode(_lzw_encode(bs)) == bs
+
+    check()
+    # long repetitive input crosses the 9->10->11 bit width bumps
+    big = b"abcab" * 2000
+    assert _lzw_decode(_lzw_encode(big)) == big
+
+
+def test_pdf_lzw_stream_extracts():
+    """An /LZWDecode content stream now extracts in-process (was a
+    documented skip-to-CLI-fallback in r5)."""
+    from kektordb_spark.sources.pdf import extract_pdf_text
+
+    content = b"BT (lzw compressed words) Tj ET"
+    body = _lzw_encode(content)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Page /Contents 2 0 R >> endobj\n"
+        b"2 0 obj << /Length " + str(len(body)).encode()
+        + b" /Filter /LZWDecode >> stream\n" + body
+        + b"\nendstream endobj\n%%EOF\n"
+    )
+    assert "lzw compressed words" in extract_pdf_text(pdf)
+
+
+def test_pdf_tounicode_cid_font_maps_hex_strings(tmp_path):
+    """A CID-style font whose hex strings are 2-byte codes mapped
+    through a /ToUnicode CMap (bfchar + both bfrange forms) extracts
+    real text (was latin-1 garbage in r5). The CMap stream itself is
+    Flate-compressed, covering filter handling on non-content
+    streams."""
+    import zlib
+
+    from kektordb_spark.sources.pdf import extract_pdf_text
+
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"3 beginbfchar\n"
+        b"<0041> <0048>\n"          # 0x41 -> 'H'
+        b"<0042> <0065>\n"          # 0x42 -> 'e'
+        b"<0050> <00470021>\n"      # 0x50 -> 'G!' (multi-char dst)
+        b"endbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0060> <0062> <006C>\n"   # 0x60..0x62 -> 'l','m','n'
+        b"<0070> <0071> [<006F> <0021>] \n"  # list form: 'o','!'
+        b"endbfrange\nendcmap\n"
+    )
+    cz = zlib.compress(cmap)
+    # content: select /F9 then show H e l l o via 2-byte codes
+    content = b"BT /F9 12 Tf <00410042006000600070> Tj ET"
+    objs = [
+        b"1 0 obj << /Type /Page /Contents 2 0 R "
+        b"/Resources << /Font << /F9 3 0 R >> >> >> endobj\n",
+        b"2 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+        % (len(content), content),
+        b"3 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 4 0 R >>"
+        b" endobj\n",
+        b"4 0 obj << /Length %d /Filter /FlateDecode >> stream\n%s\n"
+        b"endstream endobj\n" % (len(cz), cz),
+    ]
+    pdf = b"%PDF-1.5\n" + b"".join(objs) + b"%%EOF\n"
+    got = extract_pdf_text(pdf)
+    assert "Hello" in got
+    # multi-char bfchar destination and the list-form range
+    content2 = b"BT /F9 12 Tf <00500071> Tj ET"
+    pdf2 = pdf.replace(content, content2.ljust(len(content)))
+    assert "G!!" in extract_pdf_text(pdf2)
+
+
+def test_pdf_tounicode_only_applies_to_selected_font(tmp_path):
+    """A second font WITHOUT /ToUnicode falls back to latin-1 in the
+    same page — the Tf operator scopes the mapping."""
+    from kektordb_spark.sources.pdf import extract_pdf_text
+
+    cmap = b"1 beginbfchar <0041> <005A> endbfchar\n"  # 0x41 -> 'Z'
+    content = (b"BT /F1 12 Tf <0041> Tj ET\n"
+               b"BT /F2 12 Tf (plain latin) Tj ET")
+    objs = [
+        b"1 0 obj << /Type /Page /Contents 2 0 R /Resources << /Font "
+        b"<< /F1 3 0 R /F2 5 0 R >> >> >> endobj\n",
+        b"2 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+        % (len(content), content),
+        b"3 0 obj << /Type /Font /ToUnicode 4 0 R >> endobj\n",
+        b"4 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+        % (len(cmap), cmap),
+        b"5 0 obj << /Type /Font /Subtype /TrueType >> endobj\n",
+    ]
+    pdf = b"%PDF-1.5\n" + b"".join(objs) + b"%%EOF\n"
+    got = extract_pdf_text(pdf)
+    assert "Z" in got and "plain latin" in got
+
+
+def test_pdf_chained_ascii85_flate_filter():
+    from kektordb_spark.sources.pdf import extract_pdf_text
+    import base64
+    import zlib
+
+    content = b"BT (chained filters work) Tj ET"
+    body = base64.a85encode(zlib.compress(content)) + b"~>"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Page /Contents 2 0 R >> endobj\n"
+        b"2 0 obj << /Length " + str(len(body)).encode()
+        + b" /Filter [/ASCII85Decode /FlateDecode] >> stream\n" + body
+        + b"\nendstream endobj\n%%EOF\n"
+    )
+    assert "chained filters work" in extract_pdf_text(pdf)
+
+
+def test_pdf_multipart_contents_array():
+    """/Contents [a 0 R b 0 R]: parts join in array order."""
+    from kektordb_spark.sources.pdf import extract_pdf_text
+
+    c1, c2 = b"BT (part one) Tj ET", b"BT (part two) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Page /Contents [2 0 R 3 0 R] >> endobj\n"
+        + (b"2 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+           % (len(c1), c1))
+        + (b"3 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+           % (len(c2), c2))
+        + b"%%EOF\n"
+    )
+    got = extract_pdf_text(pdf)
+    assert "part one" in got and "part two" in got
+    assert got.index("part one") < got.index("part two")
+
+
+def test_pdf_objstm_page_and_font_expand():
+    """PDF 1.5+ writers pack page/font dicts into compressed object
+    streams (/Type /ObjStm); the scanner expands them, so a modern PDF
+    whose ONLY top-level objects are the content stream and the ObjStm
+    still extracts — including the ToUnicode mapping of a font defined
+    inside the ObjStm."""
+    import zlib
+
+    from kektordb_spark.sources.pdf import extract_pdf_text
+
+    cmap = b"1 beginbfchar <0041> <0057> endbfchar\n"  # 0x41 -> 'W'
+    page = (b"<< /Type /Page /Contents 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R >> >> >>")
+    font = b"<< /Type /Font /ToUnicode 4 0 R >>"
+    sub = page + b" " + font
+    header = b"1 0 5 %d " % (len(page) + 1)
+    objstm_body = header + sub
+    first = len(header)
+    oz = zlib.compress(objstm_body)
+    content = b"BT /F1 9 Tf <0041> Tj /F2 9 Tf (ord) Tj ET"
+    objs = [
+        b"3 0 obj << /Type /ObjStm /N 2 /First %d /Length %d "
+        b"/Filter /FlateDecode >> stream\n%s\nendstream endobj\n"
+        % (first, len(oz), oz),
+        b"2 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+        % (len(content), content),
+        b"4 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+        % (len(cmap), cmap),
+    ]
+    pdf = b"%PDF-1.5\n" + b"".join(objs) + b"%%EOF\n"
+    got = extract_pdf_text(pdf)
+    assert "W" in got and "ord" in got

@@ -106,6 +106,25 @@ def test_nsw_hop_equi_joins_over_persisted_graph(spark):
     assert "row_number" in plan
 
 
+def test_interval_join_api_plans_as_equi_join(spark):
+    """r6: the public interval_join operator (operators/rangejoin.py)
+    must plan its containment as a hash/sort-merge EQUI-join on the
+    bucket key — never the BroadcastNestedLoopJoin the raw inequality
+    predicate would pick."""
+    from kektordb_spark.operators.rangejoin import interval_join
+
+    iv = spark.range(100).selectExpr(
+        "id AS iid", "id * 10 AS s", "id * 10 + 25 AS e")
+    pt = spark.range(1000).selectExpr("id AS pid", "id AS p")
+    df = interval_join(iv, pt, "s", "e", "p", bucket=16)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
 def test_nng_descent_build_plan_is_gemm_free(spark):
     """r6: every stage of the graph BUILD (seed candidates, pair
     scoring, one refinement round's proposals) plans as bucketed
