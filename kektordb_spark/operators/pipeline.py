@@ -143,6 +143,47 @@ FROM s
 """.strip()
 
 
+N_EPOCHS = 2  # epochs materialized by the epoch-shuffle query
+
+
+def epoch_shuffle_sql(dialect: str, epochs: int = N_EPOCHS) -> str:
+    """Deterministic multi-EPOCH global shuffle (r6): every training
+    epoch gets an independent permutation of the corpus — shard and
+    within-shard position both keyed on md5(epoch salt + doc_id) — so
+    epoch 2 never replays epoch 1's order (the staleness/curriculum
+    artifact repeated-order training produces), yet any worker can
+    recompute its slice from (epoch, shard, position) alone: no
+    rand(), no driver-held permutation state, resume-exact across
+    re-runs and cluster layouts.
+
+    Mechanics: one UNION ALL branch per epoch (epoch count is config,
+    like MIX_RATES), each keying the SAME hash-shard + rank-window
+    shape as shard_assign_sql but with the epoch in the hash salt. One
+    shuffle keyed (epoch, shard); shard count scales with data so the
+    per-shard sort stays bounded — at 100 TB this is exactly the
+    per-epoch file-manifest a dataloader materializes ahead of time."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    branches = []
+    for e in range(epochs):
+        key = f"md5(concat('ep{e}:', CAST(doc_id AS {s})))"
+        shard = f"({_hex_to_int(dialect, key)}) % {N_SHARDS}"
+        branches.append(
+            f"SELECT doc_id, {e} AS epoch, CAST({shard} AS INT) AS shard,"
+            f" {key} AS k FROM documents"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH keyed AS (
+{union}
+)
+SELECT doc_id, CAST(epoch AS INT) AS epoch, shard,
+       CAST(row_number() OVER (PARTITION BY epoch, shard
+                               ORDER BY k ASC, doc_id ASC) AS INT)
+         AS position
+FROM keyed
+""".strip()
+
+
 def pack_sequences_sql(dialect: str) -> str:
     """Concatenate-and-chunk sequence packing (the GPT-style pack: the
     shard's documents form one token stream, split every

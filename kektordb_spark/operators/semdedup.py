@@ -204,3 +204,73 @@ def semantic_pairs(spark, tau: float = SEM_TAU):
     return inv.groupBy("cid").applyInPandas(
         cell_pairs, "id_a BIGINT, id_b BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# r6: semantic (embedding-level) train/eval decontamination
+# ---------------------------------------------------------------------------
+
+#: cosine floor for a train example to count as contaminated by an
+#: eval example — above the persisted pair index's 0.30 build floor,
+#: so the Spark side serves it by post-filtering the index.
+DECON_TAU = 0.35
+#: the derived eval holdout: vec_id % DECON_MOD = DECON_REM (~5% of
+#: the corpus; the repo's standard derived-batch device — the fixture
+#: has no natural eval split).
+DECON_MOD, DECON_REM = 20, 3
+
+
+def decon_eval_pred(col: str) -> str:
+    return f"{col} % {DECON_MOD} = {DECON_REM}"
+
+
+def decon_final_sql(hits_rel: str) -> str:
+    """Shared post-image over a (eval_id, train_id, sim) hit relation:
+    one row per contaminated TRAIN example with its strongest eval
+    witness (rank on round-6 sim, eval-id tie-break — kernel/fold sims
+    agree to ~1e-15, six orders below the grid)."""
+    return f"""
+SELECT train_id, eval_id AS witness_eval_id,
+       round(sim, 6) + 0.0 AS sim
+FROM (
+  SELECT train_id, eval_id, sim,
+         row_number() OVER (PARTITION BY train_id
+                            ORDER BY round(sim, 6) DESC, eval_id ASC) AS rk
+  FROM {hits_rel} h
+) t WHERE rk = 1
+""".strip()
+
+
+def decon_hits_from_pairs_sql(pairs_rel: str, tau: float = DECON_TAU) -> str:
+    """Hits from an undirected (u, w, sim) pair relation (the persisted
+    similarity index): exactly one endpoint in the eval holdout."""
+    ev_u, ev_w = decon_eval_pred("u"), decon_eval_pred("w")
+    return f"""
+SELECT CASE WHEN {ev_u} THEN u ELSE w END AS eval_id,
+       CASE WHEN {ev_u} THEN w ELSE u END AS train_id,
+       sim
+FROM {pairs_rel} p
+WHERE (({ev_u}) OR ({ev_w})) AND NOT (({ev_u}) AND ({ev_w}))
+  AND sim >= {tau}e0
+""".strip()
+
+
+def semantic_decontaminate_oracle_sql(dialect: str,
+                                      tau: float = DECON_TAU) -> str:
+    """Self-contained oracle: exact eval x train cosine join (the
+    fold-left dot, bit-stable) — the ground truth the Spark side's
+    index-served answer must reproduce value-for-value."""
+    from kektordb_spark.tables import dot_sql
+
+    dot = dot_sql(dialect, "a.v", "b.v")
+    return f"""
+WITH hits AS (
+  SELECT a.vec_id AS eval_id, b.vec_id AS train_id,
+         ({dot}) / (a.norm * b.norm) AS sim
+  FROM emb a JOIN emb b
+    ON {decon_eval_pred('a.vec_id')}
+   AND NOT ({decon_eval_pred('b.vec_id')})
+  WHERE ({dot}) / (a.norm * b.norm) >= {tau}e0
+)
+{decon_final_sql('hits')}
+""".strip()

@@ -2517,6 +2517,37 @@ from kektordb_spark.operators import pipeline as PL  # noqa: E402
 register_sql("pipeline_mix_sample", PL.mix_sample_sql, [])
 register_sql("pipeline_mix_summary", PL.mix_summary_sql, [])
 register_sql("pipeline_shard_assign", PL.shard_assign_sql, [])
+register_sql("pipeline_epoch_shuffle", PL.epoch_shuffle_sql, [])
+
+
+@register("pipeline_semantic_decontaminate",
+          with_oracle_ctes(
+              SD.semantic_decontaminate_oracle_sql("duckdb"), ["emb"]))
+def pipeline_semantic_decontaminate(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) train/eval decontamination (r6):
+    drop every TRAIN example whose embedding is within DECON_TAU cosine
+    of ANY eval-holdout example — the contamination n-gram matching
+    (pipeline_decontaminate) can't see: paraphrases and translations
+    share no 8-gram but sit close in embedding space (the Phi/GPT-4
+    technical reports both motivate exactly this second layer).
+
+    Spark serves from the PERSISTED similarity-pair index
+    (knn_planner.similar_pairs — sim_pairs_030, built once at ingest;
+    post-filter + endpoint-XOR + per-train argmax witness), so the
+    query itself is one index scan + one window: no pair generation at
+    query time, the same build/serve split the whole ANN layer uses.
+    The oracle re-derives the exact eval x train cosine join end-to-end
+    (operators/semdedup.py semantic_decontaminate_oracle_sql). At
+    100 TB the pair index is LSH-banded instead of exact — the planner
+    flag picks that automatically (similar_pairs serving order)."""
+    from kektordb_spark.operators import knn_planner as KP
+
+    load_tables(spark, sf_dir)
+    sp = KP.similar_pairs(spark, SD.DECON_TAU)
+    sp.createOrReplaceTempView("_decon_pairs")
+    return spark.sql(SD.decon_final_sql(
+        f"({SD.decon_hits_from_pairs_sql('_decon_pairs')})"))
 register_sql("pipeline_pack_sequences", PL.pack_sequences_sql, [])
 register_sql("pipeline_quality_gate", PL.quality_gate_sql, [])
 register_sql("pipeline_curriculum", PL.curriculum_sql, [])
@@ -2847,6 +2878,9 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_mix_sample",
     "pipeline_mix_summary",
     "epistemic_friction",
+    # r6 new operators
+    "pipeline_semantic_decontaminate",
+    "pipeline_epoch_shuffle",
     # r6 staleness rotation: every remaining query below was last
     # driver-checked in r2 (7 queries) or r3 — oldest first, so no
     # green row goes unchecked more than ~3 rounds.
@@ -2896,12 +2930,13 @@ _DRIVER_WINDOW_FIRST = [
     "graph_subgraph",
     "hybrid_contains_filter",
     "semantic_cache_lookup",
+    # r7 rotation remainder (positions 51+, checked next round):
+    # text_stats, graph_all_relations, graph_traverse_2hop,
+    # knn_cosine_top10, knn_dot_top10, dedup_exact, filter_dsl_or_and,
+    # bm25_top10, rel_pricing_summary, rel_topk_orders,
+    # rel_window_running.
     "text_stats",
     "graph_all_relations",
-    # r7 rotation remainder (positions 51+, checked next round):
-    # graph_traverse_2hop, knn_cosine_top10, knn_dot_top10, dedup_exact,
-    # filter_dsl_or_and, bm25_top10, rel_pricing_summary,
-    # rel_topk_orders, rel_window_running.
     "graph_traverse_2hop",
     "knn_cosine_top10",
     "knn_dot_top10",

@@ -85,6 +85,9 @@ PROBE_QUERIES = [
     # the explicit nng_descent_build row)
     "ann_graph_build",
     "ann_graph_merge",
+    # r6 pipeline additions
+    "pipeline_epoch_shuffle",
+    "pipeline_semantic_decontaminate",
 ]
 
 
