@@ -1,0 +1,156 @@
+"""Seeded random-projection (Johnson-Lindenstrauss) dimensionality
+reduction for the embedding corpus, plus its two quality audits.
+
+Why this operator exists at 100 TB: every ANN path's cost is linear in
+the vector width — the IVF assignment fold, the descent build's
+proposal scoring, the beam hops' distance joins, the GEMM tiles. A
+JL projection to k dims cuts all of them ~dim/k while provably
+preserving pairwise L2 distances within (1 +/- eps) w.h.p.
+(Johnson & Lindenstrauss 1984; Achlioptas 2003 for the
+database-friendly variants). The projection here is the plain Gaussian
+map p = R v / sqrt(k) with R drawn from the same deterministic seeded
+generator the LSH lattices use — so the projection is a pure column
+expression (k index-order dot folds, bit-identical across engines), a
+scan-time transform with NO shuffle, and every audit is oracle-exact.
+
+Two audits, the same promote-the-quality-gate-to-a-query discipline as
+ann_recall_audit:
+
+  * emb_projection_audit — distortion histogram: for a deterministic
+    linear pair sample (the id-ring, offsets 1..JL_RING), bucket
+    ||p(a)-p(b)||^2 / ||a-b||^2 on the floor-0.1 grid and count.
+    E[ratio] = 1 under the JL scaling; the mass concentrating around
+    bucket 10 IS the guarantee, measured in-engine on integers
+    (hash-stable by construction).
+  * knn_projected_recall — recall@k of exact k-NN in the PROJECTED
+    space vs exact k-NN in the original space (the end-to-end question
+    a search pipeline actually asks before switching widths); same
+    output contract as ivf_recall_sql (hits + floored recall_pct).
+
+1/sqrt(k) for k=16 is exactly 0.25 — IEEE-exact, so the projection
+adds no rounding discipline of its own.
+"""
+
+from __future__ import annotations
+
+from kektordb_spark.tables import dot_sql, l2sq_sql
+
+JL_DIM = 16    # projected width (64 -> 16: 4x cheaper folds/GEMM)
+JL_SEED = 7    # seeded Gaussian directions (independent of LSH seeds)
+JL_RING = 4    # pair-sample offsets 1..JL_RING over the id-ordered ring
+IN_DIM = 64
+
+
+def _directions(k: int = JL_DIM, dim: int = IN_DIM, seed: int = JL_SEED):
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(k)]
+
+
+def jl_proj_sql(dialect: str, vcol: str, k: int = JL_DIM) -> str:
+    """Projected vector as an array expression: k seeded-direction dot
+    folds scaled by 1/sqrt(k) (exact for k=16). Index-order folds both
+    sides — bit-identical across engines."""
+    assert k == 16, "scale below is exact only for k=16 (1/sqrt(16))"
+    dirs = _directions(k)
+
+    def arr_lit(d: list[float]) -> str:
+        inner = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in d)
+        return f"array({inner})" if dialect == "spark" else f"[{inner}]"
+
+    comps = ", ".join(
+        f"0.25e0 * ({dot_sql(dialect, vcol, arr_lit(d))})" for d in dirs
+    )
+    return (f"array({comps})" if dialect == "spark" else f"[{comps}]")
+
+
+def projection_audit_sql(dialect: str, k: int = JL_DIM) -> str:
+    """Distortion histogram over the deterministic ring pair sample:
+    bucket = floor(10 * ||p(a)-p(b)||^2 / ||a-b||^2), counts per
+    bucket. Linear in N (JL_RING * N pairs), integers out."""
+    proj = jl_proj_sql(dialect, "v", k)
+    ring = "\nUNION ALL\n".join(
+        f"SELECT a.vec_id AS ia, b.vec_id AS ib\n"
+        f"FROM ordv a, nv, ordv b\n"
+        f"WHERE b.rnk = (a.rnk + {j}) % nv.n"
+        for j in range(1, JL_RING + 1)
+    )
+    d_orig = l2sq_sql(dialect, "x.v", "y.v")
+    d_proj = l2sq_sql(dialect, "x.p", "y.p")
+    return f"""
+WITH ordv AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rnk FROM emb
+),
+nv AS (SELECT count(*) AS n FROM emb),
+pairs AS (
+{ring}
+),
+pv AS (
+  SELECT vec_id, v, {proj} AS p FROM emb
+),
+r AS (
+  SELECT ({d_proj}) / ({d_orig}) AS ratio
+  FROM pairs
+  JOIN pv x ON x.vec_id = pairs.ia
+  JOIN pv y ON y.vec_id = pairs.ib
+  WHERE ({d_orig}) > 0e0
+)
+SELECT CAST(floor(ratio * 10e0) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM r
+GROUP BY 1
+ORDER BY 1
+""".strip()
+
+
+def projected_recall_sql(
+    dialect: str,
+    k: int = 10,
+    n_queries: int = 5,
+    out_dim: int = JL_DIM,
+) -> str:
+    """Recall@k of exact k-NN computed in the PROJECTED space against
+    exact k-NN in the original space (cosine in original, L2 in
+    projected — JL preserves L2; the corpus norms are near-constant on
+    this fixture so the orders are comparable, which is exactly what
+    the audit verifies). Same output contract as ivf_recall_sql."""
+    proj = jl_proj_sql(dialect, "v", out_dim)
+    d_orig = dot_sql(dialect, "q.v", "c.v")
+    d_proj = l2sq_sql(dialect, "q.p", "c.p")
+    return f"""
+WITH pv AS (
+  SELECT vec_id, v, norm, {proj} AS p FROM emb
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY (1.0 - ({d_orig}) / (q.norm * c.norm)) ASC,
+                                       c.vec_id ASC) AS rk
+    FROM emb q JOIN emb c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {n_queries}
+  ) t WHERE rk <= {k}
+),
+ap AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY ({d_proj}) ASC, c.vec_id ASC) AS rk
+    FROM pv q JOIN pv c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {n_queries}
+  ) t WHERE rk <= {k}
+),
+hits AS (
+  SELECT e.query_id, count(*) AS n_hits
+  FROM ex e JOIN ap ON ap.query_id = e.query_id
+                   AND ap.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST(coalesce(h.n_hits, 0) AS INT) AS hits,
+       CAST(floor(coalesce(h.n_hits, 0) * 100e0 / {k}) AS INT) AS recall_pct
+FROM emb q LEFT JOIN hits h ON h.query_id = q.vec_id
+WHERE q.vec_id < {n_queries}
+ORDER BY q.vec_id
+""".strip()

@@ -345,6 +345,38 @@ def ann_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("nng").select("src", "dst")
 
 
+from kektordb_spark.operators import projection as PJ  # noqa: E402
+
+register_sql(
+    "emb_projection_audit",
+    PJ.projection_audit_sql,
+    ["emb"],
+    doc="""Johnson-Lindenstrauss distortion audit (operators/
+    projection.py): project 64-dim embeddings to JL_DIM=16 with a
+    seeded Gaussian map (pure column expression, no shuffle) and
+    histogram the pairwise L2 distortion ratio over the deterministic
+    ring pair sample on the floor-0.1 grid. The mass concentrating at
+    bucket 10 (ratio ~1.0) is the JL guarantee measured in-engine —
+    the go/no-go gate before cutting every ANN fold's width 4x at
+    100 TB. Linear in N; integer output.""",
+)
+
+register_sql(
+    "knn_projected_recall",
+    PJ.projected_recall_sql,
+    ["emb"],
+    doc="""Recall@10 of exact k-NN in the JL-PROJECTED space vs the
+    original space (operators/projection.py) — the end-to-end question
+    before switching ANN to the narrow width. On THIS fixture the
+    measured recall is low (~10-30%): the corpus has weak neighbor
+    structure (max pairwise cosine ~0.5), so 16-dim JL noise swamps
+    the tiny neighbor margins — the audit's correct verdict here is
+    "do not compress", which is precisely the decision it exists to
+    make cheaply (corpora with real cluster structure score high and
+    earn the 4x fold savings).""",
+)
+
+
 @register("ann_recall_audit", with_oracle_ctes(IVF.ivf_recall_sql("duckdb"), ["emb"]))
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF path vs the exact-kNN oracle, in-engine
@@ -2881,6 +2913,8 @@ _DRIVER_WINDOW_FIRST = [
     # r6 new operators
     "pipeline_semantic_decontaminate",
     "pipeline_epoch_shuffle",
+    "emb_projection_audit",
+    "knn_projected_recall",
     # r6 staleness rotation: every remaining query below was last
     # driver-checked in r2 (7 queries) or r3 — oldest first, so no
     # green row goes unchecked more than ~3 rounds.
@@ -2928,13 +2962,13 @@ _DRIVER_WINDOW_FIRST = [
     "graph_find_path",
     "graph_search_relations",
     "graph_subgraph",
+    # r7 rotation remainder (positions 51+, checked next round):
+    # hybrid_contains_filter, semantic_cache_lookup, text_stats,
+    # graph_all_relations, graph_traverse_2hop, knn_cosine_top10,
+    # knn_dot_top10, dedup_exact, filter_dsl_or_and, bm25_top10,
+    # rel_pricing_summary, rel_topk_orders, rel_window_running.
     "hybrid_contains_filter",
     "semantic_cache_lookup",
-    # r7 rotation remainder (positions 51+, checked next round):
-    # text_stats, graph_all_relations, graph_traverse_2hop,
-    # knn_cosine_top10, knn_dot_top10, dedup_exact, filter_dsl_or_and,
-    # bm25_top10, rel_pricing_summary, rel_topk_orders,
-    # rel_window_running.
     "text_stats",
     "graph_all_relations",
     "graph_traverse_2hop",

@@ -88,6 +88,8 @@ PROBE_QUERIES = [
     # r6 pipeline additions
     "pipeline_epoch_shuffle",
     "pipeline_semantic_decontaminate",
+    "emb_projection_audit",
+    "knn_projected_recall",
 ]
 
 
