@@ -97,17 +97,17 @@ ORDER BY size DESC, comp_id
 """.strip()
 
 
-def components_df(spark, threshold: float = CC_TAU,
-                  max_levels: int = CC_MAX_LEVELS) -> DataFrame:
-    """Spark runner: iterated star contraction (see module docstring),
-    over the persisted pair index when the threshold allows."""
-    from kektordb_spark.operators import knn_planner as KP
-
-    pairs = KP.similar_pairs(spark, threshold).select("u", "w")
-    if not KP.pairs_served_from_index(spark, threshold):
-        pairs = pairs.localCheckpoint(eager=True)
+def component_labels(spark, pairs: DataFrame,
+                     max_levels: int = CC_MAX_LEVELS) -> DataFrame:
+    """Iterated star contraction over an undirected (u, w) pair
+    relation -> (node, label) for every edge endpoint, label = min
+    member of the node's component. Asserted fixpoint (raises rather
+    than returning split components). Shared by the full build
+    (components_df) and the incremental merge (components_merge_df,
+    which contracts the QUOTIENT graph with the same runner)."""
     edges = (
-        pairs.unionAll(pairs.select(F.col("w").alias("u"), F.col("u").alias("w")))
+        pairs.select("u", "w")
+        .unionAll(pairs.select(F.col("w").alias("u"), F.col("u").alias("w")))
         .repartition("u")
         .localCheckpoint(eager=True)
     )
@@ -160,9 +160,14 @@ def components_df(spark, threshold: float = CC_TAU,
             .select("node",
                     F.coalesce("label2", "label").alias("label"))
         )
+    return final
 
+
+def _component_summary(labels: DataFrame) -> DataFrame:
+    """(node, label) -> the output contract: one row per component
+    (comp_id = min member, size, max_node, md5 over sorted members)."""
     return (
-        final.groupBy(F.col("label").alias("comp_id"))
+        labels.groupBy(F.col("label").alias("comp_id"))
         .agg(
             F.count("*").cast("int").alias("size"),
             F.max("node").cast("long").alias("max_node"),
@@ -172,3 +177,107 @@ def components_df(spark, threshold: float = CC_TAU,
         )
         .orderBy(F.col("size").desc(), "comp_id")
     )
+
+
+def components_df(spark, threshold: float = CC_TAU,
+                  max_levels: int = CC_MAX_LEVELS) -> DataFrame:
+    """Spark runner: iterated star contraction (see module docstring),
+    over the persisted pair index when the threshold allows."""
+    from kektordb_spark.operators import knn_planner as KP
+
+    pairs = KP.similar_pairs(spark, threshold).select("u", "w")
+    if not KP.pairs_served_from_index(spark, threshold):
+        pairs = pairs.localCheckpoint(eager=True)
+    return _component_summary(component_labels(spark, pairs, max_levels))
+
+
+# --------------------------------------------------------------------------
+# r6: incremental component maintenance (the re-crawl shape for graphs)
+# --------------------------------------------------------------------------
+
+#: the arrival wave: nodes with vec_id % CCM_MOD = CCM_REM are "new";
+#: the persisted label relation (tables.load_tables ``comp_labels``)
+#: covers the OLD graph (pairs among non-batch nodes only).
+CCM_MOD, CCM_REM = 10, 7
+
+
+def old_pairs_df(spark, threshold: float = CC_TAU) -> DataFrame:
+    """Similarity pairs among non-batch nodes — the OLD graph whose
+    labels are persisted."""
+    from kektordb_spark.operators import knn_planner as KP
+
+    return KP.similar_pairs(spark, threshold).where(
+        (F.col("u") % CCM_MOD != CCM_REM) & (F.col("w") % CCM_MOD != CCM_REM)
+    ).select("u", "w")
+
+
+def components_merge_df(spark, threshold: float = CC_TAU,
+                        labels_source: str = "comp_labels") -> DataFrame:
+    """Merge an arrival wave into the persisted component labels
+    WITHOUT recomputing the graph: map the new edges (>= one batch
+    endpoint) through the old labels (one equi-join per endpoint;
+    unlabeled = the node itself), contract the resulting QUOTIENT graph
+    with the same asserted-fixpoint runner, and compose. Cost is
+    O(|new edges| + |touched components|) — the old graph's edges are
+    never read again (the dedup_incremental / ann_index_merge /
+    ann_graph_merge arrival-wave discipline, now for graph state).
+
+    Output contract = components_df, and the ORACLE is the full-graph
+    recomputation (components_oracle_sql over ALL pairs): value
+    equality IS the losslessness proof that incremental maintenance
+    converges to the same partition the batch build would produce.
+
+    Quotient min-labels are GLOBAL component minima: every old
+    component is represented by its min member (the persisted label),
+    every batch node by itself, so the contracted minimum over a merged
+    component ranges over exactly the candidate set containing the true
+    global min."""
+    from kektordb_spark.operators import knn_planner as KP
+
+    old_labels = spark.table(labels_source)
+    new_pairs = KP.similar_pairs(spark, threshold).where(
+        (F.col("u") % CCM_MOD == CCM_REM) | (F.col("w") % CCM_MOD == CCM_REM)
+    ).select("u", "w")
+
+    def relabel(side: str) -> DataFrame:
+        return old_labels.select(
+            F.col("node").alias(side), F.col("label").alias(f"l_{side}"))
+
+    quotient = (
+        new_pairs.join(relabel("u"), "u", "left")
+        .join(relabel("w"), "w", "left")
+        .select(
+            F.coalesce("l_u", "u").alias("u"),
+            F.coalesce("l_w", "w").alias("w"),
+        )
+        .where(F.col("u") != F.col("w"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    qlabels = component_labels(spark, quotient)
+
+    # final node -> label: old labels re-mapped through the quotient
+    # (untouched components miss the quotient map and keep their label)
+    # UNION the batch endpoints mapped directly.
+    qmap = qlabels.select(F.col("node").alias("label"),
+                          F.col("label").alias("qlabel"))
+    old_final = (
+        old_labels.join(qmap, "label", "left")
+        .select("node", F.coalesce("qlabel", "label").alias("label"))
+    )
+    # every new-edge endpoint with NO old label (batch nodes, and old
+    # nodes whose only edges touch the batch — absent from the old
+    # graph) enters the quotient as itself, so its final label is its
+    # quotient label directly
+    fresh_nodes = (
+        new_pairs.select(F.col("u").alias("node"))
+        .unionAll(new_pairs.select(F.col("w").alias("node")))
+        .distinct()
+        .join(old_labels.select("node"), "node", "left_anti")
+    )
+    fresh_final = (
+        fresh_nodes.join(
+            qlabels.select(F.col("node"), F.col("label")), "node", "left")
+        .select("node", F.coalesce("label", "node").alias("label"))
+    )
+    return _component_summary(old_final.unionAll(fresh_final))

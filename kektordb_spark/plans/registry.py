@@ -2664,6 +2664,24 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return CC.components_df(spark)
 
+@register("graph_components_merge",
+          with_oracle_ctes(CC.components_oracle_sql(), ["emb"]))
+def graph_components_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components maintenance (r6 — the
+    arrival-wave shape for GRAPH state, completing the family:
+    dedup_incremental / ann_index_merge / ann_graph_merge): the new
+    wave's edges map through the PERSISTED labels (comp_labels, built
+    over the old graph at load), the tiny quotient graph contracts with
+    the same asserted-fixpoint runner, labels compose — the old graph's
+    edges are never re-read, O(|new edges| + |touched components|) per
+    wave. The ORACLE is the full-graph recomputation
+    (components_oracle_sql over ALL pairs): value equality IS the proof
+    the incremental path is lossless. operators/components.py
+    components_merge_df."""
+    load_tables(spark, sf_dir)
+    return CC.components_merge_df(spark)
+
+
 from kektordb_spark.operators import kcore as KC  # noqa: E402
 from kektordb_spark.operators import rangejoin as RJ  # noqa: E402
 
@@ -2915,6 +2933,7 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_epoch_shuffle",
     "emb_projection_audit",
     "knn_projected_recall",
+    "graph_components_merge",
     # r6 staleness rotation: every remaining query below was last
     # driver-checked in r2 (7 queries) or r3 — oldest first, so no
     # green row goes unchecked more than ~3 rounds.
@@ -2963,10 +2982,11 @@ _DRIVER_WINDOW_FIRST = [
     "graph_search_relations",
     "graph_subgraph",
     # r7 rotation remainder (positions 51+, checked next round):
-    # hybrid_contains_filter, semantic_cache_lookup, text_stats,
-    # graph_all_relations, graph_traverse_2hop, knn_cosine_top10,
-    # knn_dot_top10, dedup_exact, filter_dsl_or_and, bm25_top10,
-    # rel_pricing_summary, rel_topk_orders, rel_window_running.
+    # graph_search_relations, hybrid_contains_filter,
+    # semantic_cache_lookup, text_stats, graph_all_relations,
+    # graph_traverse_2hop, knn_cosine_top10, knn_dot_top10, dedup_exact,
+    # filter_dsl_or_and, bm25_top10, rel_pricing_summary,
+    # rel_topk_orders, rel_window_running.
     "hybrid_contains_filter",
     "semantic_cache_lookup",
     "text_stats",

@@ -507,6 +507,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "WITH " + _ivf_mean_cte("spark", "emb", "lc", cid="label")
         + "\nSELECT label, v FROM lc"
     ))
+    # Persisted component labels over the OLD similarity graph (pairs
+    # among non-arrival nodes) — the graph-state side of the
+    # incremental-maintenance family: components_merge_df folds an
+    # arrival wave into THESE labels without re-reading the old edges
+    # (operators/components.py). Derived from the sim-pair index just
+    # materialized above.
+    from kektordb_spark.operators import components as _CC
+
+    _mat("comp_labels", _CC.component_labels(
+        spark, _CC.old_pairs_df(spark)))
     # Navigable k-NN graph (V8's batch analog, operators/nsw.py):
     # LSH-seeded NN-descent at build time — every stage a bucketed
     # equi-join, never an all-pairs sweep (the GEMM exact build stays

@@ -90,6 +90,7 @@ PROBE_QUERIES = [
     "pipeline_semantic_decontaminate",
     "emb_projection_audit",
     "knn_projected_recall",
+    "graph_components_merge",
 ]
 
 

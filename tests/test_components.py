@@ -63,3 +63,39 @@ def test_components_convergence_assertion_raises(spark):
     load_tables(spark, SF_SMALL)
     with pytest.raises(RuntimeError, match="did not converge"):
         components_df(spark, max_levels=0)
+
+
+def test_components_merge_equals_full_rebuild(spark):
+    """r6 incremental maintenance: folding the arrival wave into the
+    persisted old-graph labels must reproduce the full-graph build
+    row-for-row (the losslessness pin; the driver proves the same
+    against the DuckDB full-recompute oracle)."""
+    from kektordb_spark.operators import components as CC
+    from kektordb_spark.tables import load_tables
+    from tests.conftest import SF_SMALL
+
+    load_tables(spark, SF_SMALL)
+    full = [(r.comp_id, r.size, r.max_node, r.members_md5)
+            for r in CC.components_df(spark).collect()]
+    merged = [(r.comp_id, r.size, r.max_node, r.members_md5)
+              for r in CC.components_merge_df(spark).collect()]
+    assert merged == full and len(full) > 0
+
+
+def test_components_merge_quotient_is_small(spark):
+    """The merge's contraction input must be the QUOTIENT graph, not
+    the corpus: its edge count is bounded by the new wave's edges, far
+    below the full pair index (the O(batch) claim, measured)."""
+    from pyspark.sql import functions as F
+
+    from kektordb_spark.operators import components as CC
+    from kektordb_spark.operators import knn_planner as KP
+    from kektordb_spark.tables import load_tables
+    from tests.conftest import SF_SMALL
+
+    load_tables(spark, SF_SMALL)
+    all_pairs = KP.similar_pairs(spark, CC.CC_TAU).count()
+    new_pairs = KP.similar_pairs(spark, CC.CC_TAU).where(
+        (F.col("u") % CC.CCM_MOD == CC.CCM_REM)
+        | (F.col("w") % CC.CCM_MOD == CC.CCM_REM)).count()
+    assert 0 < new_pairs < all_pairs
