@@ -21,6 +21,89 @@ the operator is fully oracle-checked.
 
 from __future__ import annotations
 
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """Reusable as-of join (r6 — the public-API promotion the interval
+    join got, same rationale: the brief's Spark-lacking operators
+    deserve operators, not single queries): every ``left`` row picks
+    the ``right`` row with the greatest ``right_ts`` at-or-before its
+    ``left_ts`` within the ``on`` key — pandas merge_asof(backward)
+    semantics, planned as the UNION + ordered-window trick (module
+    docstring): ONE shuffle on the key, NO join node, zero row blowup
+    (plan-asserted in tests/test_plan_shapes.py).
+
+    Mechanics that make it correct, not just fast:
+      * the right row's payload travels as ONE struct through
+        ``last(ignorenulls)`` — per-column lasts could stitch fields
+        from DIFFERENT versions whenever any payload column is null;
+      * the window orders by (ts, kind, payload): versions sort before
+        probes at equal timestamps (at-or-before includes ties), and
+        the payload tiebreak makes equal-timestamp versions
+        deterministic;
+      * ``how='left'`` keeps unmatched probes (right columns null);
+        ``'inner'`` drops them.
+
+    Column names must be disjoint outside ``on`` (raises otherwise).
+    Returns all left columns + the right payload columns."""
+    if how not in ("left", "inner"):
+        raise ValueError("asof_join: how must be 'left' or 'inner'")
+    payload_cols = [c for c in right.columns
+                    if c not in on and c != right_ts]
+    if not payload_cols:
+        raise ValueError(
+            "asof_join: right side needs at least one payload column "
+            "besides the key and timestamp")
+    overlap = (set(left.columns) - set(on)) & set(payload_cols + [right_ts])
+    if overlap:
+        raise ValueError(
+            f"asof_join: column name collision {sorted(overlap)} — "
+            "rename one side (only the 'on' keys may be shared)")
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    versions = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).cast("long").alias("_aj_ts"),
+        F.lit(0).alias("_aj_kind"),
+        payload.alias("_aj_p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in on],
+    )
+    probes = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).cast("long").alias("_aj_ts"),
+        F.lit(1).alias("_aj_kind"),
+        F.lit(None).cast(versions.schema["_aj_p"].dataType).alias("_aj_p"),
+        *[F.col(c) for c in left.columns if c not in on],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_aj_ts", "_aj_kind", "_aj_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    resolved = (
+        versions.unionByName(probes)
+        .withColumn("_aj_m", F.last("_aj_p", ignorenulls=True).over(w))
+        .where(F.col("_aj_kind") == 1)
+    )
+    if how == "inner":
+        # the MATCH is null, not a payload field (a matched version may
+        # legitimately carry null fields)
+        resolved = resolved.where(F.col("_aj_m").isNotNull())
+    return resolved.select(
+        *[F.col(c) for c in on],
+        *[F.col(c) for c in left.columns if c not in on],
+        *[F.col("_aj_m")[c].alias(c) for c in payload_cols],
+    )
+
 
 def artifact_version_asof_sql(
     dialect: str, artifact_mod: int = 25, probe_every: int = 3,

@@ -85,3 +85,67 @@ def test_embed_sql_matches_stub_bytes(spark):
         py = [digest[i] / 255.0 - 0.5 for i in range(EMBED_DIM)]
         dq = con.execute(f"SELECT {embed_sql('duckdb', repr(t))} AS v").fetchone()[0]
         assert py == list(dq), f"duckdb embed mismatch for {t!r}"
+
+
+def _duck_asof(lrows, rrows, how="left"):
+    """Ground truth via DuckDB's native ASOF JOIN (greatest right ts
+    at-or-before the probe's, per key)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k BIGINT, lts BIGINT, lval BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", lrows)
+    con.execute("CREATE TABLE r (k BIGINT, rts BIGINT, rval BIGINT)")
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", rrows)
+    j = "ASOF LEFT JOIN" if how == "left" else "ASOF JOIN"
+    return {tuple(x) for x in con.execute(
+        f"SELECT l.k, l.lts, l.lval, r.rval FROM l {j} r "
+        "ON l.k = r.k AND l.lts >= r.rts").fetchall()}
+
+
+def test_asof_join_api_matches_duckdb_asof():
+    """Property test for the public asof_join operator: random probes
+    and versions (unique version ts per key — both engines' tie rule is
+    otherwise unspecified) must match DuckDB's native ASOF JOIN for
+    both how= modes, including exact-timestamp ties (at-or-before)."""
+    import random
+
+    from kektordb_spark.operators.asof import asof_join
+    from kektordb_spark.session import get_spark
+
+    spark = get_spark("asof-prop", cpus=8)
+    rng = random.Random(5)
+    rrows = []
+    for k in range(6):
+        for ts in rng.sample(range(0, 400), 25):  # unique ts per key
+            rrows.append((k, ts, rng.randint(0, 99)))
+    lrows = [(rng.randint(0, 7), rng.randint(-20, 430), i)
+             for i in range(300)]
+    # exact-tie probes on existing version timestamps
+    for i, (k, ts, _v) in enumerate(rrows[:40]):
+        lrows.append((k, ts, 1000 + i))
+
+    left = spark.createDataFrame(lrows, "k long, lts long, lval long")
+    right = spark.createDataFrame(rrows, "k long, rts long, rval long")
+    for how in ("left", "inner"):
+        got = {(r.k, r.lts, r.lval, r.rval) for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            how=how).collect()}
+        want = _duck_asof(lrows, rrows, how)
+        if how == "inner":
+            want = {t for t in want if t[3] is not None}
+        assert got == want, f"how={how}: {len(got ^ want)} diffs"
+
+
+def test_asof_join_rejects_collisions_and_empty_payload(spark):
+    import pytest
+
+    from kektordb_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame([(1, 2, 3)], "k long, lts long, v long")
+    r = spark.createDataFrame([(1, 2, 3)], "k long, rts long, v long")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(l, r, on=["k"], left_ts="lts", right_ts="rts")
+    r2 = spark.createDataFrame([(1, 2)], "k long, rts long")
+    with pytest.raises(ValueError, match="payload"):
+        asof_join(l, r2, on=["k"], left_ts="lts", right_ts="rts")

@@ -125,6 +125,24 @@ def test_interval_join_api_plans_as_equi_join(spark):
             or "ShuffledHashJoin" in plan)
 
 
+def test_asof_join_api_plans_without_a_join(spark):
+    """r6: the public asof_join operator (operators/asof.py) must plan
+    as UNION + one ordered window on the key — NO join node of any kind
+    and exactly one Exchange (the key partitioning)."""
+    from kektordb_spark.operators.asof import asof_join
+
+    left = spark.range(100).selectExpr(
+        "id % 5 AS k", "id AS lts", "id AS lval")
+    right = spark.range(40).selectExpr(
+        "id % 5 AS k", "id * 2 AS rts", "id AS rval")
+    df = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert n_exchanges(plan) == 1
+
+
 def test_nng_descent_build_plan_is_gemm_free(spark):
     """r6: every stage of the graph BUILD (seed candidates, pair
     scoring, one refinement round's proposals) plans as bucketed
