@@ -2982,7 +2982,9 @@ _DRIVER_WINDOW_FIRST = [
     "graph_search_relations",
     "graph_subgraph",
     # r7 rotation remainder (positions 51+, checked next round):
-    # graph_search_relations, hybrid_contains_filter,
+    # gardener_importance_shifts, gardener_knowledge_gaps,
+    # graph_bfs_depth3, graph_degree_timetravel, graph_find_path,
+    # graph_search_relations, graph_subgraph, hybrid_contains_filter,
     # semantic_cache_lookup, text_stats, graph_all_relations,
     # graph_traverse_2hop, knn_cosine_top10, knn_dot_top10, dedup_exact,
     # filter_dsl_or_and, bm25_top10, rel_pricing_summary,
