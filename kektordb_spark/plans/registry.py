@@ -2419,6 +2419,27 @@ def streaming_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("streaming_ann_assign",
+          with_oracle_ctes(
+              "SELECT cid, n_batch FROM (\n"
+              + IVF.ivf_merge_sql("duckdb")
+              + "\n) m ORDER BY cid", ["emb"]))
+def streaming_ann_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance (streaming/ann.py — the STREAM
+    face of ann_index_merge): arrivals land as interleaved chunk files,
+    stream with one-file micro-batches, each batch assigns to the
+    persisted coarse quantizer (broadcast argmin, O(batch)) and folds
+    per-cell counters — state is nlist numbers, never rows. The oracle
+    is the (cid, n_batch) projection of the BATCH merge report, so the
+    driver value-check IS the stream-equals-batch proof; redelivery
+    idempotence + arrival-order independence pinned in
+    tests/test_streaming.py."""
+    load_tables(spark, sf_dir)
+    from kektordb_spark.streaming.ann import ann_assign_stream_run
+
+    return ann_assign_stream_run(spark, f"{sf_dir}/embeddings.parquet")
+
+
 register_sql("text_lang_id", TQ.lang_id_sql, [])
 register_sql("text_quality_score", TQ.quality_score_sql, [])
 register_sql("text_token_count", TQ.token_count_sql, [])
@@ -2934,6 +2955,7 @@ _DRIVER_WINDOW_FIRST = [
     "emb_projection_audit",
     "knn_projected_recall",
     "graph_components_merge",
+    "streaming_ann_assign",
     # r6 staleness rotation: every remaining query below was last
     # driver-checked in r2 (7 queries) or r3 — oldest first, so no
     # green row goes unchecked more than ~3 rounds.

@@ -517,3 +517,23 @@ def test_pdf_objstm_page_and_font_expand():
     pdf = b"%PDF-1.5\n" + b"".join(objs) + b"%%EOF\n"
     got = extract_pdf_text(pdf)
     assert "W" in got and "ord" in got
+
+
+def test_lzw_early_change_zero_honored():
+    """/DecodeParms << /EarlyChange 0 >> switches the width-bump rule;
+    the decoder must follow the dict, not assume the default."""
+    from kektordb_spark.sources.pdf import _lzw_decode, extract_pdf_text
+
+    big = b"xyzxy" * 1500
+    enc0 = _lzw_encode(big, early=0)
+    assert _lzw_decode(enc0, early=0) == big
+    content = b"BT (early change zero) Tj ET"
+    body = _lzw_encode(content, early=0)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Page /Contents 2 0 R >> endobj\n"
+        b"2 0 obj << /Length " + str(len(body)).encode()
+        + b" /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >> >>"
+        b" stream\n" + body + b"\nendstream endobj\n%%EOF\n"
+    )
+    assert "early change zero" in extract_pdf_text(pdf)

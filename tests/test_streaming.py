@@ -211,3 +211,53 @@ def test_heavy_hitters_eviction_keeps_mg_guarantee(spark, batch_events):
         for u, c in summary[et].items():
             assert c <= true_counts[u]
             assert c >= true_counts[u] - bound
+
+
+def test_ann_assign_stream_is_arrival_order_independent(spark):
+    """The streaming per-cell arrival report equals the batch
+    derivation under DIFFERENT chunkings (1 file vs 5 interleaved
+    files) — counts are additive, assignment deterministic, so the
+    stream cannot depend on arrival order."""
+    from kektordb_spark.streaming.ann import ann_assign_stream_run
+    from kektordb_spark.tables import load_tables
+    from tests.conftest import SF_SMALL
+
+    load_tables(spark, SF_SMALL)
+    path = f"{SF_SMALL}/embeddings.parquet"
+    a = [(r.cid, r.n_batch)
+         for r in ann_assign_stream_run(spark, path, n_chunks=1).collect()]
+    b = [(r.cid, r.n_batch)
+         for r in ann_assign_stream_run(spark, path, n_chunks=5).collect()]
+    assert a == b and sum(n for _, n in a) > 0
+
+
+def test_ann_assign_redelivery_guard(spark):
+    """foreachBatch redelivery must not double-count: folding the same
+    batch id twice is a no-op (the sink's idempotence contract)."""
+    from kektordb_spark.streaming import ann as SA
+    from kektordb_spark.tables import load_tables
+    from tests.conftest import SF_SMALL
+
+    load_tables(spark, SF_SMALL)
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .where(F.col("vec_id") % 10 == 7).limit(20)
+        .localCheckpoint(eager=True)
+    )
+    counts: dict[int, int] = {}
+    seen: set[int] = set()
+
+    def fold(batch_df, batch_id):
+        if batch_id in seen:
+            return
+        seen.add(batch_id)
+        batch_df.createOrReplaceTempView("_st_ann_batch")
+        for r in spark.sql(SA._assign_counts_sql("_st_ann_batch")).collect():
+            counts[r["cid"]] = counts.get(r["cid"], 0) + r["n"]
+
+    fold(batch, 0)
+    once = dict(counts)
+    fold(batch, 0)  # redelivered
+    assert counts == once and sum(once.values()) == 20
