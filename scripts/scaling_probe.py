@@ -91,6 +91,7 @@ PROBE_QUERIES = [
     "emb_projection_audit",
     "knn_projected_recall",
     "graph_components_merge",
+    "streaming_ann_assign",
 ]
 
 
