@@ -425,14 +425,25 @@ def _parse_objects(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     for m in _OBJ_RE.finditer(data):
         body = m.group(3)
         d = _balanced_dict(body)
-        sm = re.search(rb"stream\r?\n(.*?)endstream", body, re.DOTALL)
+        sm = re.search(rb"stream\r?\n", body)
         stream = None
         if sm:
-            stream = sm.group(1)
-            if stream.endswith(b"\r\n"):
-                stream = stream[:-2]
-            elif stream.endswith(b"\n") or stream.endswith(b"\r"):
-                stream = stream[:-1]
+            start = sm.end()
+            # /Length is the spec's stream delimiter — honor it when it
+            # parses (compressed bodies can coincidentally contain the
+            # bytes 'endstream'/'endobj', which would truncate a purely
+            # textual scan); fall back to the endstream marker for
+            # writers that make /Length an indirect reference.
+            lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", d)
+            if lm:
+                stream = body[start : start + int(lm.group(1))]
+            else:
+                em = re.search(rb"(.*?)endstream", body[start:], re.DOTALL)
+                stream = em.group(1) if em else body[start:]
+                if stream.endswith(b"\r\n"):
+                    stream = stream[:-2]
+                elif stream.endswith(b"\n") or stream.endswith(b"\r"):
+                    stream = stream[:-1]
         objs[int(m.group(1))] = (d, stream)
     for num in list(objs):
         d, stream = objs[num]

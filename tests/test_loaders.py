@@ -537,3 +537,20 @@ def test_lzw_early_change_zero_honored():
         b" stream\n" + body + b"\nendstream endobj\n%%EOF\n"
     )
     assert "early change zero" in extract_pdf_text(pdf)
+
+
+def test_pdf_length_key_beats_textual_endstream_scan():
+    """A stream body may CONTAIN the bytes 'endstream' (string data, or
+    compressed bytes by coincidence); the spec's /Length key is the
+    real delimiter and must win over the textual scan."""
+    from kektordb_spark.sources.pdf import extract_pdf_text
+
+    content = b"BT (before endstream after) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Page /Contents 2 0 R >> endobj\n"
+        + (b"2 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+           % (len(content), content))
+        + b"%%EOF\n"
+    )
+    assert "before endstream after" in extract_pdf_text(pdf)
