@@ -68,10 +68,33 @@ def asof_join(
         raise ValueError(
             f"asof_join: column name collision {sorted(overlap)} — "
             "rename one side (only the 'on' keys may be shared)")
+    def _ts_long(df: DataFrame, col: str) -> Column:
+        """Order key for the interleave. cast('long') on a TIMESTAMP
+        truncates to whole seconds — probes could match versions up to
+        1s in their FUTURE, breaking merge_asof(backward) semantics
+        (ADVICE r6) — so timestamps go through unix_micros. Date
+        promotes to midnight micros; integral types cast directly;
+        anything else (string, double) raises rather than coarsening
+        silently."""
+        from pyspark.sql import types as T
+
+        dt = df.schema[col].dataType
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(F.col(col))
+        if isinstance(dt, T.DateType):
+            return F.unix_micros(F.col(col).cast("timestamp"))
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            return F.col(col).cast("long")
+        raise ValueError(
+            f"asof_join: ts column {col!r} has non-integral, "
+            f"non-timestamp type {dt.simpleString()}; cast it "
+            "explicitly to avoid silent resolution loss")
+
     payload = F.struct(*[F.col(c) for c in payload_cols])
     versions = right.select(
         *[F.col(c) for c in on],
-        F.col(right_ts).cast("long").alias("_aj_ts"),
+        _ts_long(right, right_ts).alias("_aj_ts"),
         F.lit(0).alias("_aj_kind"),
         payload.alias("_aj_p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
@@ -79,7 +102,7 @@ def asof_join(
     )
     probes = left.select(
         *[F.col(c) for c in on],
-        F.col(left_ts).cast("long").alias("_aj_ts"),
+        _ts_long(left, left_ts).alias("_aj_ts"),
         F.lit(1).alias("_aj_kind"),
         F.lit(None).cast(versions.schema["_aj_p"].dataType).alias("_aj_p"),
         *[F.col(c) for c in left.columns if c not in on],

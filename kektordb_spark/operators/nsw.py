@@ -433,6 +433,14 @@ def nsw_cell_init_sql(
     before linking (hnsw_index.go:456-520); here the coarse quantizer
     plays the upper layers' role and the beam hops refine from the
     sampled entry points."""
+    if query_pred is None:
+        # nsw_search/nsw_oracle_sql default query_pred=None for the
+        # batch path; interpolating it here would render `WHERE None`
+        # (ADVICE r6) — cell init has no id-prefix default, so demand
+        # an explicit predicate.
+        raise ValueError(
+            "nsw_cell_init_sql: init='cell' requires an explicit "
+            "query_pred (e.g. \"q.vec_id >= 2000\")")
     d = _dist(dialect)
     md5key = ("md5(CAST(vec_id AS STRING))" if dialect == "spark"
               else "md5(CAST(vec_id AS VARCHAR))")

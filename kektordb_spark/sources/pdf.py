@@ -94,16 +94,82 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]
-                table.append(prev + entry[:1])
-            elif code == len(table):
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and code < 4096:
                 entry = prev + prev[:1]
                 table.append(entry)
             else:
                 raise ValueError("LZW: code out of range")
             out += entry
             prev = entry
-            if len(table) + early - 1 >= (1 << width) and width < 12:
+            # Width bump (r7 fix): at table len 511/1023/2047 for
+            # EarlyChange=1 (512/1024/2048 for 0) — the pdfminer/pdf.js
+            # schedule. r6 shipped `+ early - 1`, one entry late, which
+            # desynced from every mainstream encoder once a stream
+            # added >253 entries; the in-repo test encoder shared the
+            # off-by-one so round-trips couldn't catch it (ADVICE r6).
+            if len(table) + early >= (1 << width) and width < 12:
                 width += 1
+    return bytes(out)
+
+
+def _unpredict(data: bytes, pred: int, columns: int, colors: int,
+               bpc: int) -> bytes | None:
+    """Reverse a /DecodeParms predictor after Flate/LZW decode
+    (spec 7.4.4.4). PNG predictors (pred >= 10) are the ubiquitous
+    case — PDF 1.5+ writers emit /Predictor 12 (Up) on /ObjStm and
+    xref streams; without reversal the decompressed bytes parse as
+    garbage and the packed objects are silently lost (ADVICE r6).
+    TIFF predictor 2 is reversed for the 8-bit case; anything else
+    returns None so the caller skips the stream loudly."""
+    bpp = max(1, (colors * bpc + 7) // 8)        # bytes per pixel
+    stride = (columns * colors * bpc + 7) // 8   # bytes per row
+    if pred == 2:
+        if bpc != 8:
+            return None
+        out = bytearray(data)
+        for r in range(0, len(out) - stride + 1, stride):
+            for i in range(r + bpp, r + stride):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if pred < 10:
+        return None
+    # PNG: every row is 1 tag byte + stride data bytes
+    out = bytearray()
+    prior = bytearray(stride)
+    rowlen = stride + 1
+    for r in range(0, len(data) - rowlen + 1, rowlen):
+        tag = data[r]
+        row = bytearray(data[r + 1 : r + rowlen])
+        if tag == 1:    # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prior[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prior[i]
+                c = prior[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                row[i] = (row[i] + pr) & 0xFF
+        elif tag != 0:
+            return None
+        out += row
+        prior = row
     return bytes(out)
 
 
@@ -126,12 +192,32 @@ def _apply_filters(d: bytes, body: bytes) -> bytes | None:
         chain.append(f)
     em = re.search(rb"/EarlyChange\s+(\d+)", d)
     early = int(em.group(1)) if em else 1
+
+    def _parm(name: bytes, default: int) -> int:
+        m = re.search(rb"/" + name + rb"\s+(\d+)", d)
+        return int(m.group(1)) if m else default
+
+    predictor = _parm(b"Predictor", 1)
     for f in chain:
         try:
             if f == b"FlateDecode":
                 body = zlib.decompress(body)
+                if predictor > 1:
+                    body = _unpredict(
+                        body, predictor, _parm(b"Columns", 1),
+                        _parm(b"Colors", 1),
+                        _parm(b"BitsPerComponent", 8))
+                    if body is None:
+                        return None
             elif f == b"LZWDecode":
                 body = _lzw_decode(body, early)
+                if predictor > 1:
+                    body = _unpredict(
+                        body, predictor, _parm(b"Columns", 1),
+                        _parm(b"Colors", 1),
+                        _parm(b"BitsPerComponent", 8))
+                    if body is None:
+                        return None
             elif f == b"ASCIIHexDecode":
                 hx = re.sub(rb"[^0-9a-fA-F]", b"",
                             body.split(b">", 1)[0])

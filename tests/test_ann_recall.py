@@ -191,6 +191,17 @@ def test_nsw_early_exit_on_exhausted_graph(spark):
     assert a == b
 
 
+def test_nsw_cell_init_requires_query_pred():
+    """r6 ADVICE: init='cell' with query_pred=None used to interpolate
+    `WHERE None` into the SQL text; must raise instead."""
+    import pytest
+
+    from kektordb_spark.operators import nsw as NSW
+
+    with pytest.raises(ValueError, match="query_pred"):
+        NSW.nsw_cell_init_sql("spark", None)
+
+
 def test_graph_merge_links_near_exact_adjacency(spark):
     """The insert path's beam-searched out-edges should mostly agree
     with the exact top-M neighbors for the same nodes (same recall-gate

@@ -149,3 +149,34 @@ def test_asof_join_rejects_collisions_and_empty_payload(spark):
     r2 = spark.createDataFrame([(1, 2)], "k long, rts long")
     with pytest.raises(ValueError, match="payload"):
         asof_join(l, r2, on=["k"], left_ts="lts", right_ts="rts")
+
+
+def test_asof_join_timestamp_subsecond_resolution(spark):
+    """r6 ADVICE: cast('long') on TIMESTAMP truncates to whole
+    seconds, letting a probe match a version up to 1s in its FUTURE.
+    A version at 10:00:00.600 must NOT match a probe at 10:00:00.400
+    (same truncated second); a version .2s before the probe must.
+    Strings must raise instead of coarsening silently."""
+    import datetime as dt
+
+    import pytest
+
+    from kektordb_spark.operators.asof import asof_join
+
+    base = dt.datetime(2026, 8, 15, 10, 0, 0)
+    ms = lambda n: base + dt.timedelta(milliseconds=n)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, ms(400), "p1"), (1, ms(900), "p2")],
+        "k long, lts timestamp, pname string")
+    right = spark.createDataFrame(
+        [(1, ms(200), "early"), (1, ms(600), "late")],
+        "k long, rts timestamp, rval string")
+    got = {(r.pname, r.rval) for r in asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts").collect()}
+    # p1@.4s sees only early@.2s (late@.6s is in its future);
+    # p2@.9s sees late@.6s
+    assert got == {("p1", "early"), ("p2", "late")}
+    sleft = spark.createDataFrame([(1, "x", "p")],
+                                  "k long, lts string, pname string")
+    with pytest.raises(ValueError, match="non-integral"):
+        asof_join(sleft, right, on=["k"], left_ts="lts", right_ts="rts")

@@ -312,8 +312,17 @@ def test_pdf_hex_strings_and_octal_property():
 def _lzw_encode(data: bytes, early: int = 1) -> bytes:
     """Reference LZW encoder (spec 7.4.4) used only to generate test
     vectors: 9-bit start, 256=clear, 257=EOD, EarlyChange-aware width
-    bumps — the mirror image of sources/pdf._lzw_decode."""
-    table = {bytes([i]): i for i in range(256)}
+    bumps, clear-on-full-table. r7: the encoder bumps one code after
+    the decoder's table-length trigger because the decoder's table
+    lags the encoder's by exactly one entry (the decoder can only
+    build entry N when it learns the first byte of code N+1) — so
+    `next_code + early - 1 >= 2^width` here pairs with the decoder's
+    `len(table) + early >= 2^width` (the pdfminer/pdf.js schedule:
+    bump at decoder-table len 511/1023/2047 for EarlyChange=1)."""
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
     next_code = 258
     width = 9
     out = bytearray()
@@ -335,10 +344,16 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
             w = wc
             continue
         emit(table[w])
-        table[wc] = next_code
-        next_code += 1
-        if next_code + early - 1 > (1 << width) and width < 12:
-            width += 1
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code + early - 1 >= (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(256)  # table full: clear and restart (spec 7.4.4.2)
+            table = fresh()
+            next_code = 258
+            width = 9
         w = bytes([b])
     if w:
         emit(table[w])
@@ -348,20 +363,191 @@ def _lzw_encode(data: bytes, early: int = 1) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode_pdfjs_style(data: bytes, early: int = 1) -> bytes:
+    """Independent oracle decoder for the cross-check below, written
+    to pdf.js's LZWStream structure (flat prev-code/last-byte arrays +
+    an explicit nextCode counter, bump when nextCode + earlyChange
+    reaches 512/1024/2048) rather than the byte-string table of
+    sources/pdf._lzw_decode — so a shared off-by-one between our
+    encoder and decoder (the r6 bug class) cannot hide: this decoder's
+    width schedule is pinned to the published pdf.js semantics."""
+    prev_codes = [0] * 4096
+    last_bytes = list(range(256)) + [0, 0] + [0] * 3838
+    lengths = [1] * 258 + [0] * 3838
+    next_code = 258
+    width = 9
+    bitbuf = bitcnt = 0
+    out = bytearray()
+    prev_code = None
+    first_byte = 0
+
+    def expand(code):
+        seq = bytearray()
+        while lengths[code] > 1:
+            seq.append(last_bytes[code])
+            code = prev_codes[code]
+        seq.append(last_bytes[code])
+        seq.reverse()
+        return bytes(seq)
+
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == 256:
+                next_code = 258
+                width = 9
+                prev_code = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < next_code:
+                seq = expand(code)
+            elif code == next_code and prev_code is not None:
+                seq = expand(prev_code) + bytes([first_byte])
+            else:
+                raise ValueError("pdfjs-style: bad code")
+            if prev_code is not None and next_code < 4096:
+                prev_codes[next_code] = prev_code
+                last_bytes[next_code] = seq[0]
+                lengths[next_code] = lengths[prev_code] + 1
+                next_code += 1
+            first_byte = seq[0]
+            out += seq
+            prev_code = code
+            if next_code + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+GOLDEN_LZW_SHA256 = (
+    "55ad5856037cbc0a8e0bd650da6c4afa4c8d95b80aa00ad2a3133e69aaa83d3f")
+
+
 def test_lzw_roundtrip_property():
     from hypothesis import given, settings, strategies as st
 
     from kektordb_spark.sources.pdf import _lzw_decode
 
-    @given(st.binary(min_size=0, max_size=4000))
+    @given(st.binary(min_size=0, max_size=4000),
+           st.sampled_from([0, 1]))
     @settings(max_examples=150, deadline=None)
-    def check(bs):
-        assert _lzw_decode(_lzw_encode(bs)) == bs
+    def check(bs, early):
+        enc = _lzw_encode(bs, early)
+        assert _lzw_decode(enc, early) == bs
+        # the independent pdf.js-structured decoder must agree — this
+        # is what catches an encoder/decoder SHARED off-by-one (r6's
+        # bug class, invisible to round-trip alone)
+        assert _lzw_decode_pdfjs_style(enc, early) == bs
 
     check()
     # long repetitive input crosses the 9->10->11 bit width bumps
     big = b"abcab" * 2000
     assert _lzw_decode(_lzw_encode(big)) == big
+    assert _lzw_decode_pdfjs_style(_lzw_encode(big)) == big
+
+
+def test_lzw_width_bump_and_full_table():
+    """r6 ADVICE (high): the r6 decoder bumped the code width one
+    table entry late (`len + early - 1`), desyncing from the
+    pdfminer/pdf.js schedule (bump at table len 511/1023/2047 for
+    EarlyChange=1) on any stream adding >~253 entries. Pin the fixed
+    behavior with inputs that march straight through every bump and
+    through a full-table clear, for both EarlyChange values, and
+    cross-check our decoder against the independently-structured
+    pdf.js-style decoder on the identical byte stream."""
+    import hashlib
+    import random
+
+    from kektordb_spark.sources.pdf import _lzw_decode
+
+    rng = random.Random(20260815)
+    cases = [
+        # ~20k random bytes: >4096 table adds -> clear-on-full path
+        bytes(rng.randrange(256) for _ in range(20000)),
+        # low-entropy: long entries, different add cadence
+        bytes(rng.randrange(4) for _ in range(30000)),
+        # exactly enough adds to straddle the 9->10 bump region
+        bytes(rng.randrange(256) for _ in range(300)),
+    ]
+    for early in (0, 1):
+        for data in cases:
+            enc = _lzw_encode(data, early)
+            assert _lzw_decode(enc, early) == data
+            assert _lzw_decode_pdfjs_style(enc, early) == data
+    # pinned golden: deterministic input + encoded-byte digest so a
+    # future "fix" to either side of the mirror pair breaks loudly
+    golden_in = bytes((i * 7 + (i >> 3)) & 0xFF for i in range(6000))
+    enc = _lzw_encode(golden_in, 1)
+    assert hashlib.sha256(enc).hexdigest() == GOLDEN_LZW_SHA256
+    assert _lzw_decode(enc, 1) == golden_in
+    assert _lzw_decode_pdfjs_style(enc, 1) == golden_in
+
+
+def test_pdf_png_predictor_objstm():
+    """r6 ADVICE: /DecodeParms /Predictor on FlateDecode (ubiquitous
+    on /ObjStm in PDF 1.5+ writers) was ignored — the stream
+    decompressed fine but yielded predictor-coded garbage. PNG Up
+    (12), Sub (11), Paeth (15) and TIFF (2) must reverse exactly;
+    an unsupported predictor config must skip the stream (None), not
+    consume wrong bytes."""
+    import zlib
+
+    from kektordb_spark.sources.pdf import _apply_filters, _unpredict
+
+    raw = bytes((i * 31 + 5) & 0xFF for i in range(400))  # 20 rows x 20
+    cols = 20
+
+    def png_encode(data, tag, bpp=1):
+        out = bytearray()
+        prior = bytearray(cols)
+        for r in range(0, len(data), cols):
+            row = bytearray(data[r : r + cols])
+            enc = bytearray(row)
+            if tag == 1:
+                for i in range(cols - 1, bpp - 1, -1):
+                    enc[i] = (row[i] - row[i - bpp]) & 0xFF
+            elif tag == 2:
+                for i in range(cols):
+                    enc[i] = (row[i] - prior[i]) & 0xFF
+            elif tag == 4:
+                for i in range(cols):
+                    a = row[i - bpp] if i >= bpp else 0
+                    b = prior[i]
+                    c = prior[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    enc[i] = (row[i] - pr) & 0xFF
+            out.append(tag)
+            out += enc
+            prior = row
+        return bytes(out)
+
+    for tag, pred in ((2, 12), (1, 11), (4, 15)):
+        coded = png_encode(raw, tag)
+        d = (b"/Filter /FlateDecode /DecodeParms << /Predictor %d "
+             b"/Columns %d >>" % (pred, cols))
+        got = _apply_filters(d, zlib.compress(coded))
+        assert got == raw, f"predictor {pred} failed"
+    # TIFF predictor 2 (8-bit): horizontal differencing, no tag bytes
+    tiff = bytearray()
+    for r in range(0, len(raw), cols):
+        row = raw[r : r + cols]
+        tiff.append(row[0])
+        for i in range(1, cols):
+            tiff.append((row[i] - row[i - 1]) & 0xFF)
+    d2 = (b"/Filter /FlateDecode /DecodeParms << /Predictor 2 "
+          b"/Columns %d >>" % cols)
+    assert _apply_filters(d2, zlib.compress(bytes(tiff))) == raw
+    # unsupported: TIFF predictor at bpc=4 -> loud skip
+    assert _unpredict(b"\x00" * 10, 2, 20, 1, 4) is None
+    d3 = (b"/Filter /FlateDecode /DecodeParms << /Predictor 2 "
+          b"/Columns 20 /BitsPerComponent 4 >>")
+    assert _apply_filters(d3, zlib.compress(bytes(tiff))) is None
 
 
 def test_pdf_lzw_stream_extracts():
