@@ -59,9 +59,11 @@ seed_d AS (
   FROM q CROSS JOIN emb c WHERE c.vec_id <> {query_id}
 ),
 seeds AS (
-  SELECT vec_id, v, norm, score, 0 AS depth FROM (
-    SELECT *, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rk FROM seed_d
-  ) t WHERE rk <= {SEED_K}
+  -- r7: top-SEED_K by inner ORDER BY..LIMIT (TakeOrderedAndProject),
+  -- never an unpartitioned rank window over the corpus-sized seed_d
+  SELECT vec_id, v, norm, score, 0 AS depth
+  FROM (SELECT vec_id, v, norm, score FROM seed_d
+        ORDER BY score DESC, vec_id ASC LIMIT {SEED_K}) t
 ),
 exp_d AS (
   SELECT c.vec_id,
@@ -152,10 +154,9 @@ seed_d AS (
          1.0 / (1.0 + (1.0 - ({dot_q}) / (q.norm * c.norm))) AS score
   FROM q CROSS JOIN emb c WHERE c.vec_id <> {query_id}
 )
-SELECT concat('p_', CAST(vec_id AS {s})) AS node, score, 0 AS depth FROM (
-  SELECT *, row_number() OVER (ORDER BY score DESC, vec_id ASC) AS rk
-  FROM seed_d
-) t WHERE rk <= {SEED_K}
+SELECT concat('p_', CAST(vec_id AS {s})) AS node, score, 0 AS depth
+FROM (SELECT vec_id, score FROM seed_d
+      ORDER BY score DESC, vec_id ASC LIMIT {SEED_K}) t
 """.strip()
 
 

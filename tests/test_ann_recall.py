@@ -191,6 +191,24 @@ def test_nsw_early_exit_on_exhausted_graph(spark):
     assert a == b
 
 
+def test_nsw_beam_recall_sweep_floor_and_monotonicity(spark):
+    """r7 (GloVe-benchmark port): the in-engine beam sweep
+    (nsw_recall_sweep) must report one row per beam, gate the widest
+    beam at the serve path's recall floor, and never report a WIDER
+    beam with STRICTLY LOWER recall than a narrower one (a wider
+    frontier visits a superset of nodes per hop, so recall is
+    monotonic up to tie-break noise; we assert >=)."""
+    from kektordb_spark.operators import nsw as NSW
+
+    load_tables(spark, SF_SMALL)
+    rows = {r.beam: r for r in NSW.nsw_recall_sweep(spark).collect()}
+    assert set(rows) == {8, 16}
+    assert rows[16].recall_pct >= 100 * NSW.NSW_RECALL_FLOOR
+    assert rows[16].recall_pct >= rows[8].recall_pct
+    for r in rows.values():
+        assert 0 <= r.hits <= NSW.NSW_K * NSW.NSW_NQ
+
+
 def test_nsw_cell_init_requires_query_pred():
     """r6 ADVICE: init='cell' with query_pred=None used to interpolate
     `WHERE None` into the SQL text; must raise instead."""
