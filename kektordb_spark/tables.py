@@ -572,10 +572,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     from kektordb_spark.operators.nsw import nng_descent_build
 
     _mat("nng", nng_descent_build(spark))
+    # repartition(par) before the write: the deg-join chain coalesces
+    # to ~1 output partition under AQE at fixture size, and a 1-file
+    # copurch_o caps the census's wedge-probe stage (49M probe rows at
+    # sf0.1 — the query's dominant cost) at the file's row-group count
+    # (~2 tasks). Profiled r7: census 7.3 s -> ~4.4 s at sf0.1 with
+    # the partitioned write; this was the r6 'triangle drift' — the
+    # r5/r6 copurch_w->copurch_e re-layering changed the writing
+    # plan's partitioning, not the census code.
     _mat("copurch_o", spark.sql(
         "WITH deg AS (\n" + _AN.triangle_deg_sql("copurch_e") + "\n)\n"
         + _AN.triangle_oriented_sql("copurch_e", "deg")
-    ))
+    ).repartition(par))
     _REGISTERED[sid] = (sf_dir, out)
     return out
 
