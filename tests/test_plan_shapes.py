@@ -122,6 +122,23 @@ def test_no_registry_plan_has_corpus_wide_unpartitioned_window(spark):
         f"windows: {offenders}")
 
 
+def test_rank_topk_windows_get_window_group_limit(spark):
+    """r7: Spark 3.5+'s WindowGroupLimit pushes a `row_number() <= k`
+    filter below the window's shuffle as a per-partition partial
+    top-k, so a partitioned rank window shuffles only k·groups rows —
+    the property that makes the per-query/per-seed rank windows safe
+    when each group's input is data-sized. Pin it on the kNN family
+    (it requires the rank filter to stay adjacent to the window —
+    a refactor interposing a projection/alias can silently drop it)."""
+    from kektordb_spark.tables import load_tables
+
+    load_tables(spark, SF_SMALL)
+    for name in ("knn_cosine_top10", "ivf_knn", "adaptive_retrieval"):
+        plan = plan_of(spark, name)
+        assert "WindowGroupLimit" in plan, (
+            f"{name}: rank-filter pushdown (WindowGroupLimit) missing")
+
+
 def test_pricing_summary_single_exchange_pushdown_pruning(spark):
     plan = plan_of(spark, "rel_pricing_summary")
     # ship-date predicate reaches the parquet scan
