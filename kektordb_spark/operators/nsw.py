@@ -739,15 +739,17 @@ def nsw_recall_sweep(
             visited = visited.unionAll(p)
         visited.createOrReplaceTempView("_swp_v")
         frontier.createOrReplaceTempView("_swp_f")
-        new = spark.sql(
+        # `new` stays a lazy view folded into the scored checkpoint —
+        # one consumer, so 2 jobs/hop (ckpt + exit count), the same
+        # shape as nsw_search's loop
+        spark.sql(
             _sweep_new_sql("_swp_f", "_swp_v", adj_source)
-        ).localCheckpoint(eager=True)
-        if new.count() == 0:
-            break
-        new.createOrReplaceTempView("_swp_n")
+        ).createOrReplaceTempView("_swp_n")
         scored = spark.sql(
             _sweep_scored_sql("spark", "_swp_n")
         ).localCheckpoint(eager=True)
+        if scored.count() == 0:
+            break
         visited_parts.append(scored)
         scored.createOrReplaceTempView("_swp_s")
         frontier = spark.sql(_sweep_frontier_sql("_swp_s"))
