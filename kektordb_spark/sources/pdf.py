@@ -125,6 +125,9 @@ def _unpredict(data: bytes, pred: int, columns: int, colors: int,
     returns None so the caller skips the stream loudly."""
     bpp = max(1, (colors * bpc + 7) // 8)        # bytes per pixel
     stride = (columns * colors * bpc + 7) // 8   # bytes per row
+    rowlen = stride + (1 if pred >= 10 else 0)
+    if rowlen <= 0 or len(data) % rowlen:
+        return None  # malformed: partial trailing row — skip loudly
     if pred == 2:
         if bpc != 8:
             return None
@@ -138,7 +141,6 @@ def _unpredict(data: bytes, pred: int, columns: int, colors: int,
     # PNG: every row is 1 tag byte + stride data bytes
     out = bytearray()
     prior = bytearray(stride)
-    rowlen = stride + 1
     for r in range(0, len(data) - rowlen + 1, rowlen):
         tag = data[r]
         row = bytearray(data[r + 1 : r + rowlen])
@@ -198,11 +200,19 @@ def _apply_filters(d: bytes, body: bytes) -> bytes | None:
         return int(m.group(1)) if m else default
 
     predictor = _parm(b"Predictor", 1)
-    for f in chain:
+    # /DecodeParms is per-filter; this dict-level scan applies the one
+    # predictor it finds to the LAST Flate/LZW stage only (the
+    # real-world shape — a predictor belongs to the final compression
+    # filter; applying it after EACH stage of a pathological
+    # Flate-then-Flate chain would double-reverse).
+    last_pred_stage = max(
+        (i for i, f in enumerate(chain)
+         if f in (b"FlateDecode", b"LZWDecode")), default=-1)
+    for fi, f in enumerate(chain):
         try:
             if f == b"FlateDecode":
                 body = zlib.decompress(body)
-                if predictor > 1:
+                if predictor > 1 and fi == last_pred_stage:
                     body = _unpredict(
                         body, predictor, _parm(b"Columns", 1),
                         _parm(b"Colors", 1),
@@ -211,7 +221,7 @@ def _apply_filters(d: bytes, body: bytes) -> bytes | None:
                         return None
             elif f == b"LZWDecode":
                 body = _lzw_decode(body, early)
-                if predictor > 1:
+                if predictor > 1 and fi == last_pred_stage:
                     body = _unpredict(
                         body, predictor, _parm(b"Columns", 1),
                         _parm(b"Colors", 1),
