@@ -527,16 +527,35 @@ def ngram_jaccard_sql(
       prefixes collide often (small-alphabet corpora: measured 21x
       fewer candidates at sf0.1, 636k -> 30k).
 
+    r7 — the PPJoin INDEXING-prefix asymmetry (Xiao et al. §3.2: the
+    size-smaller doc joins through only ~0.25|B| grams) was
+    implemented, measured, and REJECTED: it halves the join rows
+    (6.5M -> 3.3M at sf0.1) and stays exact, but it guts the summed
+    positional bound — rb is then capped by the short index prefix,
+    so `nb - rb` balloons and survivors explode 30k -> 535k at sf0.1
+    (2.8 -> 14 s end-to-end; 97 -> 207 s at the 10x probe corpus).
+    The symmetric probing-prefix join with both grouped bounds at
+    full strength is the measured optimum: pruning power is worth
+    more than join-row count here because the per-pair aggregate and
+    verification ride on what survives, not on what joins.
+
     Survivors are verified per-pair with one array intersection against
     the (broadcastable, one-row-per-doc) gram arrays — per-pair O(|A|+
     |B|) with no posting re-explosion, so the verify stage shuffles
     |cand| rows, not |cand| x grams.
 
-    Scale story: the candidate join touches only rare grams (bounded
-    posting lists — frequency-ascending order is also the skew fix),
-    blocking by length bucket caps fanout on top; the per-pair
-    aggregation is the same shuffle the DISTINCT needed, and
-    verification is a broadcast join against per-doc arrays.
+    Scale story: the candidate join touches only rare grams
+    (frequency-ascending order is also the skew fix) and only
+    probe-prefix x index-prefix postings, blocking by length bucket
+    caps fanout on top; the per-pair aggregation is the same shuffle
+    the DISTINCT needed, and verification is a broadcast join against
+    per-doc arrays. The honest caveat the 1/3/10x probe measures:
+    posting lists grow with corpus size whenever the gram space
+    saturates, so EXACT all-pairs Jaccard stays super-linear — at
+    100 TB the dedup route is dedup_minhash_lsh (banded signatures,
+    exact-Jaccard verify, recall audited by dedup_lsh_recall_audit);
+    this operator is the exact path for bounded blocks and the
+    ground-truth their audit compares against.
     """
     arr_cte = (
         f"arr AS (\n{ngram_arr_sql(dialect, n)}\n)"
