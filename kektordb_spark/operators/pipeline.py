@@ -1055,10 +1055,35 @@ alloc AS (
          END AS alloc
   FROM fl f CROSS JOIN kstat k
 ),
+rb AS (
+  -- r7: per-lang selection rank via two-level numbering (the
+  -- tables.ordv_parts device). The old single window PARTITION BY
+  -- lang sorted each language's WHOLE corpus on one task — the
+  -- SCALE.md row's documented "if a language outgrows a sort" swap,
+  -- now implemented unconditionally. Bucket = the hash's TOP BYTE
+  -- (a prefix of the order key, so bucket-major order == hash
+  -- order); equal hashes share a bucket, doc_id breaks ties inside.
+  SELECT doc_id, lang, h,
+         CAST(floor(h / 16777216.0) AS BIGINT) AS bkt
+  FROM (SELECT d.doc_id, d.lang, {h} AS h FROM documents d) hh
+),
+rloc AS (
+  SELECT doc_id, lang, bkt,
+         row_number() OVER (PARTITION BY lang, bkt
+                            ORDER BY h, doc_id) AS lr
+  FROM rb
+),
+roff AS (
+  SELECT lang, bkt,
+         CAST(coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS off
+  FROM (SELECT lang, bkt, count(*) AS cnt FROM rb
+        GROUP BY lang, bkt) c
+),
 ranked AS (
-  SELECT d.doc_id, d.lang,
-         row_number() OVER (PARTITION BY d.lang ORDER BY {h}, doc_id) AS r
-  FROM documents d
+  SELECT l.doc_id, l.lang, l.lr + o.off AS r
+  FROM rloc l JOIN roff o ON o.lang = l.lang AND o.bkt = l.bkt
 ),
 plan AS (
   SELECT {'/*+ BROADCAST(a) */' if dialect == 'spark' else ''}
