@@ -853,19 +853,29 @@ def paragraph_dedup_sql(dialect: str, source: str | None = None) -> str:
     return f"""
 WITH corpus AS ({corpus}),
 segs AS ({segs}),
-ranked AS (
-  SELECT doc_id, i,
-         row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
-  FROM segs
+firsts AS (
+  -- r7: keep-first via a min AGGREGATE over the (doc_id, i) order
+  -- encoded as one BIGINT, not a per-hash rank window. The window
+  -- forced every occurrence of a hash into ONE task and SORTED it —
+  -- exactly the skew this operator's SCALE.md row warned about (one
+  -- boilerplate segment repeated corpus-wide = one giant window
+  -- group). The aggregate partial-combines map-side (a skewed hash
+  -- reduces to one row per partition before the shuffle) and the
+  -- occurrence join is AQE-skew-splittable, which a window never is.
+  SELECT h, min(doc_id * 1000000 + i) AS first_key
+  FROM segs GROUP BY h
 )
-SELECT doc_id,
+SELECT s.doc_id,
        CAST(count(*) AS INT) AS n_segs,
-       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_removed,
-       round(1.0 - CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       CAST(sum(CASE WHEN s.doc_id * 1000000 + s.i > f.first_key
+                THEN 1 ELSE 0 END) AS INT) AS n_removed,
+       round(1.0 - CAST(sum(CASE WHEN s.doc_id * 1000000 + s.i
+                                      > f.first_key
+                            THEN 1 ELSE 0 END) AS DOUBLE)
                    / count(*), 4) AS kept_ratio
-FROM ranked
-GROUP BY doc_id
-ORDER BY doc_id
+FROM segs s JOIN firsts f ON f.h = s.h
+GROUP BY s.doc_id
+ORDER BY s.doc_id
 """.strip()
 
 
