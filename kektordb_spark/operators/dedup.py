@@ -940,18 +940,26 @@ def substring_windows_sql(dialect: str, source: str | None = None) -> str:
   WHERE len(toks) >= {w}"""
     return f"""
 WITH wins AS ({wins}),
-cnt AS (
-  SELECT doc_id, count(*) OVER (PARTITION BY h) AS c
-  FROM wins
+hcnt AS (
+  -- r7: per-hash multiplicity via a map-side-combinable AGGREGATE +
+  -- join, not count(*) OVER (PARTITION BY h) — the window buffered
+  -- every occurrence of a hash in one task (a boilerplate window
+  -- repeated corpus-wide = one giant group); the aggregate reduces a
+  -- skewed hash to one row per partition before the shuffle and the
+  -- join back is AQE-skew-splittable (same fix as paragraph dedup's
+  -- keep-first).
+  SELECT h, count(*) AS c FROM wins GROUP BY h
 )
-SELECT doc_id,
+SELECT w.doc_id,
        CAST(count(*) AS INT) AS n_windows,
-       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS INT) AS dup_windows,
-       CAST(floor(CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       CAST(sum(CASE WHEN hc.c >= 2 THEN 1 ELSE 0 END) AS INT)
+         AS dup_windows,
+       CAST(floor(CAST(sum(CASE WHEN hc.c >= 2 THEN 1 ELSE 0 END)
+                       AS DOUBLE)
                   / count(*) * 1e6) AS BIGINT) / 1e6 AS dup_fraction
-FROM cnt
-GROUP BY doc_id
-ORDER BY doc_id
+FROM wins w JOIN hcnt hc ON hc.h = w.h
+GROUP BY w.doc_id
+ORDER BY w.doc_id
 """.strip()
 
 
