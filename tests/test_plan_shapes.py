@@ -653,11 +653,18 @@ def test_pii_scrub_is_map_only(spark):
 
 
 def test_paragraph_dedup_two_data_shuffles(spark):
-    # segment hash window + per-doc rollup + presentation sort: three
-    # exchanges, NO join anywhere (first-occurrence via window rank,
-    # not a self-join), segments generated in the scan projection
+    # r7 keep-first rewrite: per-hash min AGGREGATE (map-side partial
+    # combine — a corpus-wide boilerplate segment reduces to one row
+    # per partition before its shuffle) joined back on the hash,
+    # replacing the per-hash rank window that forced every occurrence
+    # of a skewed hash into one sorted task. Three exchanges: the
+    # firsts aggregate, the per-doc rollup, the presentation sort. The
+    # join side is |distinct hashes| and broadcasts at fixture scale;
+    # at corpus scale it degrades to an AQE-skew-splittable equi-join,
+    # which a window group never is.
     plan = plan_of(spark, "dedup_paragraph")
-    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin Inner BuildRight" in plan
     assert "CartesianProduct" not in plan
     assert n_exchanges(plan) == 3
 
@@ -744,15 +751,21 @@ def test_triangle_serves_from_persisted_copurchase_graph(spark):
 
 
 def test_substring_windows_single_hash_keyed_window(spark):
-    """r5: duplicated-window detection is ONE window function over ONE
-    shuffle keyed on the window hash — no self-join, no cartesian; the
-    rollup adds the doc-keyed exchange. Windows are generated in the
-    scan projection (no Generate-over-regexp: the source is the
-    pre-tokenized materialized relation)."""
+    """r7: per-hash multiplicity via a map-side-combinable AGGREGATE
+    joined back on the hash — the r5 count(*) OVER (PARTITION BY h)
+    buffered every occurrence of a hash in one task (a boilerplate
+    window repeated corpus-wide = one giant group); the aggregate
+    reduces a skewed hash to one row per partition before its shuffle
+    and the join back is AQE-skew-splittable. No window, no cartesian;
+    the count side is |distinct hashes| and broadcasts at fixture
+    scale. Windows are generated in the scan projection
+    (no Generate-over-regexp: the source is the pre-tokenized
+    materialized relation)."""
     plan = plan_of(spark, "dedup_substring_windows")
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
-    # window-hash exchange + doc rollup exchange (+ final sort)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin Inner BuildRight" in plan
+    # hash-count exchange + doc rollup exchange (+ final sort)
     assert n_exchanges(plan) <= 3
 
 
