@@ -105,21 +105,28 @@ def component_labels(spark, pairs: DataFrame,
     than returning split components). Shared by the full build
     (components_df) and the incremental merge (components_merge_df,
     which contracts the QUOTIENT graph with the same runner)."""
+    # LAZY checkpoints throughout the loop (r7, guide §1.2): lineage is
+    # truncated at once either way; materialization is deferred to the
+    # level's ONE scalar read (edges.count(), also the fixpoint test),
+    # which computes lab + contracted edges together — one job per
+    # contraction level instead of three (lab ckpt, edges ckpt,
+    # take(1)). The per-job floor dominates this loop at fixture scale.
     edges = (
         pairs.select("u", "w")
         .unionAll(pairs.select(F.col("w").alias("u"), F.col("u").alias("w")))
         .repartition("u")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     level_maps: list[DataFrame] = []
+    remaining = None
     for _ in range(max_levels):
         # min of the CLOSED neighborhood — contracts every
         # neighborhood onto its local minimum
         lab = (
             edges.groupBy(F.col("u").alias("node"))
             .agg(F.least(F.col("node"), F.min("w")).alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         level_maps.append(lab)
         # contract the edge set onto the labels (symmetry preserved:
@@ -131,15 +138,18 @@ def component_labels(spark, pairs: DataFrame,
             .where(F.col("cu") != F.col("cw"))
             .distinct()
             .select(F.col("cu").alias("u"), F.col("cw").alias("w"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if not edges.take(1):
+        remaining = edges.count()
+        if remaining == 0:
             break
 
     # fixpoint assertion: the contracted graph must have no edges left
     # — raise loudly instead of returning split components (the
-    # LSH-lattice-drift discipline).
-    remaining = edges.count()
+    # LSH-lattice-drift discipline). remaining is None only when
+    # max_levels == 0 (degenerate caller): count the input then.
+    if remaining is None:
+        remaining = edges.count()
     if remaining:
         raise RuntimeError(
             f"connected components did not converge in {max_levels} "

@@ -70,7 +70,10 @@ def bfs(
     1..5 like the reference (graph.go:173-246).
 
     Execution shape (the loop-with-checkpoint pattern for iterative
-    graph algorithms): each round's frontier is eagerly checkpointed —
+    graph algorithms): each round's frontier is LAZILY checkpointed
+    (r7: lineage truncation is immediate, materialization happens as a
+    dependency of the final action — same O(depth) evaluation without
+    one scheduler job per level, guide §1.2) —
     frontiers are node SETS (per-level distinct) so they are small and
     bounded by |V| — which makes round d cost ONE join instead of
     re-running rounds 1..d-1 (Spark inlines multiply-referenced
@@ -100,7 +103,7 @@ def bfs(
             e.select(F.col("dst").alias("from_n"), F.col("src").alias("to_n"))
         )
     if materialize_edges and max_depth > 1:
-        pairs = pairs.localCheckpoint(eager=True)
+        pairs = pairs.localCheckpoint(eager=False)
     return _bfs_over_pairs(pairs, roots, max_depth,
                            checkpoint_frontiers=max_depth > 1)
 
@@ -120,8 +123,9 @@ def _bfs_over_pairs(
 
     Without ``checkpoint_frontiers``, level d's plan recomputes levels
     1..d-1 (Spark inlines shared subplans) — O(depth^2) joins. With it,
-    every level evaluates exactly once (O(depth) joins + one tiny
-    checkpoint job per round). r4 re-measure at sf0.1 (1.4M-edge
+    every level evaluates exactly once (O(depth) joins; the r7 lazy
+    checkpoints defer each level's materialization into the final
+    action instead of paying a scheduler job per round). r4 re-measure at sf0.1 (1.4M-edge
     scratch-parquet table): frontier checkpoints win in every
     combination — depth-3 in-BFS 1.24 s vs 1.6 s warm, 1.6 s vs 3.0 s
     cold — reversing the r3 finding, which predated the parquet
@@ -148,7 +152,7 @@ def _bfs_over_pairs(
             # checkpoint per round turns the O(depth^2) shared-subplan
             # recompute into O(depth) — the right trade once the pairs
             # relation carries both traversal directions (find_path).
-            frontier = frontier.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=False)
         levels.append(frontier)
     visited = levels[0]
     for lvl in levels[1:]:
@@ -343,12 +347,12 @@ def find_path(
         F.col("src").alias("to_n"),
     ))
     if materialize_edges and max_depth > 1:
-        both = both.localCheckpoint(eager=True)
+        both = both.localCheckpoint(eager=False)
     roots = spark.createDataFrame([(0, src), (1, dst)], "dir int, node string")
     visited = _bfs_over_pairs(
         both, roots, max_depth, key="dir",
         checkpoint_frontiers=max_depth > 1,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     fwd = visited.where(F.col("dir") == 0).select(
         "node", F.col("depth").alias("dist_from_src"))
     bwd = visited.where(F.col("dir") == 1).select(
@@ -426,7 +430,7 @@ def extract_subgraph(
         e = e.where(F.col("rel").isin(relations))
     base = e.select("src", "dst", "rel", "weight")
     if materialize_edges:
-        base = base.localCheckpoint(eager=True)
+        base = base.localCheckpoint(eager=False)
     pairs = base.select(F.col("src").alias("from_n"), F.col("dst").alias("to_n")).unionAll(
         base.select(F.col("dst").alias("from_n"), F.col("src").alias("to_n"))
     )

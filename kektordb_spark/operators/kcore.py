@@ -150,9 +150,12 @@ def kcore(
     """Spark runner: peel with per-round localCheckpoints (flat lineage,
     one materialization per relation) and early-exit on the fixpoint;
     RAISES if the loop hasn't converged within ``max_rounds``."""
+    # lazy checkpoint + count: the fixpoint counter materializes the
+    # round's edge relation in the same job — one job per peel round
+    # instead of two (r7, guide §1.2)
     e = spark.sql(
         kcore_edges_sql(support, weighted_source)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n_edges = e.count()
     converged = n_edges == 0
     for i in range(max_rounds):
@@ -169,7 +172,7 @@ def kcore(
         e = spark.sql(
             kcore_peel_sql(
                 "_kcore_e", f"({kcore_keep_sql('_kcore_e', k)})")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n2 = e.count()
         converged = n2 == n_edges
         n_edges = n2

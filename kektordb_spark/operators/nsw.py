@@ -323,8 +323,13 @@ def nng_descent_build(
         # plain column projections — without the re-alias, two different
         # checkpointed relations derived from one another carry IDENTICAL
         # ids, and a later plan referencing both (the tried-set UNION
-        # inside the proposals anti join) fails analysis/optimization
-        return df.toDF(*df.columns).localCheckpoint(eager=True)
+        # inside the proposals anti join) fails analysis/optimization.
+        # LAZY (r7): the checkpoint still truncates lineage at once, but
+        # materialization is deferred to the round's ONE scalar read
+        # (props.count()), which computes g and props together — one job
+        # per round instead of three (guide §1.2: fewer passes/jobs; the
+        # per-job floor dominates this loop at fixture scale).
+        return df.toDF(*df.columns).localCheckpoint(eager=False)
 
     # Spark 4.1: a checkpointed LogicalRDD retains its source plan's
     # CONSTRAINTS, which reference pre-checkpoint attribute ids; when
@@ -381,7 +386,13 @@ def _nng_descent_build_inner(spark, _ckpt, m, rounds, sig_source):
             f"SELECT src, dst, dist FROM (\n"
             f"{nng_pair_scored_sql('spark', '_nng_p')}\n) s2) mg", m
         )))
-    return g.select("src", "dst")
+    out = g.select("src", "dst")
+    # materialize INSIDE the constraint-propagation scope: the final
+    # g's plan is a Union over two checkpointed relations, the exact
+    # shape the disabled conf guards against — its first computation
+    # must not happen after the caller's conf restore
+    out.count()
+    return out
 
 
 def nsw_init_sql(
@@ -730,7 +741,7 @@ def nsw_recall_sweep(
         f"SELECT bs.beam, i.query_id, i.node, i.dist\n"
         f"FROM (\n{nsw_init_sql('spark', n_queries)}\n) i\n"
         f"CROSS JOIN {_sweep_beams_rel(beams)} bs"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     visited_parts = [v]
     frontier = v.select("beam", "query_id", "node")
     for _ in range(hops):
@@ -745,9 +756,12 @@ def nsw_recall_sweep(
         spark.sql(
             _sweep_new_sql("_swp_f", "_swp_v", adj_source)
         ).createOrReplaceTempView("_swp_n")
+        # lazy checkpoint: the early-exit count materializes the hop's
+        # scored relation (and, on hop 0, the init fan-out) in the same
+        # job — one job per hop instead of two (guide §1.2)
         scored = spark.sql(
             _sweep_scored_sql("spark", "_swp_n")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         if scored.count() == 0:
             break
         visited_parts.append(scored)
@@ -802,14 +816,14 @@ def nsw_search(
     if init == "cell":
         v = spark.sql(
             nsw_cell_init_sql("spark", query_pred, assign_source)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         visited_parts.append(v)
         v.createOrReplaceTempView("_nsw_v0")
         frontier = spark.sql(nsw_frontier_sql("_nsw_v0", beam))
     else:
         v = spark.sql(
             nsw_init_sql("spark", n_queries, query_pred)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         visited_parts.append(v)
         frontier = v.select("query_id", "node")
     for i in range(hops):
@@ -820,8 +834,9 @@ def nsw_search(
         visited.createOrReplaceTempView("_nsw_v")
         new = spark.sql(nsw_new_sql("_nsw_f", "_nsw_v", adj_source))
         new.createOrReplaceTempView("_nsw_n")
+        # lazy checkpoint + count: one job per hop (guide §1.2)
         scored = spark.sql(
-            nsw_scored_sql("spark", "_nsw_n")).localCheckpoint(eager=True)
+            nsw_scored_sql("spark", "_nsw_n")).localCheckpoint(eager=False)
         if scored.count() == 0:
             break
         visited_parts.append(scored)
