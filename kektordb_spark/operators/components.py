@@ -262,7 +262,7 @@ def components_merge_df(spark, threshold: float = CC_TAU,
         )
         .where(F.col("u") != F.col("w"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     qlabels = component_labels(spark, quotient)
 

@@ -100,16 +100,16 @@ def consolidation_labels_df(
     # for the 4-round propagation at sf0.1).
     pairs = KP.similar_pairs(spark, threshold).select("u", "w")
     if not KP.pairs_served_from_index(spark, threshold):
-        pairs = pairs.localCheckpoint(eager=True)
+        pairs = pairs.localCheckpoint(eager=False)
     und = (
         pairs.unionAll(pairs.select(F.col("w").alias("u"), F.col("u").alias("w")))
         .repartition("u")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         und.select(F.col("u").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         labels = (
@@ -119,7 +119,7 @@ def consolidation_labels_df(
             .groupBy(F.col("n.node").alias("node"), F.col("n.label").alias("l0"))
             .agg(F.min(F.col("p.label")).alias("lmin"))
             .select("node", F.least(F.col("l0"), F.coalesce("lmin", "l0")).alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels
 

@@ -34,7 +34,7 @@ def normalize_text_scores(bm25: DataFrame, score_col: str = "score") -> DataFram
     checkpointed relation. (A window max over the unpartitioned frame
     would avoid the double reference but funnels every row through one
     partition — worse at scale than the tiny checkpoint.)"""
-    scored = bm25.localCheckpoint(eager=True)
+    scored = bm25.localCheckpoint(eager=False)
     mx = scored.agg(F.max(score_col).alias("mx"))
     return scored.crossJoin(F.broadcast(mx)).withColumn(
         "text_score",

@@ -215,7 +215,7 @@ def lsh_signatures(
                 for t in range(n_tables)
             ]
         ).alias("buckets"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     return sigs.select(id_col, F.explode("buckets").alias("b")).select(
         id_col, F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig")
     )

@@ -125,7 +125,7 @@ def ivf_build(
     base = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         F.col(norm_col).alias("norm"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # r7: sort+limit FIRST (TakeOrderedAndProject — parallel partial
     # top-k), then number the nlist-row result; the r6 form ran an
     # unpartitioned row_number() window over the whole corpus (the
@@ -136,7 +136,7 @@ def ivf_build(
         .orderBy("mk").limit(nlist)
         .withColumn("rn", F.row_number().over(Window.orderBy("mk")))
         .select((F.col("rn") - 1).alias("cid"), F.col("v").alias("cv"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     l2 = ("aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
           "CAST(0.0 AS DOUBLE), (s, p) -> s + p)")
@@ -160,7 +160,7 @@ def ivf_build(
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cid", F.expr("transform(pm, s -> s.m)").alias("cv"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return cents, assign(base, cents)
 

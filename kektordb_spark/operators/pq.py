@@ -90,7 +90,7 @@ def pq_train(
     then ``iters`` Lloyd rounds. Each round's centroid relation is tiny
     and checkpointed eagerly so round i+1's plan does not replay round
     i (same loop-with-materialization rule as BFS — SCALE.md rule 3)."""
-    sv = _subvectors(vectors, vec_col, id_col, m, dim).localCheckpoint(eager=True)
+    sv = _subvectors(vectors, vec_col, id_col, m, dim).localCheckpoint(eager=False)
     centroids = (
         sv.withColumn(
             "rn",
@@ -98,7 +98,7 @@ def pq_train(
         )
         .where(F.col("rn") <= k)
         .select("sub", (F.col("rn") - 1).alias("cid"), F.col("sv").alias("cv"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     width = dim // m
     mean_cols = [F.avg(F.col("sv")[i]).alias(f"c{i}") for i in range(width)]
@@ -118,7 +118,7 @@ def pq_train(
         centroids = (
             centroids.join(means, ["sub", "cid"], "left")
             .select("sub", "cid", F.coalesce("nv", "cv").alias("cv"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return centroids
 

@@ -751,7 +751,7 @@ def knn_f16_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("emb")
         .select("vec_id", quantize_f16(F.col("v")).alias("v"))
         # one pandas-UDF pass, then reused by both roles below
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     queries = emb16.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1567,7 +1567,7 @@ def _simhash_fp_view(spark: SparkSession) -> None:
     # checkpoint here.
     fp = spark.sql(
         DD.simhash_sql("spark", docs_source="docs_tok_par")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     fp.createOrReplaceTempView("_sh_fp")
 
 
@@ -1575,7 +1575,7 @@ def _simhash_fp_view(spark: SparkSession) -> None:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 SimHash fingerprints (tf-weighted 32-bit bit votes)."""
     load_tables(spark, sf_dir)
-    toks = spark.sql("SELECT doc_id, toks FROM docs_tok_par").localCheckpoint(eager=True)
+    toks = spark.sql("SELECT doc_id, toks FROM docs_tok_par").localCheckpoint(eager=False)
     toks.createOrReplaceTempView("_sh_toks")
     return spark.sql(DD.simhash_sql("spark", docs_source="_sh_toks"))
 
@@ -1622,7 +1622,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components + canonical-doc pick (longest copy kept,
     rest dropped) — the dedup pipeline's ship step. Reuses the
     dedup_minhash_lsh pipeline's materialized stages for the pairs."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=False)
     pairs.createOrReplaceTempView("_mh_pairs")
     return spark.sql(DD.minhash_clusters_sql("spark", pairs_rel="_mh_pairs"))
 
@@ -1658,7 +1658,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the md5-seeded Lloyd training and the fold-left
     pair join inline. See operators/semdedup.py for the 100 TB story."""
     load_tables(spark, sf_dir)
-    pairs = SD.semantic_pairs(spark).localCheckpoint(eager=True)
+    pairs = SD.semantic_pairs(spark).localCheckpoint(eager=False)
     pairs.createOrReplaceTempView("_sem_pairs")
     return spark.sql(SD.semantic_dedup_sql(
         "spark", cents_source="ivf_cents", assign_source="ivf_assign",
@@ -1729,13 +1729,13 @@ def gardener_consolidation_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive-per-query path (ecur_member_sql) remains the cold-start
     # fallback for callers outside load_tables.
     spark.sql(CS.member_nids_sql("_cons_labels")).localCheckpoint(
-        eager=True
+        eager=False
     ).createOrReplaceTempView("_cons_nids")
     spark.sql(
         "SELECT src, dst, rel, weight FROM edges_cur "
         "WHERE src IN (SELECT nid FROM _cons_nids) "
         "   OR dst IN (SELECT nid FROM _cons_nids)"
-    ).localCheckpoint(eager=True).createOrReplaceTempView("_cons_ecur")
+    ).localCheckpoint(eager=False).createOrReplaceTempView("_cons_ecur")
     return spark.sql(
         "WITH " + CS.merge_body_ctes("spark", "_cons_labels",
                                      ecur_rel="_cons_ecur")
@@ -1894,7 +1894,7 @@ def graph_evolution_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("parent", F.lag("event_id").over(w_asc))
         .where(F.col("parent").isNotNull())
         .select("user_id", F.col("event_id").alias("child"), "parent")
-        .localCheckpoint(eager=True)  # referenced by all 10 rounds
+        .localCheckpoint(eager=False)  # referenced by all 10 rounds
     )
     w_desc = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc())
@@ -1920,7 +1920,7 @@ def graph_evolution_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             # at depth 10 the unrolled replay is 55 joins vs 10 joins +
             # 9 checkpoints of a |seeds|-row frontier — checkpoint wins
             # (measured ~5.9 s -> ~2.5 s at sf0.1).
-            frontier = frontier.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=False)
         levels.append(frontier.withColumn("depth", F.lit(d)))
     out = levels[0]
     for lvl in levels[1:]:
@@ -2652,7 +2652,7 @@ def pipeline_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     once (SCALE.md rule 2); the oracle inlines it — see
     operators/pipeline.py: dsir_select_sql."""
     load_tables(spark, sf_dir)
-    bg = spark.sql(PL.dsir_bg_sql()).localCheckpoint(eager=True)
+    bg = spark.sql(PL.dsir_bg_sql()).localCheckpoint(eager=False)
     bg.createOrReplaceTempView("_dsir_bg")
     return spark.sql(PL.dsir_select_sql("spark", bg_source="_dsir_bg"))
 
@@ -2890,7 +2890,7 @@ def pipeline_vocab_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(0, size(toks) - 2), "
             "i -> struct(toks[i] AS w1, toks[i + 1] AS w2)) AS prs"
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return (
         pairs.select(F.explode("prs").alias("p"))
