@@ -476,9 +476,12 @@ WHERE {query_pred}
 
 
 def nsw_new_sql(frontier: str, visited: str, adj: str) -> str:
-    """Nodes discovered this hop and never scored before."""
+    """Nodes discovered this hop and never scored before. No inner
+    DISTINCT: EXCEPT is a set operation in both engines (its output is
+    already duplicate-free), and the redundant pre-aggregate cost one
+    Exchange + HashAggregate per hop (r7 plan audit)."""
     return f"""
-SELECT DISTINCT f.query_id, g.dst AS node
+SELECT f.query_id, g.dst AS node
 FROM {frontier} f JOIN {adj} g ON g.src = f.node
 EXCEPT
 SELECT query_id, node FROM {visited}
@@ -616,9 +619,10 @@ def _sweep_beams_rel(beams: tuple[int, ...]) -> str:
 
 def _sweep_new_sql(frontier: str, visited: str, adj: str) -> str:
     """Beam-keyed variant of nsw_new_sql: nodes a (beam, query) pair
-    discovers this hop and never scored before."""
+    discovers this hop and never scored before. No inner DISTINCT —
+    EXCEPT already dedups (see nsw_new_sql)."""
     return f"""
-SELECT DISTINCT f.beam, f.query_id, g.dst AS node
+SELECT f.beam, f.query_id, g.dst AS node
 FROM {frontier} f JOIN {adj} g ON g.src = f.node
 EXCEPT
 SELECT beam, query_id, node FROM {visited}

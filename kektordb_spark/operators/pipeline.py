@@ -577,7 +577,11 @@ def bpe_train(spark, rounds: int = BPE_ROUNDS,
         # doubled the job count, and per-job fixed overhead — not the
         # merge compute — is what dominates this loop at fixture
         # scale: 11 jobs ~7-10 s vs 6 jobs ~4 s.)
-        t = t.localCheckpoint(eager=True)
+        # r7: LAZY checkpoint — the round's broadcast argmax build is
+        # the first consumer and materializes t's blocks (sequentially,
+        # before the merge stage probes them), so the loop body builds
+        # plans only; every job runs inside the final action's cascade
+        t = t.localCheckpoint(eager=False)
         t.createOrReplaceTempView(f"_bpe_t{i}")
         best = spark.sql(
             _bpe_best_sql("spark", f"({_adj_pairs('spark', f'_bpe_t{i}')}) p"))
@@ -1167,7 +1171,7 @@ def bpe_apply(spark, rounds: int = BPE_ROUNDS,
         "doc_id", "toks", "CAST(size(toks) AS INT) AS n_toks_before")
     merge = _bpe_merge_udf()
     for i in range(rounds):
-        t = t.localCheckpoint(eager=True)
+        t = t.localCheckpoint(eager=False)  # lazy: see bpe_train
         t.createOrReplaceTempView(f"_bpea_t{i}")
         best = spark.sql(
             _bpe_best_sql("spark", f"({_adj_pairs('spark', f'_bpea_t{i}')}) p"))
