@@ -1450,10 +1450,10 @@ def adaptive_retrieval_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlines repeated CTEs."""
     load_tables(spark, sf_dir)
     spark.sql(AD.graph_edges_sql("spark")).localCheckpoint(
-        eager=True
+        eager=False
     ).createOrReplaceTempView("_ag_edges")
     spark.sql(AD.graph_seeds_sql("spark")).localCheckpoint(
-        eager=True
+        eager=False
     ).createOrReplaceTempView("_ag_seeds")
     return spark.sql(AD.adaptive_graph_sql(
         "spark", edges_rel="_ag_edges", seeds_rel="_ag_seeds"))
@@ -2429,7 +2429,7 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     log and scanning a few thousand rollup rows."""
     load_tables(spark, sf_dir)
     spark.sql(ST.rollup_hourly_sql("spark")).localCheckpoint(
-        eager=True
+        eager=False
     ).createOrReplaceTempView("_hourly")
     return spark.sql(ST.rollup_daily_from_hourly_sql("spark"))
 
@@ -2696,9 +2696,9 @@ def pipeline_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (DuckDB materializes WITH-CTEs)."""
     load_tables(spark, sf_dir)
     spark.sql(PL.corpus_tf_sql("spark")).localCheckpoint(
-        eager=True).createOrReplaceTempView("_cs_tf")
+        eager=False).createOrReplaceTempView("_cs_tf")
     spark.sql(PL.corpus_topk_sql("_cs_tf")).localCheckpoint(
-        eager=True).createOrReplaceTempView("_cs_topk")
+        eager=False).createOrReplaceTempView("_cs_topk")
     return spark.sql(PL.corpus_stats_final_sql("_cs_tf", "_cs_topk"))
 register_sql("dedup_paragraph", DD.paragraph_dedup_sql, ["docs_tok"])
 register_sql("dedup_substring_windows", DD.substring_windows_sql, ["docs_tok"])
@@ -2797,7 +2797,7 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     single SQL text (DuckDB materializes WITH-CTEs)."""
     load_tables(spark, sf_dir)
     spark.sql(AN.tfidf_tf_sql("spark")).localCheckpoint(
-        eager=True).createOrReplaceTempView("_tfidf_tfr")
+        eager=False).createOrReplaceTempView("_tfidf_tfr")
     return spark.sql(AN.tfidf_final_sql("_tfidf_tfr", "docs_tok_par"))
 
 
@@ -2817,8 +2817,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node relation localCheckpointed for its 2 consumers
     (report + total = sum/3)."""
     load_tables(spark, sf_dir)
+    # lazy: the census's two consumers are ordered (the total-sum
+    # broadcast builds first and materializes pn; the report side then
+    # probes the blocks) — the census itself never runs twice
     spark.sql(AN.triangle_pn_sql("spark", "copurch_o")).localCheckpoint(
-        eager=True).createOrReplaceTempView("_tri_pn")
+        eager=False).createOrReplaceTempView("_tri_pn")
     return spark.sql(AN.triangle_final_sql("_tri_pn"))
 
 
