@@ -735,9 +735,10 @@ def nsw_recall_sweep(
     adj_source: str = "nng",
 ) -> DataFrame:
     """Spark runner for the beam recall sweep: ONE per-hop
-    checkpointed loop serving every beam width at once (beam-keyed
-    state — see nsw_recall_sweep_sql), early-exit when no width
-    discovers anything new."""
+    LAZY-checkpointed loop serving every beam width at once (beam-keyed
+    state — see nsw_recall_sweep_sql). The loop builds plans only and
+    the final action materializes the cascade; post-fixpoint hops
+    collapse under AQE's empty-relation propagation (see nsw_search)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -755,19 +756,13 @@ def nsw_recall_sweep(
         visited.createOrReplaceTempView("_swp_v")
         frontier.createOrReplaceTempView("_swp_f")
         # `new` stays a lazy view folded into the scored checkpoint —
-        # one consumer, so 2 jobs/hop (ckpt + exit count), the same
-        # shape as nsw_search's loop
+        # one consumer, same shape as nsw_search's loop
         spark.sql(
             _sweep_new_sql("_swp_f", "_swp_v", adj_source)
         ).createOrReplaceTempView("_swp_n")
-        # lazy checkpoint: the early-exit count materializes the hop's
-        # scored relation (and, on hop 0, the init fan-out) in the same
-        # job — one job per hop instead of two (guide §1.2)
         scored = spark.sql(
             _sweep_scored_sql("spark", "_swp_n")
         ).localCheckpoint(eager=False)
-        if scored.count() == 0:
-            break
         visited_parts.append(scored)
         scored.createOrReplaceTempView("_swp_s")
         frontier = spark.sql(_sweep_frontier_sql("_swp_s"))
@@ -812,10 +807,16 @@ def nsw_search(
     init: str = "entry",
     assign_source: str = "ivf_assign",
 ) -> DataFrame:
-    """Spark runner: per-hop checkpointed loop over the persisted
-    adjacency, early-exit when a hop discovers nothing new.
-    ``init='cell'`` seeds hop-0 from each query's IVF cell via the
-    persisted ``assign_source`` relation (the insert path)."""
+    """Spark runner: per-hop LAZY-checkpointed loop over the persisted
+    adjacency — the loop builds plans only; every hop materializes in
+    the final action's cascade (r7, guide §1.2 — the per-hop
+    early-exit count was the loop's last blocking driver round-trip).
+    Post-fixpoint hops are free under AQE: an empty hop's frontier is
+    an empty broadcast side, and AQE's empty-relation propagation
+    collapses the expand join without scanning the adjacency, which is
+    exactly the identity the unrolled oracle computes past the
+    fixpoint. ``init='cell'`` seeds hop-0 from each query's IVF cell
+    via the persisted ``assign_source`` relation (the insert path)."""
     visited_parts = []
     if init == "cell":
         v = spark.sql(
@@ -838,11 +839,8 @@ def nsw_search(
         visited.createOrReplaceTempView("_nsw_v")
         new = spark.sql(nsw_new_sql("_nsw_f", "_nsw_v", adj_source))
         new.createOrReplaceTempView("_nsw_n")
-        # lazy checkpoint + count: one job per hop (guide §1.2)
         scored = spark.sql(
             nsw_scored_sql("spark", "_nsw_n")).localCheckpoint(eager=False)
-        if scored.count() == 0:
-            break
         visited_parts.append(scored)
         scored.createOrReplaceTempView("_nsw_s")
         frontier = spark.sql(nsw_frontier_sql("_nsw_s", beam))

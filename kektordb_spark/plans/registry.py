@@ -3000,6 +3000,15 @@ _DRIVER_WINDOW_FIRST = [
     "pipeline_semantic_decontaminate",
     "vsearch_hybrid_facade",
     "pipeline_curriculum_adaptive",
+    # r7 late-build text rewrites (window->aggregate+join keep-first /
+    # multiplicity, two-level UniMax rank) — landed AFTER the list
+    # above was drawn up; must be driver-rechecked this window. The
+    # three r4-stale rotation picks they displace
+    # (compiler_artifact_staleness, dedup_incremental, engine_stats)
+    # move to the r8 remainder below.
+    "dedup_paragraph",
+    "dedup_substring_windows",
+    "pipeline_lang_balance",
     # r7 staleness rotation, slots 23-43: the full r3-stale cohort
     # (last driver-checked in the r3 window — the remainder promised
     # by the r6 comment).
@@ -3024,8 +3033,9 @@ _DRIVER_WINDOW_FIRST = [
     "rel_window_running",
     "semantic_cache_lookup",
     "text_stats",
-    # slots 45-50: oldest of the r4-stale cohort (alphabetical).
+    # final slots: oldest of the r4-stale cohort (alphabetical).
     # r8 rotation remainder (the rest of the r4 cohort, next round):
+    # compiler_artifact_staleness, dedup_incremental, engine_stats,
     # gardener_session_summary,
     # graph_evolution_chain, memory_reinforce, pipeline_bpe_train,
     # pipeline_dsir_select, pipeline_vocab_pairs, streaming_dedup_first,
@@ -3037,9 +3047,6 @@ _DRIVER_WINDOW_FIRST = [
     # then the r5 cohort.
     "artifact_version_asof",
     "compiler_artifact_diff",
-    "compiler_artifact_staleness",
-    "dedup_incremental",
-    "engine_stats",
     "events_rollup_cascade",
 ]
 

@@ -44,12 +44,13 @@ WITH be AS (
   FROM {batch_view}
 ),
 a AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {d} ASC, c.cid ASC) AS rk
-    FROM be e CROSS JOIN {cents_view} c
-  ) t WHERE rk = 1
+  -- r7: argmin as a map-side-combinable min_by aggregate over the
+  -- lexicographic (d2, cid) pair — the same pick as _assign_cte's
+  -- rank window (ORDER BY d2 ASC, cid ASC, rk = 1) without buffering
+  -- and sorting each vector's nlist candidate rows in a window task
+  SELECT e.vec_id, min_by(c.cid, struct({d}, c.cid)) AS cid
+  FROM be e CROSS JOIN {cents_view} c
+  GROUP BY e.vec_id
 )
 SELECT cid, count(*) AS n FROM a GROUP BY cid
 """.strip()
