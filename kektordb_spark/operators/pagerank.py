@@ -186,8 +186,21 @@ def pagerank_df(
     )
     ranks = nodes.withColumn("pr", F.lit(1.0))
     for _ in range(iters):
+        # Broadcast the NODE-sized ranks side explicitly: past round 1
+        # the ranks relation is a union over aggregates and the cached
+        # sources floor, whose size the planner cannot estimate, so it
+        # falls back to broadcasting the EDGE-sized w scan instead (the
+        # known-small side by file stats) — measured as 2 serial
+        # 136 MiB hash-relation builds on the driver per query at
+        # sf0.1, the core-count-independent cost that dominated the
+        # bench line. ranks rows ⊆ nodes ⊆ (src ∪ dst of w) by
+        # construction, so the hint always picks the strictly smaller
+        # side; when node count outgrows the broadcast cap the swap is
+        # the src-bucketed co-partitioned join (SCALE.md rule 7 /
+        # module docstring), same as every other broadcast in the
+        # engine.
         mass = (
-            w.join(ranks.withColumnRenamed("node", "src"), "src")
+            w.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("wt") * F.col("pr")).alias("mass"))
         )
