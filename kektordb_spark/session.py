@@ -33,15 +33,15 @@ def get_spark(app_name: str = "kektordb-spark", cpus: int | None = None) -> Spar
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # 1 reduce partition per core (min 16): measured at sf0.1 over
-        # a mid-weight query mix — 16 beats 32 by ~5-10% on 8 cores,
-        # and 32 beats 64 by ~6% on 32 cores (r5 A/B, steady-state
-        # 24.4 s -> 22.9 s on a 12-query subset) — AQE coalesces the
-        # read side either way, but fewer map outputs cut fixed task
-        # overhead, the documented local[32] small-shuffle penalty.
-        # Pure fixture tuning: on a cluster this is sized to data
-        # volume, not cores (SCALE.md).
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 16)))
+        # Session-creation default only: tables.load_tables replaces
+        # this with the DATA-derived count the moment it knows the
+        # input directory (data_sized_shuffle_partitions — bytes /
+        # per-lane target, env-parameterised; guide §2.1 "partitions
+        # track data volume, never core count"). The static fallback
+        # covers sessions that never load fixture tables (unit tests
+        # over tiny literals), where 16 kilobyte-scale lanes are
+        # harmless.
+        .config("spark.sql.shuffle.partitions", "16")
         # Arrow for every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Robustness for nanos-encoded event files: TIMESTAMP(NANOS)

@@ -32,6 +32,8 @@ Views:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -373,6 +375,43 @@ def _swap_scratch_dir(sid: int, new_dir: str) -> None:
         _swap_scratch_dir._atexit_registered = True
 
 
+def data_sized_shuffle_partitions(sf_dir: str) -> int:
+    """Initial shuffle-partition count derived from the input volume
+    (guide §2.1): compressed input bytes / target-bytes-per-lane,
+    rounded to the nearest power of two, clamped to [floor, cap].
+
+    Defaults (env-overridable): 1 MiB of compressed parquet per reduce
+    lane locally — sf0.1 (17.5 MB) lands on 16 lanes at EVERY core
+    count, the value the r5 A/B measured fastest; floor 8 keeps real
+    reduce work (600k-row sorts/aggregates) parallel at the smaller
+    SFs; cap 4096. A cluster run raises the target to 256 MiB-1 GiB
+    per the guide's partition-size recommendation via
+    SPARK_GRAFT_SHUFFLE_TARGET_BYTES — the rule (bytes/target) is the
+    scale story, the constants are the deployment's."""
+    import math
+
+    total = 0
+    try:
+        for name in os.listdir(sf_dir):
+            if name.endswith(".parquet"):
+                p = os.path.join(sf_dir, name)
+                if os.path.isdir(p):
+                    for root, _dirs, files in os.walk(p):
+                        total += sum(
+                            os.path.getsize(os.path.join(root, f)) for f in files
+                        )
+                else:
+                    total += os.path.getsize(p)
+    except OSError:
+        total = 0
+    target = int(os.environ.get("SPARK_GRAFT_SHUFFLE_TARGET_BYTES", str(1 << 20)))
+    floor = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MIN_PARTITIONS", "8"))
+    cap = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MAX_PARTITIONS", "4096"))
+    raw = max(1, total // max(target, 1))
+    n = 1 << max(0, round(math.log2(raw)))
+    return min(max(n, floor), cap)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read base parquet tables and register them + derived views as temp
     views. Returns dict of base DataFrames.
@@ -394,6 +433,24 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     prev = _REGISTERED.get(sid)
     if prev is not None and prev[0] == sf_dir:
         return prev[1]
+    # Size the initial reduce-partition count to the DATA, not the core
+    # count (guide §2.1: partitions track data volume; a core-derived
+    # count over-parallelizes small inputs — measured r7: BPE train/
+    # apply ran FASTER at local[8] than local[32] because 32 kilobyte-
+    # scale shuffle lanes are pure scheduling overhead). One reduce
+    # lane per ~1 MiB of compressed input (~4-8 MiB in-flight after
+    # decode — spill-free yet large enough to amortize task setup),
+    # rounded to a power of two, clamped to [8, 4096]; both knobs are
+    # env-parameterised for cluster deployments, where the same rule
+    # at a 256 MiB-1 GiB target yields the guide's recommended
+    # partition sizing. AQE still coalesces/splits at runtime either
+    # way; this sets the map-output fan-out and the pre-AQE sort
+    # buffers. Set per (session, sf_dir) so every consumer — bench,
+    # verify, tests — sees the same data-derived value.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(data_sized_shuffle_partitions(sf_dir)),
+    )
     out: dict[str, DataFrame] = {}
     for name in BASE_TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
