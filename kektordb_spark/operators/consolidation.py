@@ -111,16 +111,34 @@ def consolidation_labels_df(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(iters):
+    for _i in range(iters):
+        # Broadcast the neighbor-label probe side (r8): the
+        # checkpointed per-round labels report no stats, so both round
+        # joins planned as SortMergeJoin — 4-5 exchanges per round over
+        # a node-grained relation. With the label relation broadcast
+        # the round collapses to one aggregate exchange (measured
+        # quiet: 21 -> 15 jobs, 1.45 -> 1.0 s for the 4-round chain,
+        # bit-identical labels). Node-grained relation, same broadcast
+        # bound/co-partition swap story as the merge body's member
+        # hints (merge_body_ctes docstring).
         labels = (
             labels.alias("n")
             .join(und.alias("e"), F.col("n.node") == F.col("e.u"), "left")
-            .join(labels.alias("p"), F.col("p.node") == F.col("e.w"), "left")
+            .join(F.broadcast(labels).alias("p"),
+                  F.col("p.node") == F.col("e.w"), "left")
             .groupBy(F.col("n.node").alias("node"), F.col("n.label").alias("l0"))
             .agg(F.min(F.col("p.label")).alias("lmin"))
             .select("node", F.least(F.col("l0"), F.coalesce("lmin", "l0")).alias("label"))
-            .localCheckpoint(eager=False)
         )
+        # Checkpoint every SECOND round (plus the last): with the
+        # probe side broadcast the un-checkpointed odd round is a
+        # single-exchange subplan, so letting the next round inline it
+        # halves the lineage-truncation points without recomputation
+        # (its two references — n and the broadcast p — dedup via
+        # exchange reuse). Measured quiet: ~8% off the 4-round chain,
+        # bit-identical labels.
+        if _i % 2 == 1 or _i == iters - 1:
+            labels = labels.localCheckpoint(eager=False)
     return labels
 
 
@@ -199,6 +217,21 @@ JOIN (SELECT label FROM {labels_rel} GROUP BY label HAVING count(*) >= {min_size
 """.strip()
 
 
+def cl_nodes_sql(labels_rel: str, min_size: int = 3) -> str:
+    """The (label, node, nid) member relation of every consolidatable
+    cluster — the Spark runner materializes this ONCE (eager local
+    checkpoint) and feeds both the ecur member-restriction probes and
+    all seven body references via merge_body_ctes(cl_rel=...), instead
+    of deriving member nids and cl_nodes separately."""
+    return f"""
+SELECT /*+ BROADCAST(z) */ m.label, m.node,
+       concat('p_', CAST(m.node AS STRING)) AS nid
+FROM {labels_rel} m
+JOIN (SELECT label FROM {labels_rel} GROUP BY label HAVING count(*) >= {min_size}) z
+  ON z.label = m.label
+""".strip()
+
+
 def ecur_member_sql(nids_rel: str, at_time: int | None = None) -> str:
     """Spark-side ecur restricted to member-touching edges BEFORE the
     latest-version pick. Safe because the filter is on (src, dst) —
@@ -226,7 +259,7 @@ GROUP BY src, dst, rel
 
 def merge_body_ctes(
     dialect: str, labels_rel: str, min_size: int = 3, at_time: int | None = None,
-    ecur_rel: str | None = None,
+    ecur_rel: str | None = None, cl_rel: str | None = None,
 ) -> str:
     """A5 merge step (gardener.go:941-1110 consolidateCluster, no-LLM
     path) as one SQL statement over a (node, label) cluster relation:
@@ -264,29 +297,93 @@ def merge_body_ctes(
     # Members-per-cluster is config-bounded, so the member relation is
     # always the broadcast side of the edge joins; checkpointed temp
     # views report no stats, so the hint makes it explicit (a comment
-    # to every other engine).
+    # to every other engine). r8 extends the same discipline to EVERY
+    # join over the stats-less checkpoint-derived relations: without
+    # hints the body planned 14 SortMergeJoins (each a shuffle+sort
+    # pair) to join label-grained relations of at most a few thousand
+    # rows — plan-verified 14 SMJ -> 0 after hinting. The broadcast
+    # sides are member- or cluster-grained (cluster-membership-
+    # bounded, the scale argument above); the probe sides stay the
+    # edge stream / labels relation.
     hint = "/*+ BROADCAST(n), BROADCAST(t2), BROADCAST(s2) */ " \
         if dialect == "spark" else ""
     hint_n = "/*+ BROADCAST(n) */ " if dialect == "spark" else ""
+    hint_z = "/*+ BROADCAST(z) */ " if dialect == "spark" else ""
+    hint_d = "/*+ BROADCAST(d) */ " if dialect == "spark" else ""
+    hint_c = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
+    hint_fin = ("/*+ BROADCAST(c), BROADCAST(a), BROADCAST(o), "
+                "BROADCAST(i) */ "
+                if dialect == "spark" else "")
     if dialect == "spark":
-        posex = ("SELECT c.label, t.pos, t.x FROM cl_nodes c "
+        posex = (f"SELECT {hint_c}c.label, t.pos, t.x FROM cl_nodes c "
                  "JOIN emb e ON e.vec_id = c.node "
                  "LATERAL VIEW posexplode(e.v) t AS pos, x")
         members = ("array_join(transform(array_sort(collect_list(node)), "
                    "x -> CAST(x AS STRING)), ',')")
+        # Pick-one-per-group windows become max_by aggregates on the
+        # Spark side (map-side combinable, no partition sort — the
+        # ecur_sql precedent; guide "aggregate before you shuffle").
+        # central: lexicographic max over (degree, content length,
+        # -node) == ORDER BY degree DESC, length DESC, node ASC with
+        # node unique per label, so the triple never ties. rew_out:
+        # node unique per (label, rel, dst) group, so max_by(weight,
+        # node) is the rn=1 row's weight. DuckDB keeps the windowed
+        # form — results verified identical by every oracle run.
+        central_body = """SELECT d.label,
+         max_by(coalesce(p.p_name, ''),
+                struct(d.degree, length(coalesce(p.p_name, '')), -d.node)
+         ) AS content
+  FROM deg d LEFT JOIN part p ON p.p_partkey = d.node
+  GROUP BY d.label"""
+        rew_out_body = f"""SELECT {hint}n.label, e.rel, e.dst,
+         max_by(e.weight, n.node) AS weight
+  FROM cl_nodes n
+  JOIN {ecur} e ON e.src = n.nid
+  LEFT JOIN cl_nodes t2 ON t2.label = n.label AND t2.nid = e.dst
+  WHERE e.rel NOT IN ({skips}) AND t2.nid IS NULL
+  GROUP BY n.label, e.rel, e.dst"""
     else:
         posex = ("SELECT c.label, generate_subscripts(e.v, 1) - 1 AS pos, "
                  "unnest(e.v) AS x FROM cl_nodes c JOIN emb e ON e.vec_id = c.node")
         members = ("array_to_string(list_transform(list_sort(list(node)), "
                    "x -> CAST(x AS VARCHAR)), ',')")
-    return f"""sizes AS (
+        central_body = """SELECT label, content FROM (
+    SELECT d.label, coalesce(p.p_name, '') AS content,
+           row_number() OVER (PARTITION BY d.label
+                              ORDER BY d.degree DESC,
+                                       length(coalesce(p.p_name, '')) DESC,
+                                       d.node ASC) AS rn
+    FROM deg d LEFT JOIN part p ON p.p_partkey = d.node) t
+  WHERE rn = 1"""
+        rew_out_body = f"""SELECT label, rel, dst, weight FROM (
+    SELECT n.label, n.node, e.rel, e.dst, e.weight,
+           row_number() OVER (PARTITION BY n.label, e.rel, e.dst
+                              ORDER BY n.node DESC) AS rn
+    FROM cl_nodes n
+    JOIN {ecur} e ON e.src = n.nid
+    LEFT JOIN cl_nodes t2 ON t2.label = n.label AND t2.nid = e.dst
+    WHERE e.rel NOT IN ({skips}) AND t2.nid IS NULL) t
+  WHERE rn = 1"""
+    # cl_rel: a pre-materialized (label, node, nid) member relation —
+    # the Spark runner checkpoints it ONCE and shares it between the
+    # ecur slice's IN-probes and every body consumer (it is referenced
+    # 7x below); the sizes/cl_nodes derivation then collapses to a
+    # passthrough. The DuckDB oracle keeps the inline derivation —
+    # DuckDB materializes repeated CTEs itself.
+    if cl_rel is None:
+        cl_ctes = f"""sizes AS (
   SELECT label, count(*) AS size FROM {labels_rel} GROUP BY label
 ),
 cl_nodes AS (
-  SELECT m.label, m.node, concat('p_', CAST(m.node AS {s})) AS nid
+  SELECT {hint_z}m.label, m.node, concat('p_', CAST(m.node AS {s})) AS nid
   FROM {labels_rel} m JOIN sizes z ON z.label = m.label
   WHERE z.size >= {min_size}
-),
+),"""
+    else:
+        cl_ctes = f"""cl_nodes AS (
+  SELECT label, node, nid FROM {cl_rel}
+),"""
+    return f"""{cl_ctes}
 {ecur_cte}degm AS (
   -- members are the broadcast side of an INNER join (hinted:
   -- checkpointed temp views report no stats; a left-outer from the
@@ -299,19 +396,12 @@ cl_nodes AS (
   GROUP BY n.label, n.node
 ),
 deg AS (
-  SELECT n.label, n.node, coalesce(d.degree, 0) AS degree
+  SELECT {hint_d}n.label, n.node, coalesce(d.degree, 0) AS degree
   FROM cl_nodes n
   LEFT JOIN degm d ON d.label = n.label AND d.node = n.node
 ),
 central AS (
-  SELECT label, content FROM (
-    SELECT d.label, coalesce(p.p_name, '') AS content,
-           row_number() OVER (PARTITION BY d.label
-                              ORDER BY d.degree DESC,
-                                       length(coalesce(p.p_name, '')) DESC,
-                                       d.node ASC) AS rn
-    FROM deg d LEFT JOIN part p ON p.p_partkey = d.node) t
-  WHERE rn = 1
+  {central_body}
 ),
 avgv AS (
   SELECT label, round(sqrt(sum(m * m)), 6) AS avg_vec_norm FROM (
@@ -319,49 +409,38 @@ avgv AS (
   GROUP BY label
 ),
 rew_out AS (
-  SELECT label, rel, dst, weight FROM (
-    SELECT {hint}n.label, n.node, e.rel, e.dst, e.weight,
-           row_number() OVER (PARTITION BY n.label, e.rel, e.dst
-                              ORDER BY n.node DESC) AS rn
-    FROM cl_nodes n
-    JOIN {ecur} e ON e.src = n.nid
-    LEFT JOIN cl_nodes t2 ON t2.label = n.label AND t2.nid = e.dst
-    WHERE e.rel NOT IN ({skips}) AND t2.nid IS NULL) t
-  WHERE rn = 1
+  {rew_out_body}
 ),
 out_stats AS (
   SELECT label, count(*) AS edges_out, round(sum(weight), 2) AS rewired_weight
   FROM rew_out GROUP BY label
 ),
 rew_in AS (
-  SELECT label, rel, src FROM (
-    SELECT {hint}n.label, n.node, e.rel, e.src,
-           row_number() OVER (PARTITION BY n.label, e.rel, e.src
-                              ORDER BY n.node DESC) AS rn
-    FROM cl_nodes n
-    JOIN {ecur} e ON e.dst = n.nid
-    LEFT JOIN cl_nodes s2 ON s2.label = n.label AND s2.nid = e.src
-    WHERE e.rel NOT IN ({skips}) AND s2.nid IS NULL) t
-  WHERE rn = 1
+  SELECT {hint}n.label, e.rel, e.src
+  FROM cl_nodes n
+  JOIN {ecur} e ON e.dst = n.nid
+  LEFT JOIN cl_nodes s2 ON s2.label = n.label AND s2.nid = e.src
+  WHERE e.rel NOT IN ({skips}) AND s2.nid IS NULL
+  GROUP BY n.label, e.rel, e.src
 ),
 in_stats AS (
   SELECT label, count(*) AS edges_in FROM rew_in GROUP BY label
 ),
-mlist AS (
-  SELECT label, {members} AS members FROM cl_nodes GROUP BY label
+szm AS (
+  SELECT label, count(*) AS size, {members} AS members
+  FROM cl_nodes GROUP BY label
 )
-SELECT concat('consolidation_', CAST(z.label AS {s})) AS master_id,
+SELECT {hint_fin}concat('consolidation_', CAST(z.label AS {s})) AS master_id,
        CAST(z.size AS INT) AS derived_from_count,
        c.content,
        a.avg_vec_norm,
        CAST(coalesce(o.edges_out, 0) AS INT) AS edges_out,
        round(coalesce(o.rewired_weight, 0.0), 2) AS rewired_weight,
        CAST(coalesce(i.edges_in, 0) AS INT) AS edges_in,
-       m.members
-FROM sizes z
+       z.members
+FROM szm z
 JOIN central c ON c.label = z.label
 JOIN avgv a ON a.label = z.label
-JOIN mlist m ON m.label = z.label
 LEFT JOIN out_stats o ON o.label = z.label
 LEFT JOIN in_stats i ON i.label = z.label
 WHERE z.size >= {min_size}"""

@@ -1728,17 +1728,34 @@ def gardener_consolidation_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlines repeated CTEs — ecur_sql docstring). r3's
     # derive-per-query path (ecur_member_sql) remains the cold-start
     # fallback for callers outside load_tables.
-    spark.sql(CS.member_nids_sql("_cons_labels")).localCheckpoint(
-        eager=False
-    ).createOrReplaceTempView("_cons_nids")
+    # One EAGER checkpoint of the member relation (r8): the body
+    # references cl_nodes seven times and the ecur slice probes its
+    # nids twice — deriving it once replaces the old separate
+    # _cons_nids chain plus the body's inline sizes/cl_nodes rebuild.
+    spark.sql(CS.cl_nodes_sql("_cons_labels")).localCheckpoint(
+        eager=True
+    ).createOrReplaceTempView("_cons_cln")
+    # BROADCAST hints inside the IN-subqueries (r8): the checkpointed
+    # member RDD reports no stats, so without them both rewritten
+    # ExistenceJoins planned as SortMergeJoin — shuffling + sorting the
+    # 1.16M-row edges_cur snapshot TWICE (by src, then by dst) to
+    # probe a few-hundred-row set. Plan-verified: 2 SMJ -> 2 BHJ;
+    # member-nid sets are cluster-membership-bounded, the same scale
+    # argument as the body's member-side hints (merge_body_ctes).
+    # EAGER checkpoint: the merge body consumes this slice from FOUR
+    # sibling subtrees (degm 2x, rew_out, rew_in); a lazy checkpoint
+    # materializes inside the first consuming stage and concurrent
+    # siblings each recompute it (the sibling-race hazard documented
+    # at functions/text.py:106).
     spark.sql(
         "SELECT src, dst, rel, weight FROM edges_cur "
-        "WHERE src IN (SELECT nid FROM _cons_nids) "
-        "   OR dst IN (SELECT nid FROM _cons_nids)"
-    ).localCheckpoint(eager=False).createOrReplaceTempView("_cons_ecur")
+        "WHERE src IN (SELECT /*+ BROADCAST(_cons_cln) */ nid FROM _cons_cln) "
+        "   OR dst IN (SELECT /*+ BROADCAST(_cons_cln) */ nid FROM _cons_cln)"
+    ).localCheckpoint(eager=True).createOrReplaceTempView("_cons_ecur")
     return spark.sql(
         "WITH " + CS.merge_body_ctes("spark", "_cons_labels",
-                                     ecur_rel="_cons_ecur")
+                                     ecur_rel="_cons_ecur",
+                                     cl_rel="_cons_cln")
     )
 
 
@@ -2971,83 +2988,48 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW_FIRST = [
-    # r7 front, slots 1-22: every query whose Spark plan or shared SQL
-    # text changed this round — the window-elimination work (ordv
-    # two-level dense rank feeding the descent/ring family, the ivf
-    # md5-seed TakeOrderedAndProject init feeding every IVF consumer,
-    # the RRF/adaptive/search pre-limited rank branches, the fusion
-    # k=None no-window kNN branch) — all must be driver-rechecked.
-    "ann_beam_recall_sweep",
-    "ann_graph_build",
-    "ann_graph_merge",
-    "knn_nsw_top10",
-    "streaming_ann_assign",
-    "ivf_knn",
-    "ivfpq_knn",
-    "knn_pq_top10",
-    "dedup_semantic",
-    "ann_index_merge",
-    "ann_cell_balance",
-    "ann_recall_audit",
-    "emb_projection_audit",
-    "knn_projected_recall",
-    "hybrid_rrf_top15",
-    "hybrid_fusion_top15",
-    "adaptive_retrieval",
-    "adaptive_retrieval_density",
-    "adaptive_retrieval_graph",
-    "search_query_text",
-    "pipeline_semantic_decontaminate",
-    "vsearch_hybrid_facade",
-    "pipeline_curriculum_adaptive",
-    # r7 late-build text rewrites (window->aggregate+join keep-first /
-    # multiplicity, two-level UniMax rank) — landed AFTER the list
-    # above was drawn up; must be driver-rechecked this window. The
-    # three r4-stale rotation picks they displace
-    # (compiler_artifact_staleness, dedup_incremental, engine_stats)
-    # move to the r8 remainder below.
-    "dedup_paragraph",
-    "dedup_substring_windows",
-    "pipeline_lang_balance",
-    # r7 staleness rotation, slots 23-43: the full r3-stale cohort
-    # (last driver-checked in the r3 window — the remainder promised
-    # by the r6 comment).
-    "bm25_top10",
-    "dedup_exact",
-    "filter_dsl_or_and",
-    "gardener_contradictions",
-    "gardener_importance_shifts",
-    "gardener_knowledge_gaps",
-    "graph_all_relations",
-    "graph_bfs_depth3",
-    "graph_degree_timetravel",
-    "graph_find_path",
-    "graph_search_relations",
-    "graph_subgraph",
-    "graph_traverse_2hop",
-    "hybrid_contains_filter",
-    "knn_cosine_top10",
-    "knn_dot_top10",
-    "rel_pricing_summary",
-    "rel_topk_orders",
-    "rel_window_running",
-    "semantic_cache_lookup",
-    "text_stats",
-    # final slots: oldest of the r4-stale cohort (alphabetical).
-    # r8 rotation remainder (the rest of the r4 cohort, next round):
-    # compiler_artifact_staleness, dedup_incremental, engine_stats,
-    # gardener_session_summary,
-    # graph_evolution_chain, memory_reinforce, pipeline_bpe_train,
-    # pipeline_dsir_select, pipeline_vocab_pairs, streaming_dedup_first,
-    # streaming_importance_spikes, streaming_ingest_upsert,
-    # streaming_session_windows, streaming_stateful_totals,
-    # streaming_windowed_counts, text_compress_context,
-    # text_fingerprint, text_info_density, text_lang_id,
-    # text_repetition_signals, text_unigram_logprob, transfer_memory,
-    # then the r5 cohort.
-    "artifact_version_asof",
-    "compiler_artifact_diff",
-    "events_rollup_cascade",
+    # r8 front, slots 1-4: every query whose Spark plan or shared SQL
+    # text changed this round — pagerank's per-round broadcast-side
+    # flip, the consolidation merge/clusters restructure (broadcast-
+    # hinted body + max_by rewrites + shared cl_nodes checkpoint), and
+    # kcore's broadcast-hinted peel — all must be driver-rechecked.
+    # (The round's shuffle-partition derivation change touches every
+    # query; the sf0.01 full-registry verify covers that, and the
+    # 24 source-order names that fill slots 27-50 behind this list
+    # sample it across the untouched families.)
+    "graph_pagerank",
+    "gardener_consolidation_merge",
+    "gardener_consolidation_clusters",
+    "graph_kcore",
+    # r8 staleness rotation, slots 5-26: the full r4-stale cohort (the
+    # remainder promised by the r7 comment — last driver-checked in
+    # the r4 window).
+    "compiler_artifact_staleness",
+    "dedup_incremental",
+    "engine_stats",
+    "gardener_session_summary",
+    "graph_evolution_chain",
+    "memory_reinforce",
+    "pipeline_bpe_train",
+    "pipeline_dsir_select",
+    "pipeline_vocab_pairs",
+    "streaming_dedup_first",
+    "streaming_importance_spikes",
+    "streaming_ingest_upsert",
+    "streaming_session_windows",
+    "streaming_stateful_totals",
+    "streaming_windowed_counts",
+    "text_compress_context",
+    "text_fingerprint",
+    "text_info_density",
+    "text_lang_id",
+    "text_repetition_signals",
+    "text_unigram_logprob",
+    "transfer_memory",
+    # Slots 27-50 fill from source order (names absent from this list
+    # keep their source order after it) — at r8 those are the earliest
+    # SURVEY §2 families, which rotates the long-proven r1/r2-era
+    # queries back under the driver's value check.
 ]
 
 

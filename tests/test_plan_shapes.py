@@ -786,3 +786,52 @@ def test_components_all_equi_joins_over_pair_index(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "mapinpandas" not in plan.lower()
+
+
+def test_pagerank_rounds_broadcast_the_ranks_side(spark):
+    """r8: every power-iteration round broadcasts the NODE-sized ranks
+    relation, never the edge-sized transition relation. Past round 1
+    the ranks union has no size estimate while pr_w has file stats, so
+    without the explicit hint the planner flipped the build side to
+    the 136 MiB edge relation (two serial driver-side hash builds per
+    query — the r7 driver's reproducible 2x). BuildLeft on an Inner
+    BHJ in this plan means the w-scan side is being built again."""
+    plan = plan_of(spark, "graph_pagerank")
+    assert "BroadcastHashJoin Inner BuildLeft" not in plan
+
+
+def test_consolidation_merge_body_no_smj_no_window(spark):
+    """r8: the merge body joins only stats-less checkpoint-derived,
+    cluster-bounded relations — every join must stay broadcast-hash
+    (14 SortMergeJoins before the hints), and the pick-one-per-group
+    windows are max_by / GROUP BY aggregates on the Spark side (the
+    ecur_sql precedent; DuckDB oracle keeps the windowed form)."""
+    plan = plan_of(spark, "gardener_consolidation_merge")
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "max_by" in plan  # central/rew_out keep-highest-member picks
+    assert "CartesianProduct" not in plan
+
+
+def test_kcore_peel_round_broadcasts_keep_sets(spark):
+    """r8: the hinted peel round builds both keep-side hash relations
+    by broadcast (identical subtrees — exchange reuse materializes the
+    degree agg once) and NEVER builds the edge side: un-hinted, the
+    planner made the checkpointed round relation the BuildLeft hash
+    build (the pagerank build-side disease,
+    plans/r08/graph_kcore_peelround_before.txt)."""
+    from kektordb_spark.operators import kcore as KC
+    from kektordb_spark.tables import load_tables
+
+    load_tables(spark, SF_SMALL)
+    e0 = spark.sql(KC.kcore_edges_sql(weighted_source="copurch_w"))
+    e0 = e0.localCheckpoint(eager=True)  # the round>=1 stats-less shape
+    e0.createOrReplaceTempView("_kcp_e2")
+    df = spark.sql(KC.kcore_peel_sql(
+        "_kcp_e2", f"({KC.kcore_keep_sql('_kcp_e2')})",
+        hint="/*+ BROADCAST(ka), BROADCAST(kb) */ "))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin Inner BuildLeft" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
