@@ -197,9 +197,14 @@ def adaptive_graph_sql(
 {e_cte}"""]
     parts.append("vis0 AS (SELECT node FROM v0)")
     prev_frontier = "v0"
+    # Spark dialect: broadcast the visited-set side of the per-hop
+    # anti check (r8) — the vis unions are expansion-bounded but
+    # stats-less, so the check planned as a LeftOuter SortMergeJoin.
+    # DuckDB takes no hint.
+    hint_v = "/*+ BROADCAST(vis) */ " if dialect == "spark" else ""
     for d in range(1, GRAPH_DEPTH + 1):
         parts.append(f"""f{d} AS (
-  SELECT x.node, max(x.score) AS score, {d} AS depth FROM (
+  SELECT {hint_v}x.node, max(x.score) AS score, {d} AS depth FROM (
     SELECT e.dst AS node, p.score * e.wt AS score
     FROM {prev_frontier} p JOIN e ON e.src = p.node
   ) x

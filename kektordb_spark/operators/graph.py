@@ -357,7 +357,11 @@ def find_path(
         "node", F.col("depth").alias("dist_from_src"))
     bwd = visited.where(F.col("dir") == 1).select(
         "node", F.col("depth").alias("dist_to_dst"))
-    joined = fwd.join(bwd, "node").where(
+    # meet-in-the-middle join of the two visited maps: both sides are
+    # checkpoint-derived (no stats) so the planner fell back to
+    # SortMergeJoin (r8 plan audit); both are depth-bounded frontier
+    # unions — broadcast the backward map.
+    joined = fwd.join(F.broadcast(bwd), "node").where(
         F.col("dist_from_src") + F.col("dist_to_dst") <= max_depth
     )
     shortest = joined.agg(

@@ -138,6 +138,11 @@ def ivf_knn_sql(
         )
     qd = l2sq_sql(dialect, "q.v", "c.v")
     dot = dot_sql(dialect, "q.v", "e.v")
+    # Spark dialect: the probe relation is n_queries x nprobe rows but
+    # stats-less behind the persisted-assign join, so the cand join
+    # planned as SortMergeJoin shuffling the inverted file (r8 plan
+    # audit) — broadcast the probe side. DuckDB takes no hint.
+    hint_p = "/*+ BROADCAST(p) */ " if dialect == "spark" else ""
     parts.append(f"""probe AS (
   SELECT query_id, cid FROM (
     SELECT q.vec_id AS query_id, c.cid, {qd} AS d2,
@@ -147,7 +152,7 @@ def ivf_knn_sql(
   ) t WHERE rk <= {nprobe}
 ),
 cand AS (
-  SELECT p.query_id, i.vec_id, i.v, i.norm
+  SELECT {hint_p}p.query_id, i.vec_id, i.v, i.norm
   FROM probe p JOIN inv i ON i.cid = p.cid
 ),
 scored AS (

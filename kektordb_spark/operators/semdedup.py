@@ -119,9 +119,16 @@ def semantic_dedup_sql(
 )""")
     parts.append("l0 AS (SELECT DISTINCT u AS node, u AS label FROM und)")
     prev = "l0"
+    # Spark dialect (r8): broadcast the dup-pair edge list (e) and the
+    # neighbor-label probe side (p) of each propagation round (the
+    # minhash_clusters_sql hints — both duplicate-rate-bounded;
+    # un-hinted rounds planned as LeftOuter SortMergeJoins). DuckDB
+    # materializes CTEs, takes no hint.
+    hint_p = "/*+ BROADCAST(e), BROADCAST(p) */ " if dialect == "spark" else ""
+    hint_k = "/*+ BROADCAST(k) */ " if dialect == "spark" else ""
     for i in range(1, iters + 1):
         parts.append(f"""l{i} AS (
-  SELECT n.node, least(n.label, coalesce(min(p.label), n.label)) AS label
+  SELECT {hint_p}n.node, least(n.label, coalesce(min(p.label), n.label)) AS label
   FROM {prev} n
   LEFT JOIN und e ON e.u = n.node
   LEFT JOIN {prev} p ON p.node = e.w
@@ -161,7 +168,7 @@ def semantic_dedup_sql(
     body = ",\n".join(parts)
     return f"""
 WITH {body}
-SELECT k.kept_id, CAST(k.cid AS INT) AS cid, g.size,
+SELECT {hint_k}k.kept_id, CAST(k.cid AS INT) AS cid, g.size,
        CAST(g.size - 1 AS INT) AS dropped, g.members
 FROM grp g JOIN keep k ON k.label = g.label
 """.strip()

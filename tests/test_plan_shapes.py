@@ -835,3 +835,28 @@ def test_kcore_peel_round_broadcasts_keep_sets(spark):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin Inner BuildLeft" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+@pytest.mark.parametrize(
+    "name,max_smj",
+    [
+        ("graph_connected_components", 0),
+        ("graph_components_merge", 0),
+        ("dedup_minhash_clusters", 0),
+        ("dedup_semantic", 1),   # the remaining one is the cd/keep attach
+        ("graph_find_path", 0),
+        ("ivf_knn", 0),
+        ("adaptive_retrieval_graph", 0),
+        ("epistemic_belief_state", 0),
+        ("epistemic_consensus", 0),
+    ],
+)
+def test_r8_sweep_no_sort_merge_joins(spark, name, max_smj):
+    """r8 registry-wide sweep: these queries joined stats-less
+    checkpoint-/CTE-derived relations and silently planned
+    SortMergeJoins (up to 30 in the dedup label chains). The
+    provably-smaller sides are now broadcast-hinted; a regression here
+    means a future edit lost a hint or introduced a new stats-less
+    join path (plans/r08/<query>_{before,after}.txt for the shapes)."""
+    plan = plan_of(spark, name)
+    assert plan.count("- SortMergeJoin") <= max_smj

@@ -34,8 +34,10 @@ def test_gemm_pairs_match_sql_pairs(spark):
     # pairs stage — rebuild the text with a pairs-only tail.
     txt = SD.semantic_dedup_sql(
         "spark", cents_source="ivf_cents", assign_source="ivf_assign")
-    head, _, _ = txt.rpartition("SELECT k.kept_id")
-    pairs_sql = head + "SELECT id_a, id_b FROM pairs"
+    # split before the final statement (the last top-level SELECT —
+    # may carry a join hint, so match the newline-anchored keyword)
+    head, _, _ = txt.rpartition("\nSELECT ")
+    pairs_sql = head + "\nSELECT id_a, id_b FROM pairs"
     folded = {(r.id_a, r.id_b) for r in spark.sql(pairs_sql).collect()}
     assert gemm == folded
     assert len(gemm) > 0
