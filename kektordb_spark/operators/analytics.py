@@ -328,19 +328,28 @@ JOIN {deg} db ON db.p = e.pb
 """.strip()
 
 
-def triangle_pn_sql(dialect: str, o: str = "o") -> str:
-    """Stage 4: close wedges with one equi-join pair over the oriented
-    edges, then per-node triangle counts. The triangle relation is
-    consumed ONCE (each triangle explodes into its 3 corners in the
-    same pass) so it never needs materializing — r4's
-    UNION-ALL-3-ways + separate COUNT(*) consumed `tri` 4 times, which
-    Spark (no CTE materialization) re-ran as 4 full pair-joins."""
-    corners = (
-        "SELECT p FROM tri LATERAL VIEW explode(array(a, b, c)) _t AS p"
-        if dialect == "spark"
-        else "SELECT unnest([a, b, c]) AS p FROM tri"
-    )
-    return f"""
+def triangle_pn_sql(dialect: str, o: str = "o", lanes: int = 64) -> str:
+    """Stage 4: per-node triangle counts.
+
+    DuckDB keeps the r4 wedge-join form: close wedges with one
+    equi-join pair, each triangle exploding into its 3 corners in the
+    same pass (consumed ONCE — r4's UNION-ALL-3-ways re-ran the pair
+    join 4x on the inlining engine).
+
+    Spark (r8) counts by adjacency-set intersection instead: one
+    grouped collect of each node's out-neighbors, then per base edge
+    (u, v) every w in N+(u) ∩ N+(v) closes a triangle — the same
+    O(sum of wedges) element comparisons as the join form, but WITHOUT
+    materializing the 49M-wedge join output through two broadcast-hash
+    probes, and with the per-edge work spread round-robin over
+    ``lanes`` tasks instead of following the scan's row order (the
+    hot-u wedge skew made the join form's 32-task stage straggle:
+    interleaved A/B at sf0.1, 7 rounds — join 5.10 s median / 3.96 min
+    vs intersect 3.88 / 3.36, and the variance collapses). Counts are
+    identical integers (full pn relation parity-checked); the corners
+    of each triangle still explode in one pass."""
+    if dialect != "spark":
+        return f"""
 WITH tri AS (
   SELECT o1.u AS a, o1.v AS b, o2.v AS c
   FROM {o} o1
@@ -348,7 +357,23 @@ WITH tri AS (
   JOIN {o} o3 ON o3.u = o1.u AND o3.v = o2.v
 )
 SELECT p, count(*) AS tri_cnt
-FROM ({corners}) x
+FROM (SELECT unnest([a, b, c]) AS p FROM tri) x
+GROUP BY p
+""".strip()
+    return f"""
+WITH adj AS (
+  SELECT u, sort_array(collect_list(v)) AS nbrs FROM {o} GROUP BY u
+),
+tri AS (
+  SELECT /*+ REPARTITION({lanes}) */
+         flatten(transform(array_intersect(au.nbrs, av.nbrs),
+                           w -> array(o.u, o.v, w))) AS corners
+  FROM {o} o
+  JOIN adj au ON au.u = o.u
+  JOIN adj av ON av.u = o.v
+)
+SELECT p, count(*) AS tri_cnt
+FROM tri LATERAL VIEW explode(corners) x AS p
 GROUP BY p
 """.strip()
 

@@ -2836,8 +2836,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     # lazy: the census's two consumers are ordered (the total-sum
     # broadcast builds first and materializes pn; the report side then
-    # probes the blocks) — the census itself never runs twice
-    spark.sql(AN.triangle_pn_sql("spark", "copurch_o")).localCheckpoint(
+    # probes the blocks) — the census itself never runs twice.
+    # lanes: the per-edge intersection work (r8 pn form) is spread
+    # round-robin over a multiple of the data-sized shuffle lane count
+    # — wedge fan-out is skewed by out-degree, so more, smaller tasks
+    # keep the stage straggler-free at any scale.
+    lanes = max(64, 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "16")))
+    spark.sql(AN.triangle_pn_sql("spark", "copurch_o", lanes=lanes)).localCheckpoint(
         eager=False).createOrReplaceTempView("_tri_pn")
     return spark.sql(AN.triangle_final_sql("_tri_pn"))
 
@@ -3001,6 +3006,9 @@ _DRIVER_WINDOW_FIRST = [
     "gardener_consolidation_merge",
     "gardener_consolidation_clusters",
     "graph_kcore",
+    # (late-r8 addition, same rule: the census's pn stage moved to
+    # adjacency-set intersection on the Spark side)
+    "graph_triangle_count",
     # r8 staleness rotation, slots 5-26: the full r4-stale cohort (the
     # remainder promised by the r7 comment — last driver-checked in
     # the r4 window).

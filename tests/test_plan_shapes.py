@@ -743,6 +743,11 @@ def test_triangle_serves_from_persisted_copurchase_graph(spark):
     assert "lineitem" not in pn_plan
     assert "CartesianProduct" not in pn_plan
     assert "Union" not in pn_plan  # corners explode in one pass
+    # r8: counts come from adjacency-set intersection (no 49M-wedge
+    # join output; per-edge work spread round-robin), the adjacency
+    # relation broadcast on both probes
+    assert "array_intersect" in pn_plan
+    assert "SortMergeJoin" not in pn_plan
     # the registered query's final plan starts from the checkpointed
     # per-node counts — lineitem absent there too
     plan = plan_of(spark, "graph_triangle_count")
