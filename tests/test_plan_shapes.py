@@ -110,6 +110,7 @@ def test_no_registry_plan_has_corpus_wide_unpartitioned_window(spark):
 
     load_tables(spark, SF_SMALL)
     offenders = {}
+    pickled_udfs = []
     for name in sorted(registry._registry):
         df = registry._registry[name][0](spark, SF_SMALL)
         plan = spark._jvm.PythonSQLUtils.explainString(
@@ -117,9 +118,17 @@ def test_no_registry_plan_has_corpus_wide_unpartitioned_window(spark):
         bad = unpartitioned_window_violations(plan)
         if bad:
             offenders[name] = bad
+        # r8 (same one-pass sweep): no registry plan may cross the
+        # Python boundary row-at-a-time — BatchEvalPython pickles every
+        # row; only vectorized nodes (ArrowEvalPython / MapInPandas /
+        # FlatMapGroupsInPandas) are allowed (guide §4).
+        if "BatchEvalPython" in plan:
+            pickled_udfs.append(name)
     assert not offenders, (
         f"{len(offenders)} queries plan corpus-wide unpartitioned "
         f"windows: {offenders}")
+    assert not pickled_udfs, (
+        f"row-at-a-time Python UDF nodes in: {pickled_udfs}")
 
 
 def test_rank_topk_windows_get_window_group_limit(spark):
